@@ -1,0 +1,117 @@
+"""Hashing kernels for dedup / fingerprinting: shingles, MinHash, SimHash,
+rolling-hash winnowing.
+
+All hashes are deterministic (no process-salted ``hash()``): we use
+blake2b with fixed per-permutation keys so results are stable across
+processes, runs, and cluster nodes — a hard requirement for distributed
+dedup where the groupby key must agree across workers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAX_U64 = (1 << 64) - 1
+
+
+def _stable_u64(data: bytes) -> int:
+    return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
+
+
+def shingles(ws: list[str], n: int = 3) -> set[str]:
+    """Word n-gram shingle set (space-joined)."""
+    if len(ws) < n:
+        return {" ".join(ws)} if ws else set()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _permutation_params(num_perm: int, seed: int = 12345) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """num_perm-permutation MinHash over shingle sets (datasketch-style)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 12345):
+        self.num_perm = num_perm
+        self.a, self.b = _permutation_params(num_perm, seed)
+
+    def signature(self, shingle_set: set[str]) -> np.ndarray:
+        if not shingle_set:
+            return np.full(self.num_perm, _MAX_U64, dtype=np.uint64)
+        hv = np.fromiter(
+            (_stable_u64(s.encode("utf-8")) for s in shingle_set),
+            dtype=np.uint64,
+            count=len(shingle_set),
+        )
+        # (a*h + b) mod p, vectorized over perms × shingles
+        prods = (
+            self.a[:, None] * (hv[None, :] % _MERSENNE) + self.b[:, None]
+        ) % _MERSENNE
+        return prods.min(axis=1).astype(np.uint64)
+
+    def band_keys(self, sig: np.ndarray, num_bands: int) -> list[str]:
+        """LSH band keys 'band_idx:hex(band_hash)' for bucketing."""
+        rows = self.num_perm // num_bands
+        keys = []
+        for b in range(num_bands):
+            band = sig[b * rows : (b + 1) * rows].tobytes()
+            keys.append(f"{b}:{hashlib.blake2b(band, digest_size=8).hexdigest()}")
+        return keys
+
+
+def simhash64(ws: list[str]) -> int:
+    """64-bit SimHash over word unigrams."""
+    if not ws:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in ws:
+        h = _stable_u64(w.encode("utf-8"))
+        bits = np.unpackbits(
+            np.frombuffer(struct.pack("<Q", h), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def winnowing_fingerprint(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Rolling-hash (winnowing) document fingerprint: the set of minimal
+    k-gram char hashes per window, as in Schleimer et al. (SIGMOD'03)."""
+    s = text.lower()
+    if len(s) < k:
+        return [_stable_u64(s.encode("utf-8"))] if s else []
+    hs = [
+        _stable_u64(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)
+    ]
+    picks: list[int] = []
+    prev = -1
+    for w in range(0, len(hs) - window + 1):
+        window_slice = hs[w : w + window]
+        m = min(window_slice)
+        idx = w + window_slice.index(m)
+        if idx != prev:
+            picks.append(m)
+            prev = idx
+    return picks

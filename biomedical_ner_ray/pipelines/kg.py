@@ -1,0 +1,170 @@
+"""Flagship pipeline: transcripts → knowledge graph (nodes/edges Parquet).
+
+Stage graph (each stage a resumable Parquet checkpoint, SURVEY.md §7.2)::
+
+    transcripts ──sort(conv_id,turn_idx)──▶ turns_sorted      [shuffle]
+    turns_sorted ──TurnAnnotator actor pool──▶ annotations    [per-bucket resume]
+    annotations ──explode──▶ mentions                          [row-local]
+    annotations ──explode──▶ triples                           [row-local]
+    mentions ──partial-count + groupby──▶ nodes                [tiny shuffle]
+    triples ──partial-count + groupby──▶ edges                 [tiny shuffle]
+
+Scale notes:
+- The only large shuffle is the (conv_id, turn_idx) sort the north rule
+  mandates for stable turn ordering; everything NER-ish is row-local, so
+  the annotate stage streams with backpressure and scales linearly with
+  the actor pool.
+- The annotate stage is partitioned into buckets of input files, each
+  with its own lineage manifest → a killed run resumes per-partition.
+- The alias dictionary is broadcast once (``ray.put``) and resolved once
+  per actor; canonical components are computed where the dict lives
+  (driver) — see stages/canonicalize.py for the distributed variant.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..kernels.tagger import AliasDict
+from ..oracle import canonical_components
+from ..stages.annotate import annotate_stage
+from ..stages.explode import mentions_stage, triples_stage
+from ..stages.graph import edges_stage, node_meta, nodes_stage
+from ..state import manifest as mf
+
+STAGE_VERSION = "kg-v3"
+
+
+def _read(path_or_dir: str, columns=None):
+    files = mf.list_parquet_files(path_or_dir)
+    return rd.read_parquet(files, columns=columns)
+
+
+def run_kg_pipeline(
+    transcripts_path: str,
+    alias_path: str,
+    out_root: str,
+    *,
+    annotate_concurrency=None,
+    annotate_batch_size: int = 1024,
+    annotate_mode: str = "tasks",
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> dict:
+    """Run (or resume) the full KG pipeline. Returns manifests per stage."""
+    os.makedirs(out_root, exist_ok=True)
+    alias_rows = pq.read_table(alias_path).to_pylist()
+    alias_ref = ray.put(AliasDict(alias_rows))
+    comp = canonical_components(alias_rows)
+    comp_ref = ray.put(comp)
+    meta_all = node_meta(alias_rows)
+    meta_ref = ray.put({c: meta_all[c] for c in comp.values()})
+
+    in_files = mf.list_parquet_files(transcripts_path)
+    in_fp = mf.input_fingerprint(in_files)
+    results: dict[str, dict] = {}
+
+    # -- stage 1: stable turn ordering (the north-rule sort shuffle) --
+    turns_dir = os.path.join(out_root, "turns_sorted")
+    if sort:
+        def build_turns(tmp):
+            ds = _read(transcripts_path)
+            ds.sort(["conv_id", "turn_idx"]).write_parquet(tmp)
+
+        results["turns_sorted"] = mf.run_stage(
+            "turns_sorted", turns_dir, mf.fingerprint(STAGE_VERSION, "sort", in_fp), build_turns
+        )
+        annotate_input = turns_dir
+    else:
+        annotate_input = transcripts_path
+
+    # -- stage 2: annotate (actor pool), bucketed for per-partition resume --
+    ann_root = os.path.join(out_root, "annotations")
+    os.makedirs(ann_root, exist_ok=True)
+    ann_files = mf.list_parquet_files(annotate_input)
+    buckets: list[list[str]] = [[] for _ in range(min(n_buckets, max(1, len(ann_files))))]
+    for i, f in enumerate(ann_files):
+        buckets[i % len(buckets)].append(f)
+    ann_manifests = []
+    for b, files in enumerate(buckets):
+        if not files:
+            continue
+        bdir = os.path.join(ann_root, f"bucket={b:03d}")
+        bfp = mf.fingerprint(STAGE_VERSION, "annotate", mf.input_fingerprint(files))
+
+        def build_ann(tmp, files=files):
+            ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+            annotate_stage(
+                ds,
+                alias_ref,
+                concurrency=annotate_concurrency,
+                batch_size=annotate_batch_size,
+                mode=annotate_mode,
+            ).write_parquet(tmp)
+
+        ann_manifests.append(mf.run_stage(f"annotations/{b}", bdir, bfp, build_ann))
+    results["annotations"] = {
+        "rows": sum(m["rows"] for m in ann_manifests),
+        "skipped_buckets": sum(1 for m in ann_manifests if m["skipped"]),
+        "built_buckets": sum(1 for m in ann_manifests if not m["skipped"]),
+        "buckets": ann_manifests,
+    }
+
+    ann_fp = mf.input_fingerprint(mf.list_parquet_files(ann_root))
+
+    # -- stages 3/4: explode to flat mentions / triples tables --
+    mentions_dir = os.path.join(out_root, "mentions")
+
+    def build_mentions(tmp):
+        mentions_stage(_read(ann_root, columns=["conv_id", "turn_idx", "mentions"])).write_parquet(tmp)
+
+    results["mentions"] = mf.run_stage(
+        "mentions", mentions_dir, mf.fingerprint(STAGE_VERSION, "mentions", ann_fp), build_mentions
+    )
+
+    triples_dir = os.path.join(out_root, "triples")
+
+    def build_triples(tmp):
+        triples_stage(_read(ann_root, columns=["conv_id", "turn_idx", "triples"])).write_parquet(tmp)
+
+    results["triples"] = mf.run_stage(
+        "triples", triples_dir, mf.fingerprint(STAGE_VERSION, "triples", ann_fp), build_triples
+    )
+
+    # -- stages 5/6: graph materialization --
+    nodes_dir = os.path.join(out_root, "nodes")
+
+    def build_nodes(tmp):
+        lm = _read(mentions_dir, columns=["cui"])
+        lm = lm.map_batches(
+            lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
+        )
+        nodes_stage(lm, comp_ref, meta_ref).write_parquet(tmp)
+
+    results["nodes"] = mf.run_stage(
+        "nodes", nodes_dir, mf.fingerprint(STAGE_VERSION, "nodes", ann_fp), build_nodes
+    )
+
+    edges_dir = os.path.join(out_root, "edges")
+
+    def build_edges(tmp):
+        tr = _read(triples_dir, columns=["subj_cui", "pred", "obj_cui"])
+        edges_stage(tr, comp_ref).write_parquet(tmp)
+
+    results["edges"] = mf.run_stage(
+        "edges", edges_dir, mf.fingerprint(STAGE_VERSION, "edges", ann_fp), build_edges
+    )
+
+    results["paths"] = {
+        "turns_sorted": turns_dir if sort else None,
+        "annotations": ann_root,
+        "mentions": mentions_dir,
+        "triples": triples_dir,
+        "nodes": nodes_dir,
+        "edges": edges_dir,
+    }
+    return results

@@ -1,0 +1,186 @@
+"""TurnAnnotator — the flagship stateful actor-pool stage.
+
+One pass over transcript turns does everything row-local: tokenize →
+greedy dictionary BIO tagging → span decode (reference extract_entities
+semantics, app.py:335-416) → entity linking (broadcast alias dict,
+SURVEY.md J6) → per-turn triple extraction (kernels.relations). The
+output is ONE nested row per turn::
+
+    conv_id, turn_idx, n_tokens,
+    mentions: list<struct<mention_id,text,type,start_tok,end_tok,
+                          cui,canonical_name,link_score>>,
+    triples:  list<struct<subj_cui,pred,obj_cui,evidence_text>>
+
+so that the downstream ``mentions`` / ``triples`` tables are pure
+vectorized explodes with zero recomputation and no shuffle — triple
+extraction never needs a (conv_id, turn_idx) groupby because a turn's
+mentions never leave the row.
+
+Actor-pool contract mirrors the reference's load-once pattern
+(``StreamlitNERPredictor.__init__`` app.py:121-208 + ``@st.cache_resource``
+app.py:422-467): the alias dictionary ObjectRef is resolved ONCE per actor
+in ``__init__``; ``__call__`` handles a whole Arrow batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..kernels.bio import extract_entities
+from ..kernels.relations import predicate_for
+from ..kernels.tagger import AliasDict, tag_tokens
+from ..kernels.tokenize import TOKEN_RE
+from ..state.broadcast import resolve
+
+MENTION_STRUCT = pa.struct(
+    [
+        ("mention_id", pa.string()),
+        ("text", pa.string()),
+        ("type", pa.string()),
+        ("start_tok", pa.int32()),
+        ("end_tok", pa.int32()),
+        ("cui", pa.string()),
+        ("canonical_name", pa.string()),
+        ("link_score", pa.float64()),
+    ]
+)
+TRIPLE_STRUCT = pa.struct(
+    [
+        ("subj_cui", pa.string()),
+        ("pred", pa.string()),
+        ("obj_cui", pa.string()),
+        ("evidence_text", pa.string()),
+    ]
+)
+
+ANNOTATION_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("n_tokens", pa.int32()),
+        ("mentions", pa.list_(MENTION_STRUCT)),
+        ("triples", pa.list_(TRIPLE_STRUCT)),
+    ]
+)
+
+
+class TurnAnnotator:
+    """Callable class for ``map_batches(TurnAnnotator, concurrency=N,
+    fn_constructor_kwargs={"alias_ref": ref})``."""
+
+    def __init__(self, alias_ref):
+        rows = resolve(alias_ref)
+        self.alias_dict = rows if isinstance(rows, AliasDict) else AliasDict(rows)
+
+    def annotate_turn(self, conv_id: str, turn_idx: int, text: str):
+        tokens = TOKEN_RE.findall(text) if text else []
+        mentions: list[dict] = []
+        triples: list[dict] = []
+        if tokens:
+            tags = tag_tokens(tokens, self.alias_dict)
+            for e in extract_entities(list(zip(tokens, tags))):
+                m = {
+                    "mention_id": f"{conv_id}:{turn_idx}:{e['start_position']}",
+                    "text": e["text"],
+                    "type": e["type"],
+                    "start_tok": e["start_position"],
+                    "end_tok": e["end_position"],
+                }
+                key = " ".join(t.lower() for t in e["tokens"])
+                entry = self.alias_dict.lookup(key)
+                if entry is not None:
+                    m["cui"] = entry.cui
+                    m["canonical_name"] = entry.canonical_name
+                    m["link_score"] = 1.0 if e["text"] == entry.surface else 0.9
+                else:  # unlinked mention (dictionary tagger never produces these,
+                    # but a learned tagger slotting in here would)
+                    m["cui"] = None
+                    m["canonical_name"] = None
+                    m["link_score"] = None
+                mentions.append(m)
+            linked = [m for m in mentions if m["cui"] is not None]
+            for i in range(len(linked)):
+                for j in range(i + 1, len(linked)):
+                    s, o = linked[i], linked[j]
+                    if s["cui"] == o["cui"]:
+                        continue
+                    triples.append(
+                        {
+                            "subj_cui": s["cui"],
+                            "pred": predicate_for(s["type"], o["type"]),
+                            "obj_cui": o["cui"],
+                            "evidence_text": f"{s['text']} | {o['text']}",
+                        }
+                    )
+        return len(tokens), mentions, triples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch["conv_id"].to_pylist()
+        turn_idxs = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n_tokens: list[int] = []
+        mentions_col: list[list[dict]] = []
+        triples_col: list[list[dict]] = []
+        for cid, tix, text in zip(conv_ids, turn_idxs, texts):
+            nt, ms, ts = self.annotate_turn(cid, tix, text)
+            n_tokens.append(nt)
+            mentions_col.append(ms)
+            triples_col.append(ts)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_ids, pa.string()),
+                "turn_idx": pa.array(turn_idxs, pa.int32()),
+                "n_tokens": pa.array(n_tokens, pa.int32()),
+                "mentions": pa.array(mentions_col, pa.list_(MENTION_STRUCT)),
+                "triples": pa.array(triples_col, pa.list_(TRIPLE_STRUCT)),
+            },
+            schema=ANNOTATION_SCHEMA,
+        )
+
+
+# Per-worker-process cache for the tasks fast path: resolving the broadcast
+# ObjectRef is one shared-memory get per worker process (not per batch, not
+# per task) — same amortization as an actor's __init__, but without paying
+# actor-pool spin-up for every short execution (worker processes persist
+# across Dataset executions in a Ray session).
+_ANNOTATOR_CACHE: dict[str, TurnAnnotator] = {}
+
+
+def _cached_annotator(alias_ref) -> TurnAnnotator:
+    key = alias_ref.hex() if hasattr(alias_ref, "hex") else str(id(alias_ref))
+    ann = _ANNOTATOR_CACHE.get(key)
+    if ann is None:
+        ann = TurnAnnotator(alias_ref)
+        _ANNOTATOR_CACHE.clear()
+        _ANNOTATOR_CACHE[key] = ann
+    return ann
+
+
+def annotate_stage(
+    ds,
+    alias_ref,
+    concurrency=None,
+    batch_size: int = 1024,
+    mode: str = "tasks",
+):
+    """Annotate a turns Dataset.
+
+    mode="tasks": stateless map_batches tasks with per-worker cached state —
+    elastic, no pool spin-up; the default for CPU-only dictionary tagging.
+    mode="actors": explicit actor pool (``concurrency`` required) — the slot
+    a learned GPU scorer uses (reference A1 load-once contract).
+    """
+    if mode == "actors":
+        return ds.map_batches(
+            TurnAnnotator,
+            fn_constructor_kwargs={"alias_ref": alias_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (2, 8),
+            num_cpus=1,
+        )
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        return _cached_annotator(alias_ref)(batch)
+
+    return ds.map_batches(annotate, batch_format="pyarrow", batch_size=batch_size)

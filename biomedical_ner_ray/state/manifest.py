@@ -1,0 +1,118 @@
+"""Per-partition lineage manifests + resume.
+
+North-rule requirement: "Every stage checkpoints per-partition lineage and
+counters so a killed run resumes without recomputation." Ray Data has no
+built-in output-level resume (SURVEY.md §7.4), so this layer implements
+it: each stage (or partition of a stage) writes its Parquet output into a
+temp directory, then atomically renames it into place and drops a
+``_MANIFEST.json`` recording the input fingerprint, row count, wall time
+and counters. On rerun, a partition whose manifest exists with a matching
+fingerprint is skipped (the skip is itself counted, so tests can prove
+zero recomputation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def fingerprint(*parts: str) -> str:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(str(p).encode("utf-8"))
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def input_fingerprint(paths: list[str]) -> str:
+    """Fingerprint of input files: names + sizes (content proxy)."""
+    parts = []
+    for p in sorted(paths):
+        try:
+            parts.append(f"{p}:{os.path.getsize(p)}")
+        except OSError:
+            parts.append(p)
+    return fingerprint(*parts)
+
+
+def read_manifest(out_dir: str) -> dict | None:
+    p = os.path.join(out_dir, MANIFEST_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def is_complete(out_dir: str, fp: str) -> bool:
+    m = read_manifest(out_dir)
+    return m is not None and m.get("fingerprint") == fp
+
+
+def parquet_row_count(out_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def run_stage(
+    name: str,
+    out_dir: str,
+    fp: str,
+    build_and_write,
+    counters: dict | None = None,
+) -> dict:
+    """Run one resumable stage.
+
+    ``build_and_write(tmp_dir)`` must write the stage's Parquet output into
+    ``tmp_dir``. Returns the manifest dict; ``manifest["skipped"]`` tells
+    whether the stage was resumed from a previous run.
+    """
+    if is_complete(out_dir, fp):
+        m = read_manifest(out_dir)
+        m["skipped"] = True
+        return m
+    # stale/partial output from a killed run: rebuild from scratch
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    tmp_dir = out_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    build_and_write(tmp_dir)
+    wall = time.perf_counter() - t0
+    manifest = {
+        "stage": name,
+        "fingerprint": fp,
+        "rows": parquet_row_count(tmp_dir),
+        "wall_sec": round(wall, 3),
+        "counters": counters or {},
+        "completed_at": time.time(),
+    }
+    with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp_dir, out_dir)
+    manifest["skipped"] = False
+    return manifest
+
+
+def list_parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
