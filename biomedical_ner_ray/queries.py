@@ -1,0 +1,502 @@
+"""Driver-facing query implementations (one per operator, SURVEY.md §2).
+
+Every function takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a ``ray.data.Dataset`` or small ``pandas.DataFrame``. KG queries
+run over the deterministic transcript fixture derived from the sf name
+(``fixtures.ensure_fixture``); analytics queries run over the provided
+testdata tables. Each has a value-equivalent DuckDB oracle in
+``__ray_entry__.oracle_sql`` — column names and numeric representations
+are chosen to hash-match exactly (integer-cents sums instead of float
+sums, deterministic tie-breaks on every top-k).
+
+Ray must already be initialised by the caller (driver / test fixture /
+bench.py); nothing here calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from .fixtures import ensure_fixture, sf_name_from_dir
+from .kernels.tagger import AliasDict
+from .kernels.textstats import (
+    LANG_ORDER,
+    STOPWORDS,
+    detect_lang,
+    fingerprint_md5,
+    quality_features,
+    quality_score,
+)
+from .kernels.tokenize import TOKEN_RE
+from .oracle import canonical_components
+from .stages.annotate import annotate_stage
+from .stages.explode import mentions_stage, triples_stage
+from .stages.graph import edges_stage, node_meta, nodes_stage
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _tbl(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _fixture(sf_dir: str) -> dict[str, str]:
+    return ensure_fixture(sf_name_from_dir(sf_dir))
+
+
+def _alias_rows(paths: dict) -> list[dict]:
+    return pq.read_table(paths["alias_dict"]).to_pylist()
+
+
+def _transcripts_ds(paths: dict, columns=None):
+    from .state.manifest import list_parquet_files
+
+    return rd.read_parquet(list_parquet_files(paths["transcripts"]), columns=columns)
+
+
+def _annotations_ds(sf_dir: str):
+    paths = _fixture(sf_dir)
+    rows = _alias_rows(paths)
+    ref = ray.put(AliasDict(rows))
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+    return annotate_stage(ds, ref), rows
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (flagship path; oracle = maximal-match SQL)
+# ---------------------------------------------------------------------------
+
+
+def kg_turns_sorted(sf_dir: str):
+    """Stable (conv_id, turn_idx) ordering — the north-rule sort shuffle.
+    Per-turn text equality vs input is the conformance invariant."""
+    paths = _fixture(sf_dir)
+    return _transcripts_ds(paths).sort(["conv_id", "turn_idx"])
+
+
+def kg_mentions(sf_dir: str):
+    """Detected mention spans (tokenize → BIO tag → decode; M1+M9)."""
+    ann, _ = _annotations_ds(sf_dir)
+    return mentions_stage(ann).select_columns(
+        ["conv_id", "turn_idx", "mention_id", "text", "type", "start_tok", "end_tok"]
+    )
+
+
+def kg_linked_mentions(sf_dir: str):
+    """Mentions + CUI link (broadcast alias dict, J6)."""
+    ann, _ = _annotations_ds(sf_dir)
+    ds = mentions_stage(ann)
+    return ds.map_batches(
+        lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
+    )
+
+
+def kg_triples(sf_dir: str):
+    """(subj, pred, obj) per turn via co-occurrence + type heuristics."""
+    ann, _ = _annotations_ds(sf_dir)
+    return triples_stage(ann)
+
+
+def kg_nodes(sf_dir: str):
+    """Canonicalized node table (G9 components + mention counts)."""
+    ann, rows = _annotations_ds(sf_dir)
+    comp = canonical_components(rows)
+    meta = node_meta(rows)
+    lm = mentions_stage(ann).map_batches(
+        lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
+    )
+    return nodes_stage(lm, ray.put(comp), ray.put({c: meta[c] for c in comp.values()}))
+
+
+def kg_edges(sf_dir: str):
+    """Deduplicated, canonical-remapped, weighted edge table."""
+    ann, rows = _annotations_ds(sf_dir)
+    comp = canonical_components(rows)
+    return edges_stage(triples_stage(ann), ray.put(comp))
+
+
+def kg_components(sf_dir: str):
+    """Distributed connected components over the CUI↔alias graph (G9)."""
+    from .stages.canonicalize import connected_components_ds
+
+    paths = _fixture(sf_dir)
+    ds = rd.read_parquet(paths["alias_dict"], columns=["cui", "alias_key"])
+    return connected_components_ds(ds, rounds=3)
+
+
+def kg_vocab(sf_dir: str):
+    """Reference create_vocab semantics (G1, creation_vocabulaire.py:3-62):
+    lowercased app-tokenizer token counts with min_freq >= 2. Partial
+    per-batch counts → small groupby (combiner pattern)."""
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for tok in TOKEN_RE.findall(t):
+                w = tok.lower()
+                c[w] = c.get(w, 0) + 1
+        return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    return counts.map_batches(
+        lambda df: df[df["n_occurrences"] >= 2], batch_format="pandas"
+    )
+
+
+def kg_tag_mapping(sf_dir: str):
+    """Reference create_tag_mapping semantics (G3,
+    creation_vocabulaire.py:169-174): distinct entity types, sorted,
+    with dense ids (the sort is why reference tag ids are alphabetical)."""
+    ann, _ = _annotations_ds(sf_dir)
+    m = mentions_stage(ann)
+    types = sorted(m.unique("type"))
+    return pd.DataFrame({"tag": types, "tag_idx": np.arange(1, len(types) + 1)})
+
+
+def kg_mention_type_counts(sf_dir: str):
+    """UI stats analog (G5, app.py:848-895): mentions per entity type."""
+    ann, _ = _annotations_ds(sf_dir)
+    return (
+        mentions_stage(ann)
+        .groupby("type")
+        .aggregate(Count(alias_name="n_mentions"))
+    )
+
+
+def kg_turn_stats(sf_dir: str):
+    """Corpus stats analog (G6, fonctions.py:275-538): per-role turn and
+    token totals over the tokenized transcript."""
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["role", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        roles = batch["role"].to_pylist()
+        nt = [len(TOKEN_RE.findall(t)) for t in batch["text"].to_pylist()]
+        df = pd.DataFrame({"role": roles, "n_tokens": nt})
+        g = df.groupby("role", sort=False).agg(
+            n_turns=("role", "size"), sum_tokens=("n_tokens", "sum")
+        )
+        return g.reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("role")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over the provided `documents` table
+# ---------------------------------------------------------------------------
+
+
+def doc_wordcount(sf_dir: str):
+    """Word frequency (\\w+ over lowercased text), min_freq 2 — the G1
+    wordcount shape over the documents corpus."""
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c: dict[str, int] = {}
+        from .kernels.textstats import WORD_RE
+
+        for t in batch["text"].to_pylist():
+            for w in WORD_RE.findall(t.lower()):
+                c[w] = c.get(w, 0) + 1
+        return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    return counts.map_batches(
+        lambda df: df[df["n_occurrences"] >= 2], batch_format="pandas"
+    )
+
+
+def doc_top_words(sf_dir: str):
+    """Top-20 words (O2 most_common analog), deterministic tie-break
+    (count desc, word asc)."""
+    counts = doc_wordcount(sf_dir)
+    return counts.sort(["n_occurrences", "word"], descending=[True, False]).limit(20)
+
+
+def doc_token_counts(sf_dir: str):
+    """Per-document app-tokenizer token count (M1 over documents)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = [len(TOKEN_RE.findall(t)) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str):
+    """md5-of-normalized-text document fingerprint (exact-dedup key)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        fp = [fingerprint_md5(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fp)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition on fingerprint, keep min doc_id per
+    group + group size (SURVEY.md §2.7)."""
+    return (
+        doc_fingerprints(sf_dir)
+        .groupby("fingerprint")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    )
+
+
+def doc_quality(sf_dir: str):
+    """Per-document quality features + score (kernels.textstats)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        rows = []
+        for t in batch["text"].to_pylist():
+            feat = quality_features(t)
+            feat["quality_score"] = quality_score(feat)
+            rows.append(feat)
+        out = {"doc_id": batch["doc_id"]}
+        for k in (
+            "n_chars",
+            "n_tokens",
+            "n_words",
+            "punct_ratio",
+            "stopword_ratio",
+            "digit_ratio",
+            "mean_word_len",
+            "quality_score",
+        ):
+            typ = pa.int64() if k in ("n_chars", "n_tokens", "n_words") else pa.float64()
+            out[k] = pa.array([r[k] for r in rows], typ)
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_langid(sf_dir: str):
+    """Stopword-vote language ID per document."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        langs = [detect_lang(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(langs)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_lang_distribution(sf_dir: str):
+    """Grouped count over the declared lang column (simple groupby)."""
+    return (
+        _tbl(sf_dir, "documents", columns=["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed + sessionized aggregates (streaming-shaped)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per user: event count + value sum (in
+    integer cents so Ray and SQL sums hash-match exactly)."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.floor("h")
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        g = df.groupby(["user_id", "hour"], sort=False).agg(
+            n_events=("cents", "size"), sum_value_cents=("cents", "sum")
+        )
+        return g.reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "hour"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity closes a session):
+    groupby(user).map_groups over ts-sorted events — the Ray Data shape
+    for windowed/stateful streaming semantics (ray_guide 'Streaming-shaped
+    workloads')."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff()
+        new = (gap.isna() | (gap > pd.Timedelta(minutes=30))).astype("int64")
+        g = g.assign(session_idx=new.cumsum())
+        out = (
+            g.groupby("session_idx", sort=False)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                n_events=("event_id", "size"),
+            )
+            .reset_index()
+        )
+        return out[["user_id", "session_idx", "session_start", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Relational: aggregates + broadcast join (TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary; money in integer cents."""
+    ds = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        df = df.assign(
+            qty_cents=(df["l_quantity"] * 100).round().astype("int64"),
+            price_cents=(df["l_extendedprice"] * 100).round().astype("int64"),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty_cents=("qty_cents", "sum"),
+            sum_price_cents=("price_cents", "sum"),
+            n_rows=("qty_cents", "size"),
+        )
+        return g.reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+def revenue_by_segment(sf_dir: str):
+    """orders ⋈ customer revenue per market segment — broadcast hash join
+    (small side via ray.put, looked up inside map_batches; no shuffle)."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    seg_ref = ray.put(seg_map)
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        seg = resolve(seg_ref)
+        df = df.assign(
+            c_mktsegment=df["o_custkey"].map(seg),
+            cents=(df["o_totalprice"] * 100).round().astype("int64"),
+        )
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum")
+        )
+        return g.reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over the embeddings table
+# ---------------------------------------------------------------------------
+
+ANN_N_QUERIES = 8
+ANN_K = 5
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
+    matmul partial top-k, tiny final per-query merge. Scale path: partials
+    shrink the candidate stream from O(N×Q) to O(batches×Q×k)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < ANN_N_QUERIES].sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy()
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qm_norm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qm_norm))
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        qids_, qn = resolve(q_ref)
+        vids = np.asarray(batch["vec_id"].to_pylist())
+        mat = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in batch["embedding"].to_pylist()]
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = qn @ mat.T  # [Q, B]
+        rows = []
+        k = min(ANN_K + 1, cos.shape[1])
+        for qi, qid in enumerate(qids_):
+            idx = np.argpartition(-cos[qi], k - 1)[:k]
+            for j in idx:
+                if vids[j] == qid:
+                    continue
+                rows.append((int(qid), int(vids[j]), float(cos[qi, j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(ANN_K)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
