@@ -1,0 +1,194 @@
+"""Benchmark harness for the Ray Data KG engine.
+
+Runs the headline transcript→KG pipeline plus a representative query set
+over ``$GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": 0.1, "num_cpus": N}
+
+``--scaling`` runs the headline KG pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports throughput at
+both plus scaling efficiency ``(T_8 / T_32) / 4`` — the sandbox stand-in
+for the N vs 4N-node cluster criterion in BASELINE.json `north_rule`.
+
+This script OWNS its Ray session (ray.init/shutdown); the library never
+does. All progress chatter goes to stderr; stdout carries only the JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _sf_value(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _consume(ds) -> int:
+    """Fully execute a Dataset (or accept a DataFrame) and return rows."""
+    import pandas as pd
+
+    if isinstance(ds, pd.DataFrame):
+        return len(ds)
+    n = 0
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def run_kg(sf_dir: str, out_root: str) -> dict:
+    """Headline: full transcripts→nodes/edges pipeline over the fixture."""
+    from biomedical_ner_ray.fixtures import ensure_fixture, sf_name_from_dir
+    from biomedical_ner_ray.pipelines.kg import run_kg_pipeline
+
+    paths = ensure_fixture(sf_name_from_dir(sf_dir))  # generation not timed
+    if os.path.exists(out_root):
+        shutil.rmtree(out_root)
+    t0 = time.perf_counter()
+    res = run_kg_pipeline(paths["transcripts"], paths["alias_dict"], out_root)
+    elapsed = time.perf_counter() - t0
+    turns = res["turns_sorted"]["rows"] if res.get("turns_sorted") else res["annotations"]["rows"]
+    return {
+        "sec": elapsed,
+        "turns": turns,
+        "triples": res["triples"]["rows"],
+        "turns_per_sec": turns / elapsed,
+        "triples_per_sec": res["triples"]["rows"] / elapsed,
+    }
+
+
+QUERY_NAMES = [
+    "kg_vocab",
+    "doc_wordcount",
+    "doc_dedup_exact",
+    "doc_quality",
+    "doc_langid",
+    "events_hourly",
+    "events_sessions",
+    "lineitem_pricing_summary",
+    "revenue_by_segment",
+    "ann_topk",
+]
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from biomedical_ner_ray import queries as Q
+
+    out: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        fn = getattr(Q, name)
+        t0 = time.perf_counter()
+        rows = _consume(fn(sf_dir))
+        dt = time.perf_counter() - t0
+        out[name] = round(dt, 3)
+        log(f"  {name}: {dt:.2f}s ({rows} rows)")
+    return out
+
+
+def bench_once(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        log(f"[bench] KG pipeline over fixture for {sf_dir} (num_cpus={num_cpus})")
+        kg = run_kg(sf_dir, f"/tmp/graft_bench_out/cpus{num_cpus}")
+        log(
+            f"[bench] kg: {kg['sec']:.2f}s, {kg['turns']} turns "
+            f"({kg['turns_per_sec']:.0f} turns/s, {kg['triples_per_sec']:.0f} triples/s)"
+        )
+        queries = {"kg_pipeline": round(kg["sec"], 3)}
+        if not kg_only:
+            queries.update(run_queries(sf_dir))
+        total = sum(queries.values())
+        return {
+            "metric": "bench_total_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "kg": {
+                "turns": kg["turns"],
+                "triples": kg["triples"],
+                "turns_per_sec": round(kg["turns_per_sec"], 1),
+                "triples_per_sec": round(kg["triples_per_sec"], 1),
+            },
+            "sf": _sf_value(sf_dir),
+            "num_cpus": num_cpus,
+        }
+    finally:
+        ray.shutdown()
+
+
+def bench_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int) -> dict:
+    """Same KG job at two parallelism levels in fresh processes."""
+    results = {}
+    for n in (cpus_lo, cpus_hi):
+        log(f"[scaling] fresh process, num_cpus={n}")
+        proc = subprocess.run(
+            [sys.executable, __file__, "--cpus", str(n), "--kg-only", "--sf-dir", sf_dir],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sys.stderr.write(proc.stderr)
+        if proc.returncode != 0:
+            raise RuntimeError(f"scaling child (cpus={n}) failed: {proc.stdout[-500:]}")
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    lo, hi = results[cpus_lo], results[cpus_hi]
+    t_lo, t_hi = lo["queries"]["kg_pipeline"], hi["queries"]["kg_pipeline"]
+    ratio = cpus_hi / cpus_lo
+    efficiency = (t_lo / t_hi) / ratio
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "fraction",
+        "queries": {
+            f"kg_pipeline_cpus{cpus_lo}": t_lo,
+            f"kg_pipeline_cpus{cpus_hi}": t_hi,
+        },
+        "throughput": {
+            f"turns_per_sec_cpus{cpus_lo}": lo["kg"]["turns_per_sec"],
+            f"turns_per_sec_cpus{cpus_hi}": hi["kg"]["turns_per_sec"],
+            f"triples_per_sec_cpus{cpus_lo}": lo["kg"]["triples_per_sec"],
+            f"triples_per_sec_cpus{cpus_hi}": hi["kg"]["triples_per_sec"],
+            "speedup": round(t_lo / t_hi, 2),
+            "cpu_ratio": ratio,
+        },
+        "sf": _sf_value(sf_dir),
+        "num_cpus": cpus_hi,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--kg-only", action="store_true", help="headline KG pipeline only")
+    ap.add_argument("--scaling", action="store_true", help="two-parallelism scaling run")
+    ap.add_argument("--scaling-lo", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = bench_scaling(args.sf_dir, args.scaling_lo, args.cpus)
+    else:
+        out = bench_once(args.sf_dir, args.cpus, args.kg_only)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
