@@ -50,6 +50,19 @@ def _tbl(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+# Ray's sort-based shuffle costs O(P²) tiny inter-block objects, so the
+# final combine of a pre-aggregated (already small) stream must NOT
+# inherit the scan's block count (64 blocks at 32 CPUs → ~12s of pure
+# overhead for a 100k-row aggregate; 8 blocks → 0.7s, measured).
+# At 100TB the pre-agg stream is ~#distinct-keys rows — size this to
+# keep each combine block in the 10-100MB range, not to the scan width.
+_COMBINE_BLOCKS = 8
+
+
+def _combine(ds, num_blocks: int = _COMBINE_BLOCKS):
+    return ds.repartition(num_blocks)
+
+
 def _fixture(sf_dir: str) -> dict[str, str]:
     return ensure_fixture(sf_name_from_dir(sf_dir))
 
@@ -150,7 +163,7 @@ def kg_vocab(sf_dir: str):
         return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
 
     counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        _combine(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("word")
         .aggregate(Sum("n", alias_name="n_occurrences"))
     )
@@ -173,7 +186,7 @@ def kg_mention_type_counts(sf_dir: str):
     """UI stats analog (G5, app.py:848-895): mentions per entity type."""
     ann, _ = _annotations_ds(sf_dir)
     return (
-        mentions_stage(ann)
+        _combine(mentions_stage(ann).select_columns(["type"]))
         .groupby("type")
         .aggregate(Count(alias_name="n_mentions"))
     )
@@ -195,7 +208,7 @@ def kg_turn_stats(sf_dir: str):
         return g.reset_index()
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        _combine(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("role")
         .aggregate(
             Sum("n_turns", alias_name="n_turns"),
@@ -224,7 +237,7 @@ def doc_wordcount(sf_dir: str):
         return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
 
     counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        _combine(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("word")
         .aggregate(Sum("n", alias_name="n_occurrences"))
     )
@@ -268,7 +281,7 @@ def doc_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on fingerprint, keep min doc_id per
     group + group size (SURVEY.md §2.7)."""
     return (
-        doc_fingerprints(sf_dir)
+        _combine(doc_fingerprints(sf_dir))
         .groupby("fingerprint")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )
@@ -316,7 +329,7 @@ def doc_langid(sf_dir: str):
 def doc_lang_distribution(sf_dir: str):
     """Grouped count over the declared lang column (simple groupby)."""
     return (
-        _tbl(sf_dir, "documents", columns=["lang"])
+        _combine(_tbl(sf_dir, "documents", columns=["lang"]))
         .groupby("lang")
         .aggregate(Count(alias_name="n_docs"))
     )
@@ -329,26 +342,35 @@ def doc_lang_distribution(sf_dir: str):
 
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window per user: event count + value sum (in
-    integer cents so Ray and SQL sums hash-match exactly)."""
-    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
+    integer cents so Ray and SQL sums hash-match exactly).
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["hour"] = df["ts"].dt.floor("h")
-        df["cents"] = (df["value"] * 100).round().astype("int64")
-        g = df.groupby(["user_id", "hour"], sort=False).agg(
-            n_events=("cents", "size"), sum_value_cents=("cents", "sum")
-        )
-        return g.reset_index()
+    (user_id, hour) is near-unique here (~95% of row count), so the
+    built-in per-group-Python aggregate would crawl (see
+    stages/exchange.py); instead: vectorized pandas partials → hash
+    exchange on the key → vectorized combine."""
+    from .stages.exchange import grouped_aggregate, hash_shuffle
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "hour"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value_cents", alias_name="sum_value_cents"),
+    def prep_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            hour=df["ts"].dt.floor("h"),
+            cents=(df["value"] * 100).round().astype("int64"),
         )
-    )
+        return (
+            df.groupby(["user_id", "hour"], sort=False)
+            .agg(n_events=("cents", "size"), sum_value_cents=("cents", "sum"))
+            .reset_index()
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["user_id", "hour"], sort=False)
+            .agg(n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum"))
+            .reset_index()
+        )
+
+    with hash_shuffle():
+        ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
+        return grouped_aggregate(ds, ["user_id", "hour"], prep_partial, combine)
 
 
 def events_sessions(sf_dir: str):
@@ -374,7 +396,9 @@ def events_sessions(sf_dir: str):
         )
         return out[["user_id", "session_idx", "session_start", "n_events"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return _combine(ds, 16).groupby("user_id").map_groups(
+        sessionize, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +428,7 @@ def lineitem_pricing_summary(sf_dir: str):
         return g.reset_index()
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        _combine(ds.map_batches(partial, batch_format="pandas"))
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty_cents", alias_name="sum_qty_cents"),
@@ -440,7 +464,7 @@ def revenue_by_segment(sf_dir: str):
         return g.reset_index()
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        _combine(ds.map_batches(partial, batch_format="pandas"))
         .groupby("c_mktsegment")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
@@ -499,4 +523,6 @@ def ann_topk(sf_dir: str):
         g = g.assign(rank=np.arange(1, len(g) + 1))
         return g[["query_id", "neighbor_id", "rank"]]
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _combine(partials, 4).groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
+    )

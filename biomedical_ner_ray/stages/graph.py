@@ -30,7 +30,13 @@ def nodes_stage(linked_mentions_ds, comp_ref, meta_ref):
         return out
 
     partials = linked_mentions_ds.map_batches(partial_counts, batch_format="pandas")
-    counts = partials.groupby("cui").aggregate(Sum("n", alias_name="mention_count"))
+    # coalesce the tiny partial stream before the shuffle — sort-based
+    # aggregate overhead is O(blocks²), not O(rows) (see queries._COMBINE_BLOCKS)
+    counts = (
+        partials.repartition(8)
+        .groupby("cui")
+        .aggregate(Sum("n", alias_name="mention_count"))
+    )
 
     def add_meta(df: pd.DataFrame) -> pd.DataFrame:
         meta = resolve(meta_ref)
@@ -59,8 +65,10 @@ def edges_stage(triples_ds, comp_ref):
         return g
 
     partials = triples_ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(["subj_cui", "pred", "obj_cui"]).aggregate(
-        Sum("n", alias_name="weight")
+    return (
+        partials.repartition(8)
+        .groupby(["subj_cui", "pred", "obj_cui"])
+        .aggregate(Sum("n", alias_name="weight"))
     )
 
 
