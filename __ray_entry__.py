@@ -72,8 +72,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational: aggregate + broadcast join
         "lineitem_pricing_summary": Q.lineitem_pricing_summary,
         "revenue_by_segment": Q.revenue_by_segment,
+        # near-duplicate detection family
+        "doc_dedup_minhash": Q.doc_dedup_minhash,
+        "doc_dedup_simhash": Q.doc_dedup_simhash,
+        "doc_dedup_jaccard": Q.doc_dedup_jaccard,
+        "emb_neardup_pairs": Q.emb_neardup_pairs,
         # similarity search
         "ann_topk": Q.ann_topk,
+        "ann_topk_ivf": Q.ann_topk_ivf,
     }
 
 
@@ -179,6 +185,121 @@ lab3 AS (SELECT l.cui, least(l.label, min(m.lab)) AS label
 metaq AS (SELECT cui, min(canonical_name) AS canonical_name, min(type) AS type
           FROM aliases GROUP BY cui)
 """
+
+
+
+
+# ---------------------------------------------------------------------------
+# Dedup oracle SQL (replicates the LSH algorithms value-for-value: md5-u64
+# hashes == md5_number_lower, 32-bit minhash params, integer threshold
+# compares — see stages/dedup.py)
+# ---------------------------------------------------------------------------
+
+from biomedical_ner_ray.stages.dedup import (  # noqa: E402
+    JACCARD_BLOCK_DEN,
+    JACCARD_BLOCK_NUM,
+    JACCARD_DEN,
+    JACCARD_NUM,
+    NUM_BANDS,
+    BAND_ROWS,
+    SIMHASH_MAX_HAMMING,
+    minhash_params,
+)
+
+_MERSENNE_SQL = (1 << 61) - 1
+
+_SHINGLE_CTE = r"""
+WITH f AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([md5_number_lower(array_to_string(ws[i:i+2], ' '))
+                        for i in generate_series(1, greatest(len(ws)-2, 1))]) AS hv
+  FROM f WHERE len(ws) > 0
+)"""
+
+
+def _minhash_sql() -> str:
+    a, b = minhash_params()
+    perms = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a))
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+perms(i, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT s.doc_id, p.i AS perm,
+         min((CAST(p.a AS HUGEINT) * (t.h % 4294967296) + p.b) % {_MERSENNE_SQL}) AS v
+  FROM sh s, unnest(s.hv) AS t(h), perms p
+  GROUP BY s.doc_id, p.i
+),
+bandk AS (
+  SELECT doc_id,
+         CAST(perm // {BAND_ROWS} AS VARCHAR) || ':' ||
+         string_agg(CAST(v AS VARCHAR), '-' ORDER BY perm) AS key
+  FROM sig GROUP BY doc_id, perm // {BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bandk a JOIN bandk b ON a.key = b.key AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.da, c.db,
+         len(list_intersect(sa.hv, sb.hv)) AS nc,
+         len(sa.hv) + len(sb.hv) - len(list_intersect(sa.hv, sb.hv)) AS nu
+  FROM cand c JOIN sh sa ON sa.doc_id = c.da JOIN sh sb ON sb.doc_id = c.db
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       CAST(nc AS BIGINT) AS n_common, CAST(nu AS BIGINT) AS n_union
+FROM ver WHERE nu > 0 AND {JACCARD_DEN} * nc >= {JACCARD_NUM} * nu"""
+    )
+
+
+_SIMHASH_SQL = rf"""
+WITH f AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+wbits AS (
+  SELECT doc_id, g.p AS p,
+         sum(CASE WHEN (md5_number_lower(t.w) >> g.p) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM f, unnest(ws) AS t(w), unnest(generate_series(0, 63)) AS g(p)
+  WHERE len(ws) > 0
+  GROUP BY doc_id, g.p
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << p ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS h
+  FROM wbits GROUP BY doc_id
+),
+ch AS (
+  SELECT doc_id, h, t.c AS c, (h >> (16 * t.c)) & 65535 AS chunk
+  FROM sim, unnest([0, 1, 2, 3]) AS t(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, a.h AS ha, b.doc_id AS db, b.h AS hb
+  FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}"""
+
+
+_JACCARD_SQL = (
+    _SHINGLE_CTE.replace("SELECT doc_id, regexp", "SELECT doc_id, source, regexp")
+    .replace("SELECT doc_id,\n         list_distinct", "SELECT doc_id, source,\n         list_distinct")
+    + f"""
+, p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         len(list_intersect(a.hv, b.hv)) AS nc,
+         len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv)) AS nu
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       CAST(nc AS BIGINT) AS n_common, CAST(nu AS BIGINT) AS n_union
+FROM p WHERE nc > 0 AND {JACCARD_BLOCK_DEN} * nc >= {JACCARD_BLOCK_NUM} * nu"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -331,6 +452,41 @@ SELECT c_mktsegment,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "doc_dedup_minhash": _minhash_sql(),
+        "doc_dedup_simhash": _SIMHASH_SQL,
+        "doc_dedup_jaccard": _JACCARD_SQL,
+        "emb_neardup_pairs": f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {Q.EMB_COS_THRESHOLD}""",
+        "ann_topk_ivf": f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {Q.IVF_N_CENTROIDS}),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {Q.ANN_N_QUERIES}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c) t WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c) t WHERE rn <= {Q.IVF_NPROBE}
+),
+sc AS (
+  SELECT q.qid, e.vec_id AS vid, list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM q
+  CROSS JOIN embeddings e
+  JOIN assign a2 ON a2.vec_id = e.vec_id
+  JOIN probes p ON p.qid = q.qid AND p.cid = a2.cid
+  WHERE e.vec_id <> q.qid
+),
+r AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk FROM sc)
+SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= {Q.ANN_K}""",
         "ann_topk": f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {Q.ANN_N_QUERIES}

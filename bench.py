@@ -83,6 +83,11 @@ QUERY_NAMES = [
     "lineitem_pricing_summary",
     "revenue_by_segment",
     "ann_topk",
+    "ann_topk_ivf",
+    "doc_dedup_minhash",
+    "doc_dedup_simhash",
+    "doc_dedup_jaccard",
+    "emb_neardup_pairs",
 ]
 
 

@@ -22,6 +22,13 @@ def _stable_u64(data: bytes) -> int:
     return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
 
 
+def stable_u64_md5(data: bytes) -> int:
+    """u64 hash equal to DuckDB's ``md5_number_lower`` (bytes 8..16 of the
+    md5 digest, little-endian) — used wherever the SQL oracle must
+    reproduce the hash (MinHash/SimHash dedup)."""
+    return int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
+
+
 def shingles(ws: list[str], n: int = 3) -> set[str]:
     """Word n-gram shingle set (space-joined)."""
     if len(ws) < n:
@@ -39,15 +46,16 @@ def _permutation_params(num_perm: int, seed: int = 12345) -> tuple[np.ndarray, n
 class MinHasher:
     """num_perm-permutation MinHash over shingle sets (datasketch-style)."""
 
-    def __init__(self, num_perm: int = 64, seed: int = 12345):
+    def __init__(self, num_perm: int = 64, seed: int = 12345, hash_fn=None):
         self.num_perm = num_perm
         self.a, self.b = _permutation_params(num_perm, seed)
+        self.hash_fn = hash_fn or _stable_u64
 
     def signature(self, shingle_set: set[str]) -> np.ndarray:
         if not shingle_set:
             return np.full(self.num_perm, _MAX_U64, dtype=np.uint64)
         hv = np.fromiter(
-            (_stable_u64(s.encode("utf-8")) for s in shingle_set),
+            (self.hash_fn(s.encode("utf-8")) for s in shingle_set),
             dtype=np.uint64,
             count=len(shingle_set),
         )
@@ -67,13 +75,31 @@ class MinHasher:
         return keys
 
 
-def simhash64(ws: list[str]) -> int:
-    """64-bit SimHash over word unigrams."""
+def simhash64_md5(ws: list[str]) -> int:
+    """64-bit SimHash with md5 word hashes and plain LSB-first bit order
+    so the DuckDB oracle can reproduce it bit-for-bit:
+    bit p of the result is set iff sum over word occurrences of
+    ±1[(md5_number_lower(w) >> p) & 1] is positive."""
     if not ws:
         return 0
+    hs = np.fromiter(
+        (stable_u64_md5(w.encode("utf-8")) for w in ws),
+        dtype=np.uint64,
+        count=len(ws),
+    )
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash64(ws: list[str], hash_fn=None) -> int:
+    """64-bit SimHash over word unigrams (per-occurrence weighting)."""
+    if not ws:
+        return 0
+    hash_fn = hash_fn or _stable_u64
     acc = np.zeros(64, dtype=np.int64)
     for w in ws:
-        h = _stable_u64(w.encode("utf-8"))
+        h = hash_fn(w.encode("utf-8"))
         bits = np.unpackbits(
             np.frombuffer(struct.pack("<Q", h), dtype=np.uint8)
         ).astype(np.int64)

@@ -336,6 +336,138 @@ def doc_lang_distribution(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Near-duplicate detection over documents (stages/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def doc_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs (shingle → 32-perm sig → 8-band bucket
+    exchange → exact-Jaccard ≥ 4/5 verify → pair dedup)."""
+    from .stages.dedup import minhash_pairs
+
+    return minhash_pairs(lambda: _tbl(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def doc_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (64-bit md5 simhash → 4×16-bit chunk
+    bucket exchange → hamming ≤ 3 verify)."""
+    from .stages.dedup import simhash_pairs
+
+    return simhash_pairs(lambda: _tbl(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def doc_dedup_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard ≥ 3/5 all-pairs within each source
+    block (blocked exact baseline for the LSH detectors)."""
+    from .stages.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _tbl(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    )
+
+
+EMB_COS_THRESHOLD = 0.45
+
+
+def emb_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45, vec_id_a < vec_id_b):
+    broadcast normalized matrix, per-batch matmul — the brute-force tier;
+    at cluster scale the matrix side is sharded or IVF-bucketed first."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    vids = np.asarray(t["vec_id"].to_pylist())
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((vids, mat))
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        all_vids, all_mat = resolve(ref)
+        bvids = np.asarray(batch["vec_id"].to_pylist())
+        bmat = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+        )
+        bmat = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+        cos = bmat @ all_mat.T
+        ii, jj = np.nonzero((cos >= EMB_COS_THRESHOLD) & (bvids[:, None] < all_vids[None, :]))
+        return pd.DataFrame(
+            {"vec_id_a": bvids[ii].astype("int64"), "vec_id_b": all_vids[jj].astype("int64")}
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=1024)
+
+
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ann_topk_ivf(sf_dir: str):
+    """IVF-style approximate top-k: deterministic centroids (the vectors
+    with vec_id < 16), every vector assigned to its max-cosine centroid,
+    queries probe their 4 nearest centroid buckets only. Same output
+    shape as ann_topk; the SQL oracle replicates the probe logic exactly."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df["norm_emb"] = df["embedding"].map(
+        lambda e: (lambda v: v / np.linalg.norm(v))(np.asarray(e, dtype=np.float64))
+    )
+    cent = df[df["vec_id"] < IVF_N_CENTROIDS].sort_values("vec_id")
+    cmat = np.stack(cent["norm_emb"].to_numpy())  # [C, D]
+    qdf = df[df["vec_id"] < ANN_N_QUERIES].sort_values("vec_id")
+    qmat = np.stack(qdf["norm_emb"].to_numpy())
+    qids = qdf["vec_id"].to_numpy()
+    # probe sets: 4 nearest centroids per query (cos desc, centroid asc)
+    qcos = qmat @ cmat.T
+    probe = {}
+    for qi, qid in enumerate(qids):
+        order = np.lexsort((np.arange(cmat.shape[0]), -qcos[qi]))
+        probe[int(qid)] = set(order[:IVF_NPROBE].tolist())
+    ref = ray.put((qids, qmat, cmat, probe))
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        qids_, qm, cm, probe_ = resolve(ref)
+        vids = np.asarray(batch["vec_id"].to_pylist())
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = np.argmax(mat @ cm.T, axis=1)  # first max = lowest centroid id
+        qcos_ = qm @ mat.T  # [Q, B]
+        rows = []
+        k = ANN_K + 1
+        for qi, qid in enumerate(qids_):
+            mask = np.fromiter((assign[j] in probe_[int(qid)] for j in range(len(vids))),
+                               dtype=bool, count=len(vids))
+            mask &= vids != qid
+            idx = np.nonzero(mask)[0]
+            if idx.size == 0:
+                continue
+            take = idx[np.argsort(-qcos_[qi, idx])[:k]]
+            for j in take:
+                rows.append((int(qid), int(vids[j]), float(qcos_[qi, j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=1024)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(ANN_K)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return _combine(partials, 4).groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Events: windowed + sessionized aggregates (streaming-shaped)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,93 @@
+"""Unit tests for the near-dup detectors (stages/dedup.py): hash parity
+with DuckDB (the oracle contract), LSH recall on planted duplicates, and
+pair-set sanity."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from biomedical_ner_ray.kernels.hashing import simhash64_md5, stable_u64_md5
+from biomedical_ner_ray.stages.dedup import (
+    JACCARD_DEN,
+    JACCARD_NUM,
+    minhash_pairs,
+    minhash_signature,
+    shingle_hashes,
+    simhash_pairs,
+)
+
+
+def test_stable_u64_md5_matches_duckdb():
+    con = duckdb.connect()
+    for s in ("abc", "hello world", "Öäü-unicode", ""):
+        (got,) = con.execute("SELECT md5_number_lower(?)", [s]).fetchone()
+        assert int(got) == stable_u64_md5(s.encode("utf-8")), s
+
+
+def test_simhash_matches_duckdb():
+    ws = ["cat", "dog", "cat", "fish", "dog", "dog"]
+    con = duckdb.connect()
+    (got,) = con.execute(
+        """
+        WITH w AS (SELECT unnest(?) AS word),
+        b AS (SELECT g.p AS p,
+                     sum(CASE WHEN (md5_number_lower(word) >> g.p) & 1 = 1
+                         THEN 1 ELSE -1 END) AS s
+              FROM w, unnest(generate_series(0, 63)) AS g(p) GROUP BY g.p)
+        SELECT CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << p
+                        ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) FROM b
+        """,
+        [ws],
+    ).fetchone()
+    assert int(got) == simhash64_md5(ws)
+
+
+def test_minhash_signature_estimates_jaccard():
+    a = shingle_hashes("the quick brown fox jumps over the lazy dog " * 5)
+    b = shingle_hashes("the quick brown fox leaps over the lazy dog " * 5)
+    sa, sb = minhash_signature(a), minhash_signature(b)
+    est = float((sa == sb).mean())
+    inter = len(set(a.tolist()) & set(b.tolist()))
+    true_j = inter / (len(a) + len(b) - inter)
+    assert abs(est - true_j) < 0.35  # 32 perms: coarse but correlated
+    # identical input -> identical signature
+    assert (minhash_signature(a) == sa).all()
+
+
+def _docs_ds_factory():
+    base = (
+        "transcription factors bind regulatory elements controlling gene "
+        "expression in lymphocyte development and differentiation pathways"
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact duplicate
+        {"doc_id": 2, "text": base.replace("lymphocyte", "monocyte")},  # near-dup
+        {"doc_id": 3, "text": "completely different content about weather patterns"},
+        {"doc_id": 4, "text": "another unrelated short document"},
+    ]
+    return lambda: rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_minhash_pairs_finds_planted_dups(ray_session):
+    pairs = minhash_pairs(_docs_ds_factory(), num_partitions=2).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"])}
+    assert (0, 1) in found  # exact dup always caught
+    for a, b, nc, nu in pairs.itertuples(index=False):
+        assert a < b and JACCARD_DEN * nc >= JACCARD_NUM * nu
+
+
+def test_simhash_pairs_finds_planted_dups(ray_session):
+    pairs = simhash_pairs(_docs_ds_factory(), num_partitions=2).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"])}
+    assert (0, 1) in found
+    assert (pairs["hamming"] <= 3).all()
+    assert (pairs["doc_id_a"] < pairs["doc_id_b"]).all()
+
+
+def test_popcount_vectorization():
+    xs = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    pops = np.unpackbits(xs.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    assert pops.tolist() == [0, 1, 2, 64]
