@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational: aggregate + broadcast join
         "lineitem_pricing_summary": Q.lineitem_pricing_summary,
         "revenue_by_segment": Q.revenue_by_segment,
+        # multimodal plumbing
+        "mm_decode_meta": Q.mm_decode_meta,
+        "mm_frame_samples": Q.mm_frame_samples,
         # near-duplicate detection family
         "doc_dedup_minhash": Q.doc_dedup_minhash,
         "doc_dedup_simhash": Q.doc_dedup_simhash,
@@ -452,6 +455,29 @@ SELECT c_mktsegment,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "mm_decode_meta": """
+WITH m AS (
+  SELECT doc_id, text,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         encode(text) AS payload
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(1 + md5_number_lower(text) % 1920 AS BIGINT) AS width,
+       CAST(1 + md5_number_upper(text) % 1080 AS BIGINT) AS height
+FROM m""",
+        "mm_frame_samples": """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         encode(text) AS payload
+  FROM documents
+)
+SELECT doc_id, CAST(g.i AS BIGINT) AS frame_idx, CAST(g.i * 256 AS BIGINT) AS byte_offset
+FROM m, unnest(generate_series(0, (octet_length(payload) - 1) // 256)) AS g(i)
+WHERE media_type = 'video' AND octet_length(payload) > 0""",
         "doc_dedup_minhash": _minhash_sql(),
         "doc_dedup_simhash": _SIMHASH_SQL,
         "doc_dedup_jaccard": _JACCARD_SQL,

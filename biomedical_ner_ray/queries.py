@@ -468,6 +468,31 @@ def ann_topk_ivf(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing (stages/multimodal.py): binary payload columns,
+# actor-pool decode, frame sampling — codecs stubbed deterministically
+# ---------------------------------------------------------------------------
+
+
+def mm_decode_meta(sf_dir: str):
+    """media(binary payload) → decoded metadata through the MediaDecoder
+    actor pool (stateful stage; fake codec → md5-derived metadata)."""
+    from .stages.multimodal import decode_stage, media_from_documents
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    media = docs.map_batches(media_from_documents, batch_format="pyarrow")
+    return decode_stage(media)
+
+
+def mm_frame_samples(sf_dir: str):
+    """Video payloads → sampled frame offsets (flat-map sampler shape)."""
+    from .stages.multimodal import frame_sample_batch, media_from_documents
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    media = docs.map_batches(media_from_documents, batch_format="pyarrow")
+    return media.map_batches(frame_sample_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Events: windowed + sessionized aggregates (streaming-shaped)
 # ---------------------------------------------------------------------------
 
