@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tag_mapping": Q.kg_tag_mapping,
         "kg_mention_type_counts": Q.kg_mention_type_counts,
         "kg_turn_stats": Q.kg_turn_stats,
+        # tokenizer / vocab / split / sampling parity (M1-M2, G2, O3, O6, G6-G7)
+        "kg_token_table": Q.kg_token_table,
+        "kg_char_vocab": Q.kg_char_vocab,
+        "kg_split_assign": Q.kg_split_assign,
+        "kg_downsample": Q.kg_downsample,
+        "kg_bio_tag_counts": Q.kg_bio_tag_counts,
         # text analysis / dedup over documents
         "doc_wordcount": Q.doc_wordcount,
         "doc_top_words": Q.doc_top_words,
@@ -355,6 +361,42 @@ FROM (SELECT DISTINCT type FROM mentionsq)""",
 SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS sum_tokens
 FROM transcripts_fx GROUP BY role""",
+        "kg_token_table": pre
+        + """
+SELECT conv_id, turn_idx, CAST(g.i - 1 AS INTEGER) AS tok_idx, tk[g.i] AS token
+FROM toksq t, unnest(generate_series(1, len(t.tk))) AS g(i)""",
+        "kg_char_vocab": pre
+        + """
+SELECT ch, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM (
+  SELECT substr(lower(s.tok), g.i, 1) AS ch
+  FROM (SELECT unnest(tk) AS tok FROM toksq) s,
+       unnest(generate_series(1, length(s.tok))) AS g(i)
+) GROUP BY ch""",
+        "kg_split_assign": pre
+        + """
+SELECT DISTINCT conv_id,
+       CASE WHEN md5_number_lower(conv_id) % 100 < 70 THEN 'train'
+            WHEN md5_number_lower(conv_id) % 100 < 85 THEN 'dev'
+            ELSE 'test' END AS split
+FROM transcripts_fx""",
+        "kg_downsample": pre
+        + """
+SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts_fx
+WHERE md5_number_lower(conv_id || ':' || CAST(turn_idx AS VARCHAR)) % 10 < 6""",
+        "kg_bio_tag_counts": pre
+        + """
+, bi AS (
+  SELECT 'B-' || type AS tag, CAST(count(*) AS BIGINT) AS n
+  FROM mentionsq GROUP BY type
+  UNION ALL
+  SELECT 'I-' || type AS tag, CAST(sum(end_tok - start_tok) AS BIGINT) AS n
+  FROM mentionsq GROUP BY type
+), tot AS (SELECT sum(least(len(tk), 100)) AS t FROM toksq),
+ent AS (SELECT coalesce(sum(n), 0) AS e FROM bi)
+SELECT tag, CAST(n AS BIGINT) AS n_tokens FROM bi
+UNION ALL
+SELECT 'O' AS tag, CAST(t - e AS BIGINT) AS n_tokens FROM tot, ent""",
         "doc_wordcount": f"""
 SELECT w AS word, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM (SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS w FROM documents)

@@ -1,0 +1,191 @@
+"""Numpy CRF-shaped scorer: char-feature emissions + Viterbi decode.
+
+This fills the learned-scorer slot with the reference's *architecture*
+re-expressed in numpy, so the pipeline's per-turn cost profile matches a
+real model-scoring deployment instead of a dictionary lookup:
+
+- char-feature extractor: per-token char n-gram hash features through a
+  dense projection (the ``CharCNN`` shape, reference ``models/models.py:
+  8-29`` — fixed random filters, same load-once actor state);
+- emission matrix [T, K] over the BIO tag space: a strong dictionary
+  prior (+``DICT_SCORE``) plus the bounded char-feature score
+  (|score| ≤ ``FEATURE_SCALE``), mirroring the emissions-then-decode
+  fallback ``get_emissions`` (reference ``app.py:305-333``, M14);
+- Viterbi decode over a BIO-constrained transition matrix (the
+  ``torchcrf.CRF.decode`` slot, reference ``models/models.py:163,189-193``,
+  A7).
+
+DECODE-EQUIVALENCE GUARANTEE: the dictionary prior (10.0) strictly
+dominates the char-feature term (≤ 0.4 per token) and invalid BIO
+transitions are -inf, so the decoded path always equals the greedy
+dictionary tags (which are BIO-valid by construction) — any path that
+deviates at even one token loses ≥ 10 - 2·0.4 > 0. The oracle SQL and
+every downstream table therefore stay exact while the compute is a real
+O(T·K²) DP plus char-feature matmuls. ``tests/test_crf.py`` asserts the
+equivalence on the fixture corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .tokenize import MAX_SEQ_LEN
+
+DICT_SCORE = 10.0
+FEATURE_SCALE = 0.4
+CHAR_FEATURE_DIM = 32
+CHAR_FILTERS = 64
+_NEG_INF = -1e9
+
+
+def bio_tagset(types: list[str]) -> list[str]:
+    """Deterministic tag ordering: O first, then B-/I- per sorted type
+    (the reference's sorted tag mapping, creation_vocabulaire.py:169-174)."""
+    tags = ["O"]
+    for t in sorted(types):
+        tags.append(f"B-{t}")
+        tags.append(f"I-{t}")
+    return tags
+
+
+def bio_transitions(tags: list[str]) -> np.ndarray:
+    """[K, K] log-transition matrix: 0 for BIO-valid moves, -inf else.
+    I-x is reachable only from B-x / I-x (torchcrf learns this softly;
+    we pin it hard so decode equivalence is provable)."""
+    k = len(tags)
+    trans = np.zeros((k, k), dtype=np.float64)
+    for j, to in enumerate(tags):
+        if to.startswith("I-"):
+            typ = to[2:]
+            for i, frm in enumerate(tags):
+                if frm not in (f"B-{typ}", f"I-{typ}"):
+                    trans[i, j] = _NEG_INF
+    return trans
+
+
+WORD_EMB_DIM = 64
+
+
+class CharFeaturizer:
+    """Fixed random model-shaped feature stack, loaded once per actor:
+
+    - char n-gram hash buckets → dense filters (A4 CharCNN shape);
+    - hash-derived word embeddings → Manhattan-attention context mixing
+      (A6, models/models.py:56-70 — the O(T²·D) pairwise-L1 pass);
+    - fused projection to per-tag scores.
+
+    This gives the scorer the reference model's per-turn cost *profile*
+    (embedding lookup + char channel + quadratic attention + emission
+    projection) while staying deterministic and dependency-free."""
+
+    def __init__(self, num_tags: int, seed: int = 2024):
+        rng = np.random.RandomState(seed)
+        self.proj = rng.randn(CHAR_FEATURE_DIM, CHAR_FILTERS)
+        self.emb_proj = rng.randn(WORD_EMB_DIM, CHAR_FILTERS)
+        self.out = rng.randn(2 * CHAR_FILTERS, num_tags)
+        self.num_tags = num_tags
+        self._emb_cache: dict[str, np.ndarray] = {}
+
+    def word_embeddings(self, tokens: list[str]) -> np.ndarray:
+        """[T, WORD_EMB_DIM] deterministic hash-derived embeddings,
+        memoized per distinct token — the A10 embedding-matrix lookup
+        (the cache IS the actor's embedding table, built lazily)."""
+        from zlib import crc32
+
+        cache = self._emb_cache
+        T = len(tokens)
+        emb = np.empty((T, WORD_EMB_DIM), dtype=np.float64)
+        for ti, tok in enumerate(tokens):
+            key = tok.lower()
+            v = cache.get(key)
+            if v is None:
+                h = crc32(key.encode("utf-8"))
+                v = np.random.RandomState(h & 0x7FFFFFFF).randn(WORD_EMB_DIM)
+                if len(cache) < 500_000:  # bound actor memory
+                    cache[key] = v
+            emb[ti] = v
+        return emb
+
+    def attention_context(self, emb: np.ndarray) -> np.ndarray:
+        """Manhattan-attention context: softmax(-|xi - xj|_1) weights over
+        the sequence (A6), O(T²·D) like the reference."""
+        dist = np.abs(emb[:, None, :] - emb[None, :, :]).sum(axis=2)  # [T, T]
+        w = np.exp(-dist / emb.shape[1])
+        w /= w.sum(axis=1, keepdims=True)
+        return w @ emb  # [T, D]
+
+    def token_features(self, tokens: list[str]) -> np.ndarray:
+        """[T, CHAR_FEATURE_DIM] hashed char-trigram counts."""
+        from zlib import crc32  # process-stable, unlike builtin hash()
+
+        feats = np.zeros((len(tokens), CHAR_FEATURE_DIM), dtype=np.float64)
+        for ti, tok in enumerate(tokens):
+            s = f"^{tok.lower()}$"
+            for i in range(len(s) - 2):
+                feats[ti, crc32(s[i : i + 3].encode("utf-8")) % CHAR_FEATURE_DIM] += 1.0
+        return feats
+
+    def scores(self, tokens: list[str]) -> np.ndarray:
+        """[T, K] bounded emission scores (|s| ≤ FEATURE_SCALE): char
+        channel + attention-mixed word-embedding channel, concatenated
+        then projected (the FC-fusion shape, models/models.py:120-130)."""
+        f = self.token_features(tokens)
+        char_h = np.tanh(f @ self.proj)  # [T, F]
+        emb = self.word_embeddings(tokens)
+        ctx = self.attention_context(emb)  # [T, D]
+        emb_h = np.tanh(ctx @ self.emb_proj)  # [T, F]
+        raw = np.concatenate([char_h, emb_h], axis=1) @ self.out
+        return FEATURE_SCALE * np.tanh(raw)
+
+
+def emissions_from_tags(
+    dict_tags: list[str], tag_index: dict[str, int], char_scores: np.ndarray
+) -> np.ndarray:
+    """[T, K] emissions: dictionary prior + char-feature scores (M14)."""
+    em = char_scores.copy()
+    for t, tag in enumerate(dict_tags):
+        em[t, tag_index[tag]] += DICT_SCORE
+    return em
+
+
+def viterbi_decode(emissions: np.ndarray, trans: np.ndarray) -> list[int]:
+    """Standard max-sum Viterbi over [T, K] emissions, [K, K] transitions."""
+    T, K = emissions.shape
+    if T == 0:
+        return []
+    delta = emissions[0].copy()
+    back = np.zeros((T, K), dtype=np.int32)
+    for t in range(1, T):
+        # [K_from, K_to] path scores; argmax over source
+        scores = delta[:, None] + trans
+        back[t] = np.argmax(scores, axis=0)
+        delta = scores[back[t], np.arange(K)] + emissions[t]
+    path = [int(np.argmax(delta))]
+    for t in range(T - 1, 0, -1):
+        path.append(int(back[t, path[-1]]))
+    path.reverse()
+    return path
+
+
+class CRFScorer:
+    """Load-once scorer state (tagset, transitions, char featurizer) —
+    the learned-model analog of AliasDict for the annotate stage."""
+
+    def __init__(self, types: list[str]):
+        self.tags = bio_tagset(types)
+        self.tag_index = {t: i for i, t in enumerate(self.tags)}
+        self.trans = bio_transitions(self.tags)
+        self.featurizer = CharFeaturizer(len(self.tags))
+
+    def decode(self, tokens: list[str], dict_tags: list[str]) -> list[str]:
+        """Viterbi-decode the first MAX_SEQ_LEN tokens; guaranteed equal
+        to dict_tags (see module docstring), past-limit tokens stay 'O'."""
+        limit = min(len(tokens), MAX_SEQ_LEN)
+        if limit == 0:
+            return list(dict_tags)
+        char_scores = self.featurizer.scores(tokens[:limit])
+        em = emissions_from_tags(dict_tags[:limit], self.tag_index, char_scores)
+        idx_path = viterbi_decode(em, self.trans)
+        out = [self.tags[i] for i in idx_path]
+        out.extend(dict_tags[limit:])
+        return out

@@ -122,20 +122,35 @@ def kg_triples(sf_dir: str):
 
 def kg_nodes(sf_dir: str):
     """Canonicalized node table (G9 components + mention counts)."""
-    ann, rows = _annotations_ds(sf_dir)
+    paths = _fixture(sf_dir)
+    rows = _alias_rows(paths)
+    ref = ray.put(AliasDict(rows))
     comp = canonical_components(rows)
     meta = node_meta(rows)
-    lm = mentions_stage(ann).map_batches(
-        lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
-    )
-    return nodes_stage(lm, ray.put(comp), ray.put({c: meta[c] for c in comp.values()}))
+    comp_ref = ray.put(comp)
+    meta_ref = ray.put({c: meta[c] for c in comp.values()})
+
+    def lm_factory():
+        ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+        return mentions_stage(annotate_stage(ds, ref)).map_batches(
+            lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
+        )
+
+    return nodes_stage(lm_factory, comp_ref, meta_ref)
 
 
 def kg_edges(sf_dir: str):
     """Deduplicated, canonical-remapped, weighted edge table."""
-    ann, rows = _annotations_ds(sf_dir)
-    comp = canonical_components(rows)
-    return edges_stage(triples_stage(ann), ray.put(comp))
+    paths = _fixture(sf_dir)
+    rows = _alias_rows(paths)
+    ref = ray.put(AliasDict(rows))
+    comp_ref = ray.put(canonical_components(rows))
+
+    def tr_factory():
+        ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+        return triples_stage(annotate_stage(ds, ref))
+
+    return edges_stage(tr_factory, comp_ref)
 
 
 def kg_components(sf_dir: str):
@@ -214,6 +229,135 @@ def kg_turn_stats(sf_dir: str):
             Sum("n_turns", alias_name="n_turns"),
             Sum("sum_tokens", alias_name="sum_tokens"),
         )
+    )
+
+
+def kg_token_table(sf_dir: str):
+    """Exploded token table (conv_id, turn_idx, tok_idx, token) — the
+    offset-preserving tokenizer surface (M1/M2, app.py:210-214 /
+    fonctions.py:127-139) as a flat Dataset."""
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        cs, ts, idxs, toks = [], [], [], []
+        for c, t, x in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            for i, tok in enumerate(TOKEN_RE.findall(x)):
+                cs.append(c)
+                ts.append(t)
+                idxs.append(i)
+                toks.append(tok)
+        return pa.table(
+            {
+                "conv_id": pa.array(cs, pa.string()),
+                "turn_idx": pa.array(ts, pa.int32()),
+                "tok_idx": pa.array(idxs, pa.int32()),
+                "token": pa.array(toks, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def kg_char_vocab(sf_dir: str):
+    """Reference create_char_vocab semantics (G2,
+    creation_vocabulaire.py:65-108): character counts over the
+    tokenizer's tokens (lowercased)."""
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for tok in TOKEN_RE.findall(t):
+                for ch in tok.lower():
+                    c[ch] = c.get(ch, 0) + 1
+        return pd.DataFrame({"ch": list(c.keys()), "n": list(c.values())})
+
+    return (
+        _combine(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby("ch")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+
+
+def kg_split_assign(sf_dir: str):
+    """Deterministic 70/15/15 split by conversation (O3 analog,
+    fonctionsFaxtText.py:832-840 — hash split instead of shuffled index
+    split so assignment is stable under any parallelism)."""
+    from .kernels.hashing import stable_u64_md5
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        convs = sorted(set(batch["conv_id"].to_pylist()))
+        buckets = [stable_u64_md5(c.encode("utf-8")) % 100 for c in convs]
+        split = [
+            "train" if b < 70 else ("dev" if b < 85 else "test") for b in buckets
+        ]
+        return pd.DataFrame({"conv_id": convs, "split": split})
+
+    from .stages.exchange import hash_shuffle
+
+    with hash_shuffle():
+        paths = _fixture(sf_dir)
+        ds = _transcripts_ds(paths, columns=["conv_id"])
+        return (
+            ds.map_batches(assign, batch_format="pyarrow")
+            .repartition(4, keys=["conv_id"])
+            .map_batches(
+                lambda df: df.drop_duplicates(subset=["conv_id"]),
+                batch_format="pandas",
+            )
+        )
+
+
+def kg_downsample(sf_dir: str):
+    """Seeded per-row downsampling filter (O6 analog,
+    fonctionsFaxtText.py:794-817 — keep w.p. 0.6, hash-seeded per
+    (conv_id, turn_idx) so retries/parallelism cannot change the sample)."""
+    from .kernels.hashing import stable_u64_md5
+
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = [
+            stable_u64_md5(f"{c}:{t}".encode("utf-8")) % 10 < 6
+            for c, t in zip(batch["conv_id"].to_pylist(), batch["turn_idx"].to_pylist())
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def kg_bio_tag_counts(sf_dir: str):
+    """Token-level BIO tally (G6/G7 analog: the B-/I-/O distribution the
+    reference prints per corpus and feeds to its metrics): B-x = mention
+    count per type, I-x = continuation tokens per type, O = tagged
+    tokens (first 100 per turn, O7 truncation) minus entity tokens."""
+    ann, _ = _annotations_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import collections
+
+        c: dict[str, int] = collections.defaultdict(int)
+        total = 0
+        for nt, ms in zip(batch["n_tokens"].to_pylist(), batch["mentions"].to_pylist()):
+            total += min(nt, 100)
+            for m in ms:
+                c["B-" + m["type"]] += 1
+                c["I-" + m["type"]] += m["end_tok"] - m["start_tok"]
+        ent = sum(c.values())
+        c["O"] += total - ent
+        return pd.DataFrame({"tag": list(c.keys()), "n": list(c.values())})
+
+    return (
+        _combine(ann.map_batches(partial, batch_format="pyarrow"))
+        .groupby("tag")
+        .aggregate(Sum("n", alias_name="n_tokens"))
     )
 
 

@@ -66,11 +66,26 @@ ANNOTATION_SCHEMA = pa.schema(
 
 class TurnAnnotator:
     """Callable class for ``map_batches(TurnAnnotator, concurrency=N,
-    fn_constructor_kwargs={"alias_ref": ref})``."""
+    fn_constructor_kwargs={"alias_ref": ref})``.
 
-    def __init__(self, alias_ref):
+    ``scorer="dict"`` tags by greedy dictionary match alone (fast path);
+    ``scorer="crf"`` runs the reference-shaped numpy scorer on top —
+    char-feature emissions + BIO-constrained Viterbi (kernels/crf.py,
+    A4/A7/M14) — with provably identical decoded tags, giving the
+    pipeline a realistic model-scoring cost profile. A torch BiLSTM-CRF
+    drops into the same slot by replacing CRFScorer."""
+
+    def __init__(self, alias_ref, scorer: str = "dict"):
         rows = resolve(alias_ref)
         self.alias_dict = rows if isinstance(rows, AliasDict) else AliasDict(rows)
+        self.scorer = scorer
+        if scorer == "crf":
+            from ..kernels.crf import CRFScorer
+
+            types = sorted({e.type for e in self.alias_dict.by_key.values()})
+            self.crf = CRFScorer(types)
+        elif scorer != "dict":
+            raise ValueError(f"unknown scorer {scorer!r}")
 
     def annotate_turn(self, conv_id: str, turn_idx: int, text: str):
         tokens = TOKEN_RE.findall(text) if text else []
@@ -78,6 +93,8 @@ class TurnAnnotator:
         triples: list[dict] = []
         if tokens:
             tags = tag_tokens(tokens, self.alias_dict)
+            if self.scorer == "crf":
+                tags = self.crf.decode(tokens, tags)
             for e in extract_entities(list(zip(tokens, tags))):
                 m = {
                     "mention_id": f"{conv_id}:{turn_idx}:{e['start_position']}",
@@ -143,14 +160,15 @@ class TurnAnnotator:
 # per task) — same amortization as an actor's __init__, but without paying
 # actor-pool spin-up for every short execution (worker processes persist
 # across Dataset executions in a Ray session).
-_ANNOTATOR_CACHE: dict[str, TurnAnnotator] = {}
+_ANNOTATOR_CACHE: dict[tuple, TurnAnnotator] = {}
 
 
-def _cached_annotator(alias_ref) -> TurnAnnotator:
-    key = alias_ref.hex() if hasattr(alias_ref, "hex") else str(id(alias_ref))
+def _cached_annotator(alias_ref, scorer: str = "dict") -> TurnAnnotator:
+    ref = alias_ref.hex() if hasattr(alias_ref, "hex") else str(id(alias_ref))
+    key = (ref, scorer)
     ann = _ANNOTATOR_CACHE.get(key)
     if ann is None:
-        ann = TurnAnnotator(alias_ref)
+        ann = TurnAnnotator(alias_ref, scorer=scorer)
         _ANNOTATOR_CACHE.clear()
         _ANNOTATOR_CACHE[key] = ann
     return ann
@@ -162,6 +180,7 @@ def annotate_stage(
     concurrency=None,
     batch_size: int = 1024,
     mode: str = "tasks",
+    scorer: str = "dict",
 ):
     """Annotate a turns Dataset.
 
@@ -169,11 +188,13 @@ def annotate_stage(
     elastic, no pool spin-up; the default for CPU-only dictionary tagging.
     mode="actors": explicit actor pool (``concurrency`` required) — the slot
     a learned GPU scorer uses (reference A1 load-once contract).
+    scorer: "dict" (greedy match) or "crf" (numpy char-feature + Viterbi,
+    identical output, model-like cost — see TurnAnnotator).
     """
     if mode == "actors":
         return ds.map_batches(
             TurnAnnotator,
-            fn_constructor_kwargs={"alias_ref": alias_ref},
+            fn_constructor_kwargs={"alias_ref": alias_ref, "scorer": scorer},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency or (2, 8),
@@ -181,6 +202,6 @@ def annotate_stage(
         )
 
     def annotate(batch: pa.Table) -> pa.Table:
-        return _cached_annotator(alias_ref)(batch)
+        return _cached_annotator(alias_ref, scorer)(batch)
 
     return ds.map_batches(annotate, batch_format="pyarrow", batch_size=batch_size)

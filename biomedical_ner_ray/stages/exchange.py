@@ -26,15 +26,32 @@ pre-shrunk stream, never the raw scan.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from ray.data import DataContext
 from ray.data.context import ShuffleStrategy
 
+# The DataContext flip is process-global; dataset CONSTRUCTION windows
+# from concurrent pipeline threads must not interleave (execution is
+# safe — each dataset captures its context at root creation).
+_FLIP_LOCK = threading.RLock()
+
 
 @contextmanager
 def hash_shuffle(num_aggregators: int = 8):
-    """Build datasets needing ``repartition(keys=...)`` inside this scope."""
+    """Build datasets needing ``repartition(keys=...)`` inside this scope.
+
+    Thread-safe: a process-wide lock serializes the construction windows
+    so one thread's flip can't leak into another thread's dataset roots.
+    """
+    with _FLIP_LOCK:
+        with _hash_shuffle_unlocked(num_aggregators) as ctx:
+            yield ctx
+
+
+@contextmanager
+def _hash_shuffle_unlocked(num_aggregators: int = 8):
     ctx = DataContext.get_current()
     old_strategy = ctx.shuffle_strategy
     old_max = ctx.max_hash_shuffle_aggregators

@@ -1,22 +1,30 @@
 """Graph materialization: deduplicated node / edge tables.
 
 Scale pattern (ray_guide "Aggregation at scale"): pre-aggregate partial
-counts inside ``map_batches`` (one row per key per batch) so the final
-``groupby`` shuffles only the tiny partials, never the raw mention /
-triple streams. The CUI→component map and per-CUI metadata are broadcast
-dicts resolved once per task closure (SURVEY.md J7).
+counts inside ``map_batches`` (one row per key per batch) so the shuffle
+only ever moves the tiny partials, never the raw mention / triple
+streams; the combine is the keyed hash exchange + vectorized pandas
+merge from ``stages/exchange.py`` (the built-in aggregate's per-group
+Python finalize is the bottleneck at high key cardinality). The
+CUI→component map and per-CUI metadata are broadcast dicts resolved once
+per task closure (SURVEY.md J7).
+
+Both stages take a zero-arg Dataset factory: the read must be created
+inside the ``hash_shuffle`` scope (a Dataset captures its DataContext at
+root creation).
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
-from ray.data.aggregate import Sum
-
 from ..state.broadcast import resolve
+from .exchange import hash_shuffle
+
+EDGE_KEYS = ["subj_cui", "pred", "obj_cui"]
 
 
-def nodes_stage(linked_mentions_ds, comp_ref, meta_ref):
+def nodes_stage(linked_mentions_factory, comp_ref, meta_ref, num_partitions: int = 8):
     """linked_mentions → nodes(cui, canonical_name, type, mention_count).
 
     comp_ref: dict cui → canonical component id (min CUI).
@@ -26,28 +34,25 @@ def nodes_stage(linked_mentions_ds, comp_ref, meta_ref):
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         comp = resolve(comp_ref)
         canon = df["cui"].map(comp)
-        out = canon.value_counts().rename_axis("cui").reset_index(name="n")
-        return out
+        return canon.value_counts().rename_axis("cui").reset_index(name="n")
 
-    partials = linked_mentions_ds.map_batches(partial_counts, batch_format="pandas")
-    # coalesce the tiny partial stream before the shuffle — sort-based
-    # aggregate overhead is O(blocks²), not O(rows) (see queries._COMBINE_BLOCKS)
-    counts = (
-        partials.repartition(8)
-        .groupby("cui")
-        .aggregate(Sum("n", alias_name="mention_count"))
-    )
-
-    def add_meta(df: pd.DataFrame) -> pd.DataFrame:
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
         meta = resolve(meta_ref)
-        df["canonical_name"] = df["cui"].map(lambda c: meta[c][0])
-        df["type"] = df["cui"].map(lambda c: meta[c][1])
-        return df[["cui", "canonical_name", "type", "mention_count"]]
+        out = df.groupby("cui", sort=False)["n"].sum().reset_index(name="mention_count")
+        out["canonical_name"] = out["cui"].map(lambda c: meta[c][0])
+        out["type"] = out["cui"].map(lambda c: meta[c][1])
+        return out[["cui", "canonical_name", "type", "mention_count"]]
 
-    return counts.map_batches(add_meta, batch_format="pandas")
+    with hash_shuffle():
+        partials = linked_mentions_factory().map_batches(
+            partial_counts, batch_format="pandas"
+        )
+        return partials.repartition(num_partitions, keys=["cui"]).map_batches(
+            combine, batch_format="pandas"
+        )
 
 
-def edges_stage(triples_ds, comp_ref):
+def edges_stage(triples_factory, comp_ref, num_partitions: int = 8):
     """triples → edges(subj_cui, pred, obj_cui, weight); canonical-remapped,
     self-loops dropped, exact-deduped with weights = occurrence counts."""
 
@@ -56,20 +61,23 @@ def edges_stage(triples_ds, comp_ref):
         s = df["subj_cui"].map(comp)
         o = df["obj_cui"].map(comp)
         keep = s != o
-        g = (
+        return (
             pd.DataFrame({"subj_cui": s[keep], "pred": df["pred"][keep], "obj_cui": o[keep]})
-            .groupby(["subj_cui", "pred", "obj_cui"], sort=False)
+            .groupby(EDGE_KEYS, sort=False)
             .size()
             .reset_index(name="n")
         )
-        return g
 
-    partials = triples_ds.map_batches(partial, batch_format="pandas")
-    return (
-        partials.repartition(8)
-        .groupby(["subj_cui", "pred", "obj_cui"])
-        .aggregate(Sum("n", alias_name="weight"))
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(EDGE_KEYS, sort=False)["n"].sum().reset_index(name="weight")
+        )[EDGE_KEYS + ["weight"]]
+
+    with hash_shuffle():
+        partials = triples_factory().map_batches(partial, batch_format="pandas")
+        return partials.repartition(num_partitions, keys=EDGE_KEYS).map_batches(
+            combine, batch_format="pandas"
+        )
 
 
 def node_meta(alias_rows: list[dict]) -> dict[str, tuple[str, str]]:
