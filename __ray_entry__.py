@@ -78,6 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational: aggregate + broadcast join
         "lineitem_pricing_summary": Q.lineitem_pricing_summary,
         "revenue_by_segment": Q.revenue_by_segment,
+        # fingerprinting / markup / relational joins
+        "doc_winnowing": Q.doc_winnowing,
+        "doc_markup_parse": Q.doc_markup_parse,
+        "nation_revenue": Q.nation_revenue,
+        "top_parts_by_revenue": Q.top_parts_by_revenue,
         # multimodal plumbing
         "mm_decode_meta": Q.mm_decode_meta,
         "mm_frame_samples": Q.mm_frame_samples,
@@ -497,6 +502,60 @@ SELECT c_mktsegment,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "doc_winnowing": """
+WITH f AS (
+  SELECT doc_id, lower(text) AS s FROM documents WHERE length(lower(text)) >= 8
+),
+h AS (
+  SELECT doc_id, length(s) - 7 AS nh, g.i AS i,
+         md5_number_lower(substr(s, g.i, 8)) AS hv
+  FROM f, unnest(generate_series(1, length(s) - 7)) AS g(i)
+),
+w AS (
+  SELECT a.doc_id, a.i AS ws, min(b.hv) AS mh
+  FROM h a JOIN h b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i <= a.i + 3
+  WHERE a.i <= a.nh - 3
+  GROUP BY a.doc_id, a.i
+),
+picks AS (
+  SELECT DISTINCT w.doc_id, min(b.i) AS pick
+  FROM w JOIN h b ON b.doc_id = w.doc_id AND b.i >= w.ws AND b.i <= w.ws + 3
+                 AND b.hv = w.mh
+  GROUP BY w.doc_id, w.ws
+)
+SELECT DISTINCT p.doc_id, h.hv AS fingerprint
+FROM picks p JOIN h ON h.doc_id = p.doc_id AND h.i = p.pick""",
+        "doc_markup_parse": """
+WITH b(w) AS (VALUES ('data'), ('spark'), ('merge')),
+hits AS (
+  SELECT d.doc_id, b.w, strpos(d.text, b.w) AS pos, length(b.w) AS wl
+  FROM documents d CROSS JOIN b
+  WHERE strpos(d.text, b.w) > 0
+)
+SELECT doc_id, w AS text, 'term' AS type,
+       CAST(pos - 1 AS BIGINT) AS start, CAST(pos - 1 + wl AS BIGINT) AS "end"
+FROM hits""",
+        "nation_revenue": """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+        "top_parts_by_revenue": f"""
+WITH r AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY l_partkey
+), t AS (
+  SELECT l_partkey, revenue_cents,
+         row_number() OVER (ORDER BY revenue_cents DESC, l_partkey ASC) AS rank
+  FROM r
+)
+SELECT CAST(t.rank AS BIGINT) AS rank, t.l_partkey, p.p_name, t.revenue_cents
+FROM t JOIN part p ON p.p_partkey = t.l_partkey
+WHERE t.rank <= {Q.TOP_PARTS_K}""",
         "mm_decode_meta": """
 WITH m AS (
   SELECT doc_id, text,

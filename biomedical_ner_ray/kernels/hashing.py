@@ -122,15 +122,17 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-def winnowing_fingerprint(text: str, k: int = 8, window: int = 4) -> list[int]:
+def winnowing_fingerprint(
+    text: str, k: int = 8, window: int = 4, hash_fn=None
+) -> list[int]:
     """Rolling-hash (winnowing) document fingerprint: the set of minimal
-    k-gram char hashes per window, as in Schleimer et al. (SIGMOD'03)."""
+    k-gram char hashes per window, as in Schleimer et al. (SIGMOD'03).
+    Pass ``hash_fn=stable_u64_md5`` for the DuckDB-reproducible variant."""
+    hash_fn = hash_fn or _stable_u64
     s = text.lower()
     if len(s) < k:
-        return [_stable_u64(s.encode("utf-8"))] if s else []
-    hs = [
-        _stable_u64(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)
-    ]
+        return [hash_fn(s.encode("utf-8"))] if s else []
+    hs = [hash_fn(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)]
     picks: list[int] = []
     prev = -1
     for w in range(0, len(hs) - window + 1):

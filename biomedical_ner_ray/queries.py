@@ -77,12 +77,40 @@ def _transcripts_ds(paths: dict, columns=None):
     return rd.read_parquet(list_parquet_files(paths["transcripts"]), columns=columns)
 
 
-def _annotations_ds(sf_dir: str):
+def _annotations_cache(sf_dir: str) -> tuple[str, list[dict]]:
+    """Materialize the annotate stage ONCE per fixture into a
+    manifest-guarded parquet cache (state/manifest.py): every KG query
+    needs the same annotations, and the driver runs dozens of queries
+    back-to-back — recomputing the tag+link pass per query would repeat
+    ~90% of the work. Returns (parquet dir, alias rows)."""
+    import tempfile
+
+    from .state import manifest as mf
+
     paths = _fixture(sf_dir)
     rows = _alias_rows(paths)
-    ref = ray.put(AliasDict(rows))
-    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
-    return annotate_stage(ds, ref), rows
+    files = mf.list_parquet_files(paths["transcripts"])
+    fp = mf.fingerprint("query-ann-v1", mf.input_fingerprint(files))
+    out = os.path.join(
+        tempfile.gettempdir(), "graft_query_cache",
+        os.path.basename(paths["dir"]), "annotations",
+    )
+    if not mf.is_complete(out, fp):
+        ref = ray.put(AliasDict(rows))
+
+        def build(tmp):
+            ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+            annotate_stage(ds, ref).write_parquet(tmp)
+
+        mf.run_stage("query-annotations", out, fp, build)
+    return out, rows
+
+
+def _annotations_ds(sf_dir: str):
+    from .state.manifest import list_parquet_files
+
+    out, rows = _annotations_cache(sf_dir)
+    return rd.read_parquet(list_parquet_files(out)), rows
 
 
 # ---------------------------------------------------------------------------
@@ -122,17 +150,19 @@ def kg_triples(sf_dir: str):
 
 def kg_nodes(sf_dir: str):
     """Canonicalized node table (G9 components + mention counts)."""
-    paths = _fixture(sf_dir)
-    rows = _alias_rows(paths)
-    ref = ray.put(AliasDict(rows))
+    ann_dir, rows = _annotations_cache(sf_dir)
     comp = canonical_components(rows)
     meta = node_meta(rows)
     comp_ref = ray.put(comp)
     meta_ref = ray.put({c: meta[c] for c in comp.values()})
 
     def lm_factory():
-        ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
-        return mentions_stage(annotate_stage(ds, ref)).map_batches(
+        from .state.manifest import list_parquet_files
+
+        ann = rd.read_parquet(
+            list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "mentions"]
+        )
+        return mentions_stage(ann).map_batches(
             lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
         )
 
@@ -141,14 +171,16 @@ def kg_nodes(sf_dir: str):
 
 def kg_edges(sf_dir: str):
     """Deduplicated, canonical-remapped, weighted edge table."""
-    paths = _fixture(sf_dir)
-    rows = _alias_rows(paths)
-    ref = ray.put(AliasDict(rows))
+    ann_dir, rows = _annotations_cache(sf_dir)
     comp_ref = ray.put(canonical_components(rows))
 
     def tr_factory():
-        ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
-        return triples_stage(annotate_stage(ds, ref))
+        from .state.manifest import list_parquet_files
+
+        ann = rd.read_parquet(
+            list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "triples"]
+        )
+        return triples_stage(ann)
 
     return edges_stage(tr_factory, comp_ref)
 
@@ -611,6 +643,77 @@ def ann_topk_ivf(sf_dir: str):
     )
 
 
+def doc_winnowing(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03):
+    distinct minimal 8-gram md5 hashes per 4-hash window — the
+    rolling-hash fingerprinting operator for plagiarism/overlap-style
+    dedup. Oracle replicates the window-min selection exactly."""
+    from .kernels.hashing import stable_u64_md5, winnowing_fingerprint
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pd.DataFrame:
+        ids, fps = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if len(text.lower()) < 8:
+                continue
+            for fp in set(
+                winnowing_fingerprint(text, hash_fn=stable_u64_md5)
+            ):
+                ids.append(doc_id)
+                fps.append(fp)
+        return pd.DataFrame(
+            {"doc_id": pd.array(ids, dtype="int64"),
+             "fingerprint": pd.array(fps, dtype="uint64")}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+MARKUP_BANK = ("data", "spark", "merge")  # pairwise suffix-prefix-free: wraps can never overlap
+
+
+def doc_markup_parse(sf_dir: str):
+    """Inline-markup corpus reader parity (S2/S3, fonctions.py:61-117):
+    deterministically wrap the first occurrence of each MARKUP_BANK word
+    in <category="term"> tags, then run the reference-semantics parser
+    (strip tags, rebuild clean text, recompute char offsets). Because
+    wrapping only annotates existing substrings, clean text == original
+    and the recomputed offsets are SQL-checkable via strpos."""
+    from .kernels.markup import parse_annotated_text
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            hits = []
+            for w in MARKUP_BANK:
+                pos = text.find(w)
+                if pos >= 0:
+                    hits.append((pos, w))
+            hits.sort()
+            marked, last = "", 0
+            for pos, w in hits:
+                marked += text[last:pos]
+                marked += f'<category="term">{w}</category>'
+                last = pos + len(w)
+            marked += text[last:]
+            clean, ents = parse_annotated_text(marked)
+            assert clean == text  # wrapping never alters the clean text
+            for e in ents:
+                rows.append((doc_id, e["text"], e["type"], e["start"], e["end"]))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "text", "type", "start", "end"]
+        ).astype({"doc_id": "int64", "start": "int64", "end": "int64"})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (stages/multimodal.py): binary payload columns,
 # actor-pool decode, frame sampling — codecs stubbed deterministically
@@ -772,6 +875,99 @@ def revenue_by_segment(sf_dir: str):
             Sum("revenue_cents", alias_name="revenue_cents"),
         )
     )
+
+
+def nation_revenue(sf_dir: str):
+    """Revenue per nation: orders ⋈ customer ⋈ nation — a two-hop
+    broadcast hash join (both small sides shipped once via ray.put),
+    then the standard partial+combine aggregate."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nation_of_cust = dict(
+        zip(cust["c_custkey"].to_pylist(),
+            (dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))[k]
+             for k in cust["c_nationkey"].to_pylist()))
+    )
+    ref = ray.put(nation_of_cust)
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        m = resolve(ref)
+        df = df.assign(
+            n_name=df["o_custkey"].map(m),
+            cents=(df["o_totalprice"] * 100).round().astype("int64"),
+        )
+        return (
+            df.groupby("n_name", sort=False)
+            .agg(n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+            .reset_index()
+        )
+
+    return (
+        _combine(ds.map_batches(partial, batch_format="pandas"))
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+TOP_PARTS_K = 10
+
+
+def top_parts_by_revenue(sf_dir: str):
+    """Top-10 parts by lineitem revenue: high-cardinality partkey
+    aggregate through the keyed hash exchange, per-partition partial
+    top-k, tiny driver-free final merge, then broadcast part-name join."""
+    from .stages.exchange import grouped_aggregate, hash_shuffle
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    name_ref = ray.put(
+        dict(zip(part["p_partkey"].to_pylist(), part["p_name"].to_pylist()))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(cents=(df["l_extendedprice"] * 100).round().astype("int64"))
+        return (
+            df.groupby("l_partkey", sort=False)["cents"].sum()
+            .reset_index(name="revenue_cents")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("l_partkey", sort=False)["revenue_cents"].sum().reset_index()
+        )
+        # per-partition partial top-k: only k rows leave each partition
+        return out.sort_values(
+            ["revenue_cents", "l_partkey"], ascending=[False, True]
+        ).head(TOP_PARTS_K)
+
+    with hash_shuffle():
+        ds = _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+        partials = grouped_aggregate(ds, ["l_partkey"], partial, combine)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        names = resolve(name_ref)
+        df = df.sort_values(
+            ["revenue_cents", "l_partkey"], ascending=[False, True]
+        ).head(TOP_PARTS_K)
+        df = df.assign(
+            rank=np.arange(1, len(df) + 1), p_name=df["l_partkey"].map(names)
+        )
+        return df[["rank", "l_partkey", "p_name", "revenue_cents"]]
+
+    return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
