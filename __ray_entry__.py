@@ -72,9 +72,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": Q.doc_quality,
         "doc_langid": Q.doc_langid,
         "doc_lang_distribution": Q.doc_lang_distribution,
-        # events: windowed + sessionized
+        # events: windowed + sessionized + sliding; ordered per-key windows
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
+        "events_sliding": Q.events_sliding,
+        "kg_conv_stats": Q.kg_conv_stats,
+        "kg_conv_turn_gaps": Q.kg_conv_turn_gaps,
         # relational: aggregate + broadcast join
         "lineitem_pricing_summary": Q.lineitem_pricing_summary,
         "revenue_by_segment": Q.revenue_by_segment,
@@ -466,6 +469,32 @@ SELECT doc_id,
        ELSE 'es' END AS lang_pred
 FROM s""",
         "doc_lang_distribution": "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang",
+        "kg_conv_stats": pre
+        + f"""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS sum_tokens
+FROM transcripts_fx GROUP BY conv_id""",
+        "kg_conv_turn_gaps": pre
+        + """
+SELECT conv_id, turn_idx,
+       CAST(epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS gap_us
+FROM transcripts_fx""",
+        "events_sliding": f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), x AS (
+  SELECT user_id,
+         ((tus // {Q.SLIDE_STEP_MIN * 60 * 1_000_000}) - r.r) * {Q.SLIDE_STEP_MIN * 60 * 1_000_000} AS window_start_us,
+         cents
+  FROM e, unnest(generate_series(0, {Q.SLIDE_WINDOW_MIN // Q.SLIDE_STEP_MIN - 1})) AS r(r)
+)
+SELECT user_id, window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM x GROUP BY user_id, window_start_us""",
         "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_events,

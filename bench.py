@@ -99,6 +99,10 @@ QUERY_NAMES = [
     "doc_dedup_simhash",
     "doc_dedup_jaccard",
     "emb_neardup_pairs",
+    "doc_winnowing",
+    "events_sliding",
+    "kg_conv_stats",
+    "top_parts_by_revenue",
 ]
 
 

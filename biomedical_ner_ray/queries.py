@@ -805,6 +805,104 @@ def events_sessions(sf_dir: str):
     )
 
 
+def kg_conv_stats(sf_dir: str):
+    """Per-conversation turn/token totals — the skew-exposed groupby
+    (conversation length is heavy-tailed: ~1% of convs have 150-250
+    turns). Handled by the combiner pattern: per-block pandas partials
+    shrink every conv to ≤1 row per block BEFORE the keyed exchange, so
+    a hot conversation ships #blocks rows, never its raw turns."""
+    from .stages.exchange import grouped_aggregate, hash_shuffle
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_tokens=[len(TOKEN_RE.findall(t)) for t in df["text"]])
+        return (
+            df.groupby("conv_id", sort=False)
+            .agg(n_turns=("text", "size"), sum_tokens=("n_tokens", "sum"))
+            .reset_index()
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("conv_id", sort=False)
+            .agg(n_turns=("n_turns", "sum"), sum_tokens=("sum_tokens", "sum"))
+            .reset_index()
+        )
+
+    with hash_shuffle():
+        paths = _fixture(sf_dir)
+        ds = _transcripts_ds(paths, columns=["conv_id", "text"])
+        return grouped_aggregate(ds, ["conv_id"], partial, combine)
+
+
+def kg_conv_turn_gaps(sf_dir: str):
+    """Ordered within-conversation window op: per-turn gap to the
+    previous turn (lag semantics) — groupby(conv).map_groups over
+    turn_idx-sorted rows, the Ray shape for ordered per-key windows."""
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        prev = g["ts"].shift()
+        gap = ((g["ts"] - prev).dt.total_seconds() * 1_000_000).astype("Int64")
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "gap_us": gap,
+            }
+        )
+
+    return _combine(ds, 16).groupby("conv_id").map_groups(
+        gaps, batch_format="pandas"
+    )
+
+
+SLIDE_WINDOW_MIN = 30
+SLIDE_STEP_MIN = 10
+
+
+def events_sliding(sf_dir: str):
+    """Sliding-window aggregate (30-min windows every 10 min): each
+    event emits into ⌈window/step⌉ windows via a flat-map, then the
+    keyed hash exchange combines — the standard streaming decomposition
+    of sliding windows into replicated tumbling buckets."""
+    from .stages.exchange import grouped_aggregate, hash_shuffle
+
+    n_rep = SLIDE_WINDOW_MIN // SLIDE_STEP_MIN
+    step_us = SLIDE_STEP_MIN * 60 * 1_000_000
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = pd.Series(df["ts"].values.astype("datetime64[us]").astype("int64"))
+        cents = (df["value"] * 100).round().astype("int64")
+        frames = []
+        base = ts_us // step_us
+        for r in range(n_rep):
+            start = (base - r) * step_us
+            frames.append(
+                pd.DataFrame(
+                    {"user_id": df["user_id"], "window_start_us": start, "cents": cents}
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return (
+            out.groupby(["user_id", "window_start_us"], sort=False)
+            .agg(n_events=("cents", "size"), sum_value_cents=("cents", "sum"))
+            .reset_index()
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["user_id", "window_start_us"], sort=False)
+            .agg(n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum"))
+            .reset_index()
+        )
+
+    with hash_shuffle():
+        ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
+        return grouped_aggregate(ds, ["user_id", "window_start_us"], explode, combine)
+
+
 # ---------------------------------------------------------------------------
 # Relational: aggregates + broadcast join (TPC-H-shaped)
 # ---------------------------------------------------------------------------
