@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational: aggregate + broadcast join
         "lineitem_pricing_summary": Q.lineitem_pricing_summary,
         "revenue_by_segment": Q.revenue_by_segment,
+        # group-wise top-k / n-gram vocab / semi+anti joins
+        "kg_top_entities_per_type": Q.kg_top_entities_per_type,
+        "doc_bigram_counts": Q.doc_bigram_counts,
+        "customers_without_orders": Q.customers_without_orders,
+        "suppliers_in_region": Q.suppliers_in_region,
         # fingerprinting / markup / relational joins
         "doc_winnowing": Q.doc_winnowing,
         "doc_markup_parse": Q.doc_markup_parse,
@@ -531,6 +536,40 @@ SELECT c_mktsegment,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "kg_top_entities_per_type": pre
+        + """
+, cnt AS (
+  SELECT m.type, m.cui, CAST(count(*) AS BIGINT) AS n_mentions
+  FROM mentionsq m GROUP BY m.type, m.cui
+), rk AS (
+  SELECT type, cui, n_mentions,
+         row_number() OVER (PARTITION BY type
+                            ORDER BY n_mentions DESC, cui ASC) AS rank
+  FROM cnt
+)
+SELECT type, CAST(rank AS BIGINT) AS rank, cui, n_mentions
+FROM rk WHERE rank <= 3""",
+        "doc_bigram_counts": r"""
+WITH f AS (
+  SELECT regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+), b AS (
+  SELECT ws[g.i] || ' ' || ws[g.i + 1] AS bigram
+  FROM f, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM b GROUP BY bigram HAVING count(*) >= 2""",
+        "customers_without_orders": f"""
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{Q.ANTI_JOIN_CUTOFF} 00:00:00')""",
+        "suppliers_in_region": """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_nationkey IN (
+  SELECT n_nationkey FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')""",
         "doc_winnowing": """
 WITH f AS (
   SELECT doc_id, lower(text) AS s FROM documents WHERE length(lower(text)) >= 8

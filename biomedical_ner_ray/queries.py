@@ -511,6 +511,129 @@ def doc_lang_distribution(sf_dir: str):
     )
 
 
+def kg_top_entities_per_type(sf_dir: str):
+    """Group-wise top-3: most-mentioned canonical entities per type
+    (per-group top-k with deterministic tie-breaks — count desc, cui
+    asc). Counts come from the pre-aggregated mentions stream."""
+    ann, rows = _annotations_ds(sf_dir)
+    lm = mentions_stage(ann).map_batches(
+        lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["type", "cui"], sort=False).size().reset_index(name="n")
+        )
+
+    counts = (
+        _combine(lm.map_batches(partial, batch_format="pandas"))
+        .groupby(["type", "cui"])
+        .aggregate(Sum("n", alias_name="n_mentions"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_mentions", "cui"], ascending=[False, True]).head(3)
+        return g.assign(rank=np.arange(1, len(g) + 1))[
+            ["type", "rank", "cui", "n_mentions"]
+        ]
+
+    return counts.groupby("type").map_groups(topk, batch_format="pandas")
+
+
+def doc_bigram_counts(sf_dir: str):
+    """Word-bigram frequency over documents with min_freq ≥ 2 (the G1
+    wordcount shape lifted to n-grams — the vocab build a subword /
+    phrase model needs)."""
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+
+        c: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            ws = WORD_RE.findall(t.lower())
+            for i in range(len(ws) - 1):
+                bg = ws[i] + " " + ws[i + 1]
+                c[bg] = c.get(bg, 0) + 1
+        return pd.DataFrame({"bigram": list(c.keys()), "n": list(c.values())})
+
+    counts = (
+        _combine(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    return counts.map_batches(
+        lambda df: df[df["n_occurrences"] >= 2], batch_format="pandas"
+    )
+
+
+ANTI_JOIN_CUTOFF = "2000-01-01"
+
+
+def customers_without_orders(sf_dir: str):
+    """Broadcast ANTI-join: customers with no order since
+    ANTI_JOIN_CUTOFF (churn-style query). The orders side is filtered
+    at the read, reduced to a distinct-custkey set per block, unioned
+    driver-side (bounded by #customers), then broadcast as the filter."""
+    ds_orders = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cutoff = pd.Timestamp(ANTI_JOIN_CUTOFF)
+
+    def recent_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df.loc[df["o_orderdate"] >= cutoff, "o_custkey"].unique()}
+        )
+
+    have = set()
+    for b in ds_orders.map_batches(
+        recent_keys, batch_format="pandas"
+    ).iter_batches(batch_format="pyarrow"):
+        have.update(b["k"].to_pylist())
+    have_ref = ray.put(have)
+
+    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        from .state.broadcast import resolve
+
+        h = resolve(have_ref)
+        mask = pa.array([k not in h for k in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def suppliers_in_region(sf_dir: str, region: str = "ASIA"):
+    """Broadcast SEMI-join: suppliers whose nation is in the given
+    region (region ⋈ nation reduced driver-side — they are tiny — and
+    shipped once as a key set)."""
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    rkeys = {
+        k for k, n in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if n == region
+    }
+    nkeys = {
+        k for k, r in zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist())
+        if r in rkeys
+    }
+    nref = ray.put(nkeys)
+
+    sup = _tbl(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        from .state.broadcast import resolve
+
+        ks = resolve(nref)
+        mask = pa.array([k in ks for k in batch["s_nationkey"].to_pylist()])
+        return batch.filter(mask)
+
+    return sup.map_batches(semi, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate detection over documents (stages/dedup.py)
 # ---------------------------------------------------------------------------
@@ -835,27 +958,59 @@ def kg_conv_stats(sf_dir: str):
 
 
 def kg_conv_turn_gaps(sf_dir: str):
-    """Ordered within-conversation window op: per-turn gap to the
-    previous turn (lag semantics) — groupby(conv).map_groups over
-    turn_idx-sorted rows, the Ray shape for ordered per-key windows."""
-    paths = _fixture(sf_dir)
-    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
+    """Ordered within-conversation lag (gap to previous turn) — computed
+    SKEW-FREE: instead of grouping whole conversations (hot convs have
+    150-250 turns and would strand a worker at scale), every turn emits
+    itself twice — once as (conv, turn_idx, ts) and once shifted to
+    (conv, turn_idx + 1, prev_ts) — and a hash exchange on the UNIFORM
+    key (conv_id, turn_idx) pairs each turn with its predecessor inside
+    a vectorized pandas merge. No per-key hotspot exists because the
+    partition key includes turn_idx."""
+    from .stages.exchange import hash_shuffle
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        prev = g["ts"].shift()
-        gap = ((g["ts"] - prev).dt.total_seconds() * 1_000_000).astype("Int64")
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = pd.Series(df["ts"].values.astype("datetime64[us]").astype("int64"))
+        cur = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": df["turn_idx"].astype("int64"),
+                "ts_us": ts_us,
+                "is_prev": False,
+            }
+        )
+        prev = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": df["turn_idx"].astype("int64") + 1,
+                "ts_us": ts_us,
+                "is_prev": True,
+            }
+        )
+        return pd.concat([cur, prev], ignore_index=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cur = df[~df["is_prev"]]
+        prev = df[df["is_prev"]][["conv_id", "turn_idx", "ts_us"]].rename(
+            columns={"ts_us": "prev_us"}
+        )
+        out = cur.merge(prev, on=["conv_id", "turn_idx"], how="left")
+        gap = (out["ts_us"] - out["prev_us"]).astype("Int64")
         return pd.DataFrame(
             {
-                "conv_id": g["conv_id"],
-                "turn_idx": g["turn_idx"],
+                "conv_id": out["conv_id"],
+                "turn_idx": out["turn_idx"].astype("int32"),
                 "gap_us": gap,
             }
         )
 
-    return _combine(ds, 16).groupby("conv_id").map_groups(
-        gaps, batch_format="pandas"
-    )
+    with hash_shuffle():
+        paths = _fixture(sf_dir)
+        ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
+        return (
+            ds.map_batches(emit, batch_format="pandas")
+            .repartition(8, keys=["conv_id", "turn_idx"])
+            .map_batches(merge, batch_format="pandas")
+        )
 
 
 SLIDE_WINDOW_MIN = 30
