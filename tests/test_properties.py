@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the row-local kernels: these
+guard the conformance-critical invariants under arbitrary inputs, not
+just the fixture's planted cases."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biomedical_ner_ray.fixtures import alias_rows
+from biomedical_ner_ray.kernels.bio import extract_entities
+from biomedical_ner_ray.kernels.crf import CRFScorer
+from biomedical_ner_ray.kernels.markup import parse_annotated_text
+from biomedical_ner_ray.kernels.tagger import AliasDict, tag_tokens
+from biomedical_ner_ray.kernels.tokenize import MAX_SEQ_LEN, TOKEN_RE, tokenize_text
+
+_AD = AliasDict(alias_rows())
+_CRF = CRFScorer(sorted({e.type for e in _AD.by_key.values()}))
+
+text_st = st.text(
+    alphabet=st.characters(codec="ascii", exclude_categories=("Cc", "Cs")),
+    max_size=400,
+)
+token_st = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=12,
+)
+types_st = st.sampled_from(["DNA", "RNA", "protein", "Disease", "cell_line"])
+
+
+@st.composite
+def bio_tags(draw):
+    """Arbitrary (possibly invalid) BIO tag sequences."""
+    n = draw(st.integers(0, 30))
+    tags = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 2))
+        if kind == 0:
+            tags.append("O")
+        else:
+            tags.append(("B-" if kind == 1 else "I-") + draw(types_st))
+    return tags
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_tokenizer_covers_all_nonspace(text):
+    """Every non-whitespace character lands in exactly one token, tokens
+    appear in order, and tokenize_text == TOKEN_RE.findall."""
+    toks = tokenize_text(text)
+    assert toks == TOKEN_RE.findall(text)
+    joined = "".join(toks)
+    stripped = "".join(text.split())
+    # tokens cover non-space chars (regex never drops word chars/punct)
+    assert len(joined) <= len(stripped)
+    for t in toks:
+        assert t and not any(c.isspace() for c in t)
+
+
+@given(bio_tags())
+@settings(max_examples=300, deadline=None)
+def test_bio_decoder_invariants(tags):
+    """Spans are in-bounds, non-overlapping, ordered, typed like their
+    tags, and orphan I- is promoted to a new entity (reference
+    app.py:370-386 repair semantics)."""
+    tokens = [f"t{i}" for i in range(len(tags))]
+    ents = extract_entities(list(zip(tokens, tags)))
+    prev_end = -1
+    for e in ents:
+        assert 0 <= e["start_position"] <= e["end_position"] < len(tags)
+        assert e["start_position"] > prev_end
+        prev_end = e["end_position"]
+        assert tags[e["start_position"]][2:] == e["type"]
+        assert e["tokens"] == tokens[e["start_position"] : e["end_position"] + 1]
+    # every non-O tag belongs to exactly one decoded span
+    covered = {
+        i for e in ents for i in range(e["start_position"], e["end_position"] + 1)
+    }
+    assert covered == {i for i, t in enumerate(tags) if t != "O"}
+
+
+@given(st.lists(token_st, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_tagger_outputs_valid_bio(tokens):
+    """Dictionary tags are always BIO-valid and past-limit tokens are O."""
+    tags = tag_tokens(tokens, _AD)
+    assert len(tags) == len(tokens)
+    prev = "O"
+    for i, t in enumerate(tags):
+        if t.startswith("I-"):
+            assert prev in (f"B-{t[2:]}", f"I-{t[2:]}")
+        if i >= MAX_SEQ_LEN:
+            assert t == "O"
+        prev = t
+
+
+@given(st.lists(token_st, min_size=1, max_size=30))
+@settings(max_examples=75, deadline=None)
+def test_crf_decode_equivalence_property(tokens):
+    """Decode-equivalence guarantee holds for arbitrary token lists,
+    not just fixture text (kernels/crf.py docstring contract)."""
+    dict_tags = tag_tokens(tokens, _AD)
+    assert _CRF.decode(tokens, dict_tags) == dict_tags
+
+
+@given(st.lists(st.tuples(types_st, st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=97, max_codepoint=122),
+    min_size=1, max_size=8)), max_size=6), text_st)
+@settings(max_examples=150, deadline=None)
+def test_markup_roundtrip(entities, filler):
+    """Composing markup then parsing recovers exact mentions + offsets."""
+    marked = filler
+    for typ, mention in entities:
+        marked += f'<category="{typ}">{mention}</category>' + filler
+    clean, ents = parse_annotated_text(marked)
+    assert len(ents) == len(entities)
+    for (typ, mention), e in zip(entities, ents):
+        assert e["type"] == typ and e["text"] == mention
+        assert clean[e["start"] : e["end"]] == mention
