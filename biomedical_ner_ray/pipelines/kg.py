@@ -36,12 +36,28 @@ from ..stages.explode import mentions_stage, triples_stage
 from ..stages.graph import edges_stage, node_meta, nodes_stage
 from ..state import manifest as mf
 
-STAGE_VERSION = "kg-v3"
+STAGE_VERSION = "kg-v4"
 
 
 def _read(path_or_dir: str, columns=None):
     files = mf.list_parquet_files(path_or_dir)
     return rd.read_parquet(files, columns=columns)
+
+
+def _bucket_counters(bdir: str) -> dict:
+    """Per-partition counters from the count columns (column-pruned read)."""
+    import pyarrow.parquet as _pq
+
+    turns = tokens = mentions = triples = 0
+    for f in mf.list_parquet_files(bdir):
+        t = _pq.read_table(f, columns=["n_tokens", "n_mentions", "n_triples"])
+        turns += t.num_rows
+        import pyarrow.compute as pc
+
+        tokens += pc.sum(t["n_tokens"]).as_py() or 0
+        mentions += pc.sum(t["n_mentions"]).as_py() or 0
+        triples += pc.sum(t["n_triples"]).as_py() or 0
+    return {"turns": turns, "tokens": tokens, "mentions": mentions, "triples": triples}
 
 
 def run_kg_pipeline(
@@ -108,7 +124,11 @@ def run_kg_pipeline(
                 scorer=scorer,
             ).write_parquet(tmp)
 
-        return mf.run_stage(f"annotations/{b}", bdir, bfp, build_ann)
+        m = mf.run_stage(f"annotations/{b}", bdir, bfp, build_ann)
+        if not m["skipped"] and "turns" not in m.get("counters", {}):
+            m["counters"] = _bucket_counters(bdir)
+            mf.update_manifest(bdir, counters=m["counters"])
+        return m
 
     # buckets are independent resumable partitions; run their Dataset
     # executions CONCURRENTLY (each is an independent streaming executor) —

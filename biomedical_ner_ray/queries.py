@@ -90,7 +90,7 @@ def _annotations_cache(sf_dir: str) -> tuple[str, list[dict]]:
     paths = _fixture(sf_dir)
     rows = _alias_rows(paths)
     files = mf.list_parquet_files(paths["transcripts"])
-    fp = mf.fingerprint("query-ann-v1", mf.input_fingerprint(files))
+    fp = mf.fingerprint("query-ann-v2", mf.input_fingerprint(files))
     out = os.path.join(
         tempfile.gettempdir(), "graft_query_cache",
         os.path.basename(paths["dir"]), "annotations",

@@ -58,6 +58,8 @@ ANNOTATION_SCHEMA = pa.schema(
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
         ("n_tokens", pa.int32()),
+        ("n_mentions", pa.int32()),
+        ("n_triples", pa.int32()),
         ("mentions", pa.list_(MENTION_STRUCT)),
         ("triples", pa.list_(TRIPLE_STRUCT)),
     ]
@@ -148,6 +150,10 @@ class TurnAnnotator:
                 "conv_id": pa.array(conv_ids, pa.string()),
                 "turn_idx": pa.array(turn_idxs, pa.int32()),
                 "n_tokens": pa.array(n_tokens, pa.int32()),
+                # per-turn counts as plain columns so lineage counters are
+                # a column-pruned metadata-cheap aggregate, not a nested read
+                "n_mentions": pa.array([len(m) for m in mentions_col], pa.int32()),
+                "n_triples": pa.array([len(t) for t in triples_col], pa.int32()),
                 "mentions": pa.array(mentions_col, pa.list_(MENTION_STRUCT)),
                 "triples": pa.array(triples_col, pa.list_(TRIPLE_STRUCT)),
             },

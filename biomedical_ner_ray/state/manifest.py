@@ -107,6 +107,16 @@ def run_stage(
     return manifest
 
 
+def update_manifest(out_dir: str, **fields) -> None:
+    """Merge fields into an existing manifest (e.g. post-hoc counters)."""
+    m = read_manifest(out_dir)
+    if m is None:
+        return
+    m.update(fields)
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(m, f)
+
+
 def list_parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
