@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_samples": Q.mm_frame_samples,
         # near-duplicate detection family
         "doc_dedup_minhash": Q.doc_dedup_minhash,
+        "doc_dedup_minhash_join": Q.doc_dedup_minhash_join,
+        "segment_year_revenue": Q.segment_year_revenue,
         "doc_dedup_simhash": Q.doc_dedup_simhash,
         "doc_dedup_jaccard": Q.doc_dedup_jaccard,
         "emb_neardup_pairs": Q.emb_neardup_pairs,
@@ -648,6 +650,13 @@ SELECT doc_id, CAST(g.i AS BIGINT) AS frame_idx, CAST(g.i * 256 AS BIGINT) AS by
 FROM m, unnest(generate_series(0, (octet_length(payload) - 1) // 256)) AS g(i)
 WHERE media_type = 'video' AND octet_length(payload) > 0""",
         "doc_dedup_minhash": _minhash_sql(),
+        "doc_dedup_minhash_join": _minhash_sql(),
+        "segment_year_revenue": """
+SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, year(o_orderdate)""",
         "doc_dedup_simhash": _SIMHASH_SQL,
         "doc_dedup_jaccard": _JACCARD_SQL,
         "emb_neardup_pairs": f"""

@@ -647,6 +647,54 @@ def doc_dedup_minhash(sf_dir: str):
     return minhash_pairs(lambda: _tbl(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def doc_dedup_minhash_join(sf_dir: str):
+    """Scale-path MinHash+LSH: signature-only band exchange + join-based
+    candidate verification (stages/dedup.minhash_pairs_join) — identical
+    result to doc_dedup_minhash, O(bands×shingles) less shuffle."""
+    from .stages.dedup import minhash_pairs_join
+
+    return minhash_pairs_join(
+        lambda: _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def segment_year_revenue(sf_dir: str):
+    """Distributed SHUFFLE hash join (native Dataset.join) — the
+    non-broadcast path for when both sides are large: orders ⋈ customer
+    on custkey, then revenue per (mktsegment, order year)."""
+    from .stages.exchange import hash_shuffle
+
+    with hash_shuffle():
+        orders = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+        cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        joined = orders.join(
+            cust, join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.assign(
+                o_year=df["o_orderdate"].dt.year.astype("int64"),
+                cents=(df["o_totalprice"] * 100).round().astype("int64"),
+            )
+            return (
+                df.groupby(["c_mktsegment", "o_year"], sort=False)
+                .agg(n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+                .reset_index()
+            )
+
+        partials = joined.map_batches(partial, batch_format="pandas")
+
+    return (
+        _combine(partials)
+        .groupby(["c_mktsegment", "o_year"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
 def doc_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs (64-bit md5 simhash → 4×16-bit chunk
     bucket exchange → hamming ≤ 3 verify)."""

@@ -91,3 +91,15 @@ def test_popcount_vectorization():
     xs = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
     pops = np.unpackbits(xs.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
     assert pops.tolist() == [0, 1, 2, 64]
+
+
+def test_minhash_join_variant_equivalent(ray_session):
+    from biomedical_ner_ray.stages.dedup import minhash_pairs_join
+
+    a = minhash_pairs(_docs_ds_factory(), num_partitions=2).to_pandas()
+    b = minhash_pairs_join(_docs_ds_factory(), num_partitions=2).to_pandas()
+    cols = ["doc_id_a", "doc_id_b", "n_common", "n_union"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
