@@ -103,6 +103,8 @@ QUERY_NAMES = [
     "events_sliding",
     "kg_conv_stats",
     "top_parts_by_revenue",
+    "segment_year_revenue",
+    "doc_dedup_minhash_join",
 ]
 
 
