@@ -83,6 +83,17 @@ def run_kg_pipeline(
     meta_ref = ray.put({c: meta_all[c] for c in comp.values()})
 
     in_files = mf.list_parquet_files(transcripts_path)
+    if not in_files:
+        raise ValueError(f"no parquet files under {transcripts_path!r}")
+    required = {"conv_id", "turn_idx", "text"}
+    have = set(pq.ParquetFile(in_files[0]).schema_arrow.names)
+    missing = required - have
+    if missing:
+        raise ValueError(
+            f"transcript input {in_files[0]!r} is missing required column(s) "
+            f"{sorted(missing)}; expected the input_hint schema "
+            "(conv_id, turn_idx, role, text, tool, ts)"
+        )
     in_fp = mf.input_fingerprint(in_files)
     results: dict[str, dict] = {}
 
@@ -165,8 +176,9 @@ def run_kg_pipeline(
 
     ann_fp = mf.input_fingerprint(mf.list_parquet_files(ann_root))
 
-    # -- stages 3-6: two independent chains run concurrently --
-    #    mentions → nodes   ∥   triples → edges
+    # -- stages 3-6: two chains, run sequentially --
+    #    mentions → nodes ; triples → edges
+    # (concurrent chain execution regressed 10× — see BASELINE.md)
     mentions_dir = os.path.join(out_root, "mentions")
     triples_dir = os.path.join(out_root, "triples")
     nodes_dir = os.path.join(out_root, "nodes")
@@ -190,7 +202,14 @@ def run_kg_pipeline(
                     lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
                 )
 
-            nodes_stage(lm_factory, comp_ref, meta_ref).write_parquet(tmp)
+            # sorted single-file artifact: keyed-exchange group→block
+            # coalescing is scheduler-dependent, and the resume guarantee
+            # is BYTE-identical rebuilt outputs; the node table is a
+            # post-aggregation artifact (#distinct CUIs), small enough —
+            # at 10^8+ keys shard by key-hash dirs instead
+            nodes_stage(lm_factory, comp_ref, meta_ref).sort("cui").repartition(
+                1
+            ).write_parquet(tmp)
 
         n = mf.run_stage(
             "nodes", nodes_dir, mf.fingerprint(STAGE_VERSION, "nodes", ann_fp), build_nodes
@@ -212,7 +231,7 @@ def run_kg_pipeline(
             edges_stage(
                 lambda: _read(triples_dir, columns=["subj_cui", "pred", "obj_cui"]),
                 comp_ref,
-            ).write_parquet(tmp)
+            ).sort(["subj_cui", "pred", "obj_cui"]).repartition(1).write_parquet(tmp)
 
         e = mf.run_stage(
             "edges", edges_dir, mf.fingerprint(STAGE_VERSION, "edges", ann_fp), build_edges

@@ -331,19 +331,16 @@ def kg_split_assign(sf_dir: str):
         ]
         return pd.DataFrame({"conv_id": convs, "split": split})
 
-    from .stages.exchange import hash_shuffle
+    from .stages.exchange import keyed_exchange
 
-    with hash_shuffle():
-        paths = _fixture(sf_dir)
-        ds = _transcripts_ds(paths, columns=["conv_id"])
-        return (
-            ds.map_batches(assign, batch_format="pyarrow")
-            .repartition(4, keys=["conv_id"])
-            .map_batches(
-                lambda df: df.drop_duplicates(subset=["conv_id"]),
-                batch_format="pandas",
-            )
-        )
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id"])
+    return keyed_exchange(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["conv_id"],
+        lambda df: df.drop_duplicates(subset=["conv_id"]),
+        num_partitions=4,
+    )
 
 
 def kg_downsample(sf_dir: str):
@@ -683,16 +680,18 @@ def segment_year_revenue(sf_dir: str):
                 .reset_index()
             )
 
-        partials = joined.map_batches(partial, batch_format="pandas")
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.groupby(["c_mktsegment", "o_year"], sort=False)
+                .agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+                .reset_index()
+            )
 
-    return (
-        _combine(partials)
-        .groupby(["c_mktsegment", "o_year"])
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("revenue_cents", alias_name="revenue_cents"),
-        )
-    )
+        # partial per join batch, final combine via repartition(1) +
+        # map (tiny key space) — NO groupby may run on a hash-rooted
+        # dataset (stages/exchange.py policy)
+        partials = joined.map_batches(partial, batch_format="pandas")
+        return partials.repartition(1).map_batches(combine, batch_format="pandas")
 
 
 def doc_dedup_simhash(sf_dir: str):
@@ -923,7 +922,7 @@ def events_hourly(sf_dir: str):
     built-in per-group-Python aggregate would crawl (see
     stages/exchange.py); instead: vectorized pandas partials → hash
     exchange on the key → vectorized combine."""
-    from .stages.exchange import grouped_aggregate, hash_shuffle
+    from .stages.exchange import grouped_aggregate
 
     def prep_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
@@ -943,9 +942,8 @@ def events_hourly(sf_dir: str):
             .reset_index()
         )
 
-    with hash_shuffle():
-        ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
-        return grouped_aggregate(ds, ["user_id", "hour"], prep_partial, combine)
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return grouped_aggregate(ds, ["user_id", "hour"], prep_partial, combine)
 
 
 def events_sessions(sf_dir: str):
@@ -982,7 +980,7 @@ def kg_conv_stats(sf_dir: str):
     turns). Handled by the combiner pattern: per-block pandas partials
     shrink every conv to ≤1 row per block BEFORE the keyed exchange, so
     a hot conversation ships #blocks rows, never its raw turns."""
-    from .stages.exchange import grouped_aggregate, hash_shuffle
+    from .stages.exchange import grouped_aggregate
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(n_tokens=[len(TOKEN_RE.findall(t)) for t in df["text"]])
@@ -999,10 +997,9 @@ def kg_conv_stats(sf_dir: str):
             .reset_index()
         )
 
-    with hash_shuffle():
-        paths = _fixture(sf_dir)
-        ds = _transcripts_ds(paths, columns=["conv_id", "text"])
-        return grouped_aggregate(ds, ["conv_id"], partial, combine)
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "text"])
+    return grouped_aggregate(ds, ["conv_id"], partial, combine)
 
 
 def kg_conv_turn_gaps(sf_dir: str):
@@ -1014,7 +1011,7 @@ def kg_conv_turn_gaps(sf_dir: str):
     key (conv_id, turn_idx) pairs each turn with its predecessor inside
     a vectorized pandas merge. No per-key hotspot exists because the
     partition key includes turn_idx."""
-    from .stages.exchange import hash_shuffle
+    from .stages.exchange import keyed_exchange
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         ts_us = pd.Series(df["ts"].values.astype("datetime64[us]").astype("int64"))
@@ -1051,14 +1048,14 @@ def kg_conv_turn_gaps(sf_dir: str):
             }
         )
 
-    with hash_shuffle():
-        paths = _fixture(sf_dir)
-        ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
-        return (
-            ds.map_batches(emit, batch_format="pandas")
-            .repartition(8, keys=["conv_id", "turn_idx"])
-            .map_batches(merge, batch_format="pandas")
-        )
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
+    return keyed_exchange(
+        ds.map_batches(emit, batch_format="pandas"),
+        ["conv_id", "turn_idx"],
+        merge,
+        num_partitions=8,
+    )
 
 
 SLIDE_WINDOW_MIN = 30
@@ -1070,7 +1067,7 @@ def events_sliding(sf_dir: str):
     event emits into ⌈window/step⌉ windows via a flat-map, then the
     keyed hash exchange combines — the standard streaming decomposition
     of sliding windows into replicated tumbling buckets."""
-    from .stages.exchange import grouped_aggregate, hash_shuffle
+    from .stages.exchange import grouped_aggregate
 
     n_rep = SLIDE_WINDOW_MIN // SLIDE_STEP_MIN
     step_us = SLIDE_STEP_MIN * 60 * 1_000_000
@@ -1101,9 +1098,8 @@ def events_sliding(sf_dir: str):
             .reset_index()
         )
 
-    with hash_shuffle():
-        ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
-        return grouped_aggregate(ds, ["user_id", "window_start_us"], explode, combine)
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return grouped_aggregate(ds, ["user_id", "window_start_us"], explode, combine)
 
 
 # ---------------------------------------------------------------------------
@@ -1227,7 +1223,7 @@ def top_parts_by_revenue(sf_dir: str):
     """Top-10 parts by lineitem revenue: high-cardinality partkey
     aggregate through the keyed hash exchange, per-partition partial
     top-k, tiny driver-free final merge, then broadcast part-name join."""
-    from .stages.exchange import grouped_aggregate, hash_shuffle
+    from .stages.exchange import grouped_aggregate
 
     part = pq.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
@@ -1252,9 +1248,8 @@ def top_parts_by_revenue(sf_dir: str):
             ["revenue_cents", "l_partkey"], ascending=[False, True]
         ).head(TOP_PARTS_K)
 
-    with hash_shuffle():
-        ds = _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
-        partials = grouped_aggregate(ds, ["l_partkey"], partial, combine)
+    ds = _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+    partials = grouped_aggregate(ds, ["l_partkey"], partial, combine)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         from .state.broadcast import resolve

@@ -143,18 +143,13 @@ def minhash_pairs(docs_ds_factory, num_partitions: int = 8):
     ``docs_ds_factory`` is a zero-arg callable building the documents
     Dataset — the read must be constructed INSIDE the hash_shuffle scope
     because a Dataset captures its DataContext at root creation."""
-    from .exchange import hash_shuffle
+    from .exchange import keyed_exchange
 
-    with hash_shuffle():
-        bands = docs_ds_factory().map_batches(_minhash_band_rows, batch_format="pyarrow")
-        cands = (
-            bands.repartition(num_partitions, keys=["band_key"])
-            .map_batches(_verify_minhash_buckets, batch_format="pandas")
-        )
-        return (
-            cands.repartition(2, keys=["doc_id_a", "doc_id_b"])
-            .map_batches(_dedup_pairs, batch_format="pandas")
-        )
+    bands = docs_ds_factory().map_batches(_minhash_band_rows, batch_format="pyarrow")
+    cands = keyed_exchange(
+        bands, ["band_key"], _verify_minhash_buckets, num_partitions
+    )
+    return keyed_exchange(cands, ["doc_id_a", "doc_id_b"], _dedup_pairs, 2)
 
 
 def _minhash_band_rows_lite(batch: pa.Table) -> pd.DataFrame:
@@ -207,15 +202,38 @@ def minhash_pairs_join(docs_ds_factory, num_partitions: int = 8):
     (tests + the same SQL oracle assert it)."""
     from .exchange import hash_shuffle
 
+    import tempfile
+    import uuid
+
+    from .exchange import keyed_exchange
+
+    # phase 1 (normal context): band exchange -> deduped candidate pairs.
+    # Joins require a HASH_SHUFFLE-rooted dataset but groupbys deadlock
+    # under that context, so the candidate stream crosses regimes through
+    # a parquet handoff (what a cluster run would do anyway: candidates
+    # are a checkpointable artifact).
+    bands = docs_ds_factory().map_batches(
+        _minhash_band_rows_lite, batch_format="pyarrow"
+    )
+    cands_out = keyed_exchange(
+        keyed_exchange(bands, ["band_key"], _bucket_pairs, num_partitions),
+        ["doc_id_a", "doc_id_b"],
+        _dedup_pairs,
+        2,
+    )
+    import os
+
+    handoff = os.path.join(
+        tempfile.gettempdir(), "graft_minhash_cands", uuid.uuid4().hex
+    )
+    cands_out.write_parquet(handoff)
+
+    # phase 2 (hash context): shingle fetch for candidates via two joins
+    import ray.data as rd
+
     with hash_shuffle():
+        cands = rd.read_parquet(handoff)
         docs = docs_ds_factory()
-        bands = docs.map_batches(_minhash_band_rows_lite, batch_format="pyarrow")
-        cands = (
-            bands.repartition(num_partitions, keys=["band_key"])
-            .map_batches(_bucket_pairs, batch_format="pandas")
-            .repartition(2, keys=["doc_id_a", "doc_id_b"])
-            .map_batches(_dedup_pairs, batch_format="pandas")
-        )
         sh = docs.map_batches(_shingle_table, batch_format="pyarrow")
         j1 = cands.join(
             sh, join_type="inner", num_partitions=num_partitions,
@@ -291,19 +309,18 @@ def _verify_simhash_buckets(df: pd.DataFrame) -> pd.DataFrame:
 def simhash_pairs(docs_ds_factory, num_partitions: int = 8):
     """documents → (doc_id_a, doc_id_b, hamming ≤ 3) near-dup pairs.
     Factory arg: see minhash_pairs."""
-    from .exchange import hash_shuffle
+    from .exchange import keyed_exchange
 
-    with hash_shuffle():
-        rows = docs_ds_factory().map_batches(_simhash_rows, batch_format="pyarrow")
-        cands = (
-            rows.repartition(num_partitions, keys=["chunk_key"])
-            .map_batches(_verify_simhash_buckets, batch_format="pandas")
-        )
-        return (
-            cands.repartition(2, keys=["doc_id_a", "doc_id_b"])
-            .map_batches(lambda df: df.drop_duplicates(subset=["doc_id_a", "doc_id_b"]),
-                         batch_format="pandas")
-        )
+    rows = docs_ds_factory().map_batches(_simhash_rows, batch_format="pyarrow")
+    cands = keyed_exchange(
+        rows, ["chunk_key"], _verify_simhash_buckets, num_partitions
+    )
+    return keyed_exchange(
+        cands,
+        ["doc_id_a", "doc_id_b"],
+        lambda df: df.drop_duplicates(subset=["doc_id_a", "doc_id_b"]),
+        2,
+    )
 
 
 # ---------------------------------------------------------------------------

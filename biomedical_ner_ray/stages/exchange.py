@@ -1,27 +1,32 @@
-"""Hash-exchange operators for high-cardinality aggregation.
+"""Keyed exchange operators for high-cardinality aggregation.
 
 Ray Data's built-in ``groupby().aggregate()`` finalizes groups in a
 per-group Python loop, so its cost scales with the number of DISTINCT
-KEYS (~5k groups/s measured), regardless of shuffle strategy — a 95k-key
-aggregate over 100k rows takes ~20-90s while the equivalent pandas hash
-aggregate takes milliseconds. For high-cardinality keys the right shape
-is: vectorized pandas partial aggregate per block (no shuffle) → hash
-exchange on the key (``repartition(keys=...)``, one all-to-all of the
-pre-shrunk stream) → vectorized pandas combine per partition. Measured
-at sf0.1: 2-3s vs 18-92s for the built-in (see BASELINE.md).
+KEYS (~5k groups/s measured) — a 95k-key aggregate over 100k rows takes
+~20s while the equivalent pandas hash aggregate takes milliseconds. The
+right shape for high-cardinality keys is: vectorized pandas partial per
+block (no shuffle) → ONE exchange that co-locates keys → vectorized
+pandas combine per partition.
 
-``repartition(keys=...)`` requires ``ShuffleStrategy.HASH_SHUFFLE``; the
-strategy is captured per-dataset at creation, so ``hash_shuffle()`` flips
-the global context only while the chain is BUILT and restores it before
-anything else is constructed — sort-based shuffles elsewhere (the
-north-rule ``sort``, ``map_groups``) keep their faster sort path.
-``max_hash_shuffle_aggregators`` is bounded because unbounded aggregator
-actor pools (one per partition at default parallelism) flood a node with
-workers and get OOM-killed (observed: 176 workers, SIGKILL).
+``keyed_exchange`` implements the co-location WITHOUT the HASH_SHUFFLE
+strategy: a deterministic row hash of the key columns
+(``pd.util.hash_pandas_object``, process-stable) assigns each row a
+partition id ``_pid`` in [0, P); a sort-based ``groupby("_pid").
+map_groups`` then hands each complete partition to the combine function
+in one pandas call. The groupby key has only P distinct values, so the
+per-group Python overhead that makes raw key groupbys slow is O(P)=O(8)
+here — negligible — and there are NO aggregator actor pools to
+schedule, no DataContext flipping, and no cross-thread locking.
+(An earlier HASH_SHUFFLE-based version hit aggregator-actor scheduling
+stalls in long many-execution sessions; this formulation has no actors
+to stall.)
 
-At cluster scale, raise ``num_partitions`` so each combine partition
-holds 10-100MB of pre-aggregated rows; the exchange volume is the
-pre-shrunk stream, never the raw scan.
+At cluster scale raise ``num_partitions`` so one partition's rows
+(~#keys/P of the PRE-AGGREGATED stream) fit a worker's pandas heap.
+
+``hash_shuffle`` remains for the operators that genuinely need Ray's
+hash-shuffle backend (``Dataset.join``), with the aggregator pool
+bounded; it must wrap JOINS ONLY (see its docstring).
 """
 
 from __future__ import annotations
@@ -32,6 +37,39 @@ from contextlib import contextmanager
 from ray.data import DataContext
 from ray.data.context import ShuffleStrategy
 
+PID_COL = "_pid"
+
+
+def keyed_exchange(ds, keys, fn, num_partitions: int = 8):
+    """Co-locate rows by ``keys`` and apply ``fn`` once per complete
+    partition (a pandas DataFrame containing EVERY row of each key that
+    hashes into that partition)."""
+    import pandas as pd
+
+    keys = list(keys)
+
+    def add_pid(df: "pd.DataFrame") -> "pd.DataFrame":
+        h = pd.util.hash_pandas_object(df[keys], index=False)
+        return df.assign(**{PID_COL: (h % num_partitions).astype("int64")})
+
+    def run(g: "pd.DataFrame") -> "pd.DataFrame":
+        return fn(g.drop(columns=[PID_COL]))
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby(PID_COL)
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def grouped_aggregate(ds, keys, partial_fn, combine_fn, num_partitions: int = 8):
+    """Exact high-cardinality groupby-aggregate: ``partial_fn``
+    aggregates raw rows to ≤1 row per key per block; ``combine_fn``
+    merges partials (it sees all partials of a key together)."""
+    partials = ds.map_batches(partial_fn, batch_format="pandas")
+    return keyed_exchange(partials, keys, combine_fn, num_partitions)
+
+
 # The DataContext flip is process-global; dataset CONSTRUCTION windows
 # from concurrent pipeline threads must not interleave (execution is
 # safe — each dataset captures its context at root creation).
@@ -40,7 +78,13 @@ _FLIP_LOCK = threading.RLock()
 
 @contextmanager
 def hash_shuffle(num_aggregators: int = 8):
-    """Build datasets needing ``repartition(keys=...)`` inside this scope.
+    """Build datasets needing Ray's hash-shuffle backend (Dataset.join,
+    repartition(keys=...)) inside this scope.
+
+    JOINS ONLY: never build a groupby/map_groups/aggregate under this
+    context — the hash-aggregate actor path deadlocks in small/busy
+    sessions (observed: groupby(_pid).map_groups hangs under HASH).
+    ``keyed_exchange`` needs no special context.
 
     Thread-safe: a process-wide lock serializes the construction windows
     so one thread's flip can't leak into another thread's dataset roots.
@@ -62,19 +106,3 @@ def _hash_shuffle_unlocked(num_aggregators: int = 8):
     finally:
         ctx.shuffle_strategy = old_strategy
         ctx.max_hash_shuffle_aggregators = old_max
-
-
-def grouped_aggregate(ds, keys, partial_fn, combine_fn, num_partitions: int = 8):
-    """Exact high-cardinality groupby-aggregate.
-
-    ``partial_fn``/``combine_fn`` are whole-batch pandas functions:
-    ``partial_fn`` aggregates raw rows to one row per key per block;
-    ``combine_fn`` merges partials (all rows for a key land in one
-    partition after the keyed exchange). The input ``ds`` and this call
-    must be created inside ``hash_shuffle()``.
-    """
-    return (
-        ds.map_batches(partial_fn, batch_format="pandas")
-        .repartition(num_partitions, keys=keys)
-        .map_batches(combine_fn, batch_format="pandas")
-    )

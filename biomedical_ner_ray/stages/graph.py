@@ -19,7 +19,7 @@ from __future__ import annotations
 import pandas as pd
 
 from ..state.broadcast import resolve
-from .exchange import hash_shuffle
+from .exchange import keyed_exchange
 
 EDGE_KEYS = ["subj_cui", "pred", "obj_cui"]
 
@@ -43,13 +43,10 @@ def nodes_stage(linked_mentions_factory, comp_ref, meta_ref, num_partitions: int
         out["type"] = out["cui"].map(lambda c: meta[c][1])
         return out[["cui", "canonical_name", "type", "mention_count"]]
 
-    with hash_shuffle():
-        partials = linked_mentions_factory().map_batches(
-            partial_counts, batch_format="pandas"
-        )
-        return partials.repartition(num_partitions, keys=["cui"]).map_batches(
-            combine, batch_format="pandas"
-        )
+    partials = linked_mentions_factory().map_batches(
+        partial_counts, batch_format="pandas"
+    )
+    return keyed_exchange(partials, ["cui"], combine, num_partitions)
 
 
 def edges_stage(triples_factory, comp_ref, num_partitions: int = 8):
@@ -73,11 +70,8 @@ def edges_stage(triples_factory, comp_ref, num_partitions: int = 8):
             df.groupby(EDGE_KEYS, sort=False)["n"].sum().reset_index(name="weight")
         )[EDGE_KEYS + ["weight"]]
 
-    with hash_shuffle():
-        partials = triples_factory().map_batches(partial, batch_format="pandas")
-        return partials.repartition(num_partitions, keys=EDGE_KEYS).map_batches(
-            combine, batch_format="pandas"
-        )
+    partials = triples_factory().map_batches(partial, batch_format="pandas")
+    return keyed_exchange(partials, EDGE_KEYS, combine, num_partitions)
 
 
 def node_meta(alias_rows: list[dict]) -> dict[str, tuple[str, str]]:

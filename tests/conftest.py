@@ -34,3 +34,14 @@ def alias_rows_fx():
     from biomedical_ner_ray.fixtures import alias_rows
 
     return alias_rows()
+
+
+def pytest_runtest_logreport(report):
+    # print failures IMMEDIATELY: session teardown can hang (ray.shutdown
+    # with wedged workers), which would otherwise swallow the report
+    if report.failed and report.when == "call":
+        print(f"\n=== FAILED-NOW {report.nodeid} ===", flush=True)
+        try:
+            print(report.longreprtext[:4000], flush=True)
+        except Exception:
+            pass

@@ -7,9 +7,10 @@ import tempfile
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet  # noqa: F401  (pa.parquet used below)
 import ray.data as rd
 
-from biomedical_ner_ray.stages.exchange import grouped_aggregate, hash_shuffle
+from biomedical_ner_ray.stages.exchange import grouped_aggregate
 
 
 def test_transient_udf_failure_is_retried(ray_session):
@@ -57,12 +58,30 @@ def test_grouped_aggregate_matches_pandas(ray_session):
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("k", sort=False)["s"].sum().reset_index()
 
-    with hash_shuffle():
-        ds = rd.from_pandas(rng).repartition(13)
-        out = grouped_aggregate(ds, ["k"], partial, combine).to_pandas()
+    ds = rd.from_pandas(rng).repartition(13)
+    out = grouped_aggregate(ds, ["k"], partial, combine).to_pandas()
 
     expected = rng.groupby("k")["v"].sum().reset_index(name="s")
     pd.testing.assert_frame_equal(
         out.sort_values("k").reset_index(drop=True),
         expected.sort_values("k").reset_index(drop=True),
     )
+
+
+def test_clear_errors_on_malformed_input(ray_session, tiny_fixture, tmp_path):
+    import pytest
+
+    from biomedical_ner_ray.pipelines.kg import run_kg_pipeline
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pa.parquet.write_table(
+        pa.table({"conv_id": ["a"], "turn_idx": pa.array([0], pa.int32())}),
+        str(bad / "x.parquet"),
+    )
+    with pytest.raises(ValueError, match="missing required column"):
+        run_kg_pipeline(str(bad), tiny_fixture["alias_dict"], str(tmp_path / "o1"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        run_kg_pipeline(str(empty), tiny_fixture["alias_dict"], str(tmp_path / "o2"))
