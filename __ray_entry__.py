@@ -21,7 +21,7 @@ from typing import Any
 from biomedical_ner_ray import queries as Q
 from biomedical_ner_ray.fixtures import ensure_fixture
 from biomedical_ner_ray.kernels.textstats import STOPWORDS
-from biomedical_ner_ray.kernels.tokenize import TOKEN_PATTERN
+from biomedical_ner_ray.kernels.tokenize import MAX_SEQ_LEN, TOKEN_PATTERN
 
 WORD_PATTERN = r"\w+"
 
@@ -104,6 +104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_topk_ivf": Q.ann_topk_ivf,
+        # embedding training (A8/A10): trained-KV pass-through + exact
+        # md5-replicated OOV/special init
+        "kg_embedding_matrix": Q.kg_embedding_matrix,
+        # CoNLL/TSV text source (S1)
+        "conll_token_table": Q.conll_token_table,
     }
 
 
@@ -139,9 +144,9 @@ cand AS (
          array_to_string(t.tk[g.i:g.i+nn.n-1], ' ') AS surface,
          lower(array_to_string(t.tk[g.i:g.i+nn.n-1], ' ')) AS key
   FROM toksq t,
-       unnest(generate_series(1, least(len(t.tk), 100))) AS g(i),
+       unnest(generate_series(1, least(len(t.tk), {MAX_SEQ_LEN}))) AS g(i),
        unnest([1,2,3,4]) AS nn(n)
-  WHERE g.i + nn.n - 1 <= least(len(t.tk), 100)
+  WHERE g.i + nn.n - 1 <= least(len(t.tk), {MAX_SEQ_LEN})
 ),
 matched AS (
   SELECT c.conv_id, c.turn_idx, c.i, c.n, c.surface,
@@ -400,14 +405,14 @@ FROM transcripts_fx""",
 SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts_fx
 WHERE md5_number_lower(conv_id || ':' || CAST(turn_idx AS VARCHAR)) % 10 < 6""",
         "kg_bio_tag_counts": pre
-        + """
+        + f"""
 , bi AS (
   SELECT 'B-' || type AS tag, CAST(count(*) AS BIGINT) AS n
   FROM mentionsq GROUP BY type
   UNION ALL
   SELECT 'I-' || type AS tag, CAST(sum(end_tok - start_tok) AS BIGINT) AS n
   FROM mentionsq GROUP BY type
-), tot AS (SELECT sum(least(len(tk), 100)) AS t FROM toksq),
+), tot AS (SELECT sum(least(len(tk), {MAX_SEQ_LEN})) AS t FROM toksq),
 ent AS (SELECT coalesce(sum(n), 0) AS e FROM bi)
 SELECT tag, CAST(n AS BIGINT) AS n_tokens FROM bi
 UNION ALL
@@ -659,9 +664,22 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, year(o_orderdate)""",
         "doc_dedup_simhash": _SIMHASH_SQL,
         "doc_dedup_jaccard": _JACCARD_SQL,
+        # replicates the IVF bucket rule: top-EMB_ASSIGN centroid
+        # multi-assignment (cos DESC, cid ASC), pairs within shared
+        # buckets only, then the exact cosine threshold
         "emb_neardup_pairs": f"""
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {Q.IVF_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c) t WHERE rn <= {Q.EMB_ASSIGN}
+)
+SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM assign aa JOIN assign ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+JOIN embeddings a ON a.vec_id = aa.vec_id
+JOIN embeddings b ON b.vec_id = ab.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {Q.EMB_COS_THRESHOLD}""",
         "ann_topk_ivf": f"""
 WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {Q.IVF_N_CENTROIDS}),
@@ -705,4 +723,99 @@ WITH q AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "kg_embedding_matrix": _embedding_matrix_sql(),
+        "conll_token_table": _conll_sql(),
     }
+
+
+def _conll_sql() -> str:
+    """Oracle for the S1 CoNLL reader: DuckDB read_text over the SAME
+    fixture file, replicating the reference's line semantics
+    (fonctions.py:17-59): strip → blank-line sentence boundary →
+    -DOCSTART-/malformed skip; sentence ordinals are dense over
+    non-empty sentences, file-local."""
+    from biomedical_ner_ray.fixtures import ensure_conll_fixture
+
+    path = ensure_conll_fixture("sf0.01")
+    ws = "' ' || chr(9) || chr(13)"
+    return f"""
+WITH lines AS (
+  SELECT unnest(string_split(content, chr(10))) AS raw,
+         generate_subscripts(string_split(content, chr(10)), 1) AS i
+  FROM read_text('{path}')
+),
+marked AS (
+  SELECT i, trim(raw, {ws}) AS ln,
+         sum(CASE WHEN trim(raw, {ws}) = '' THEN 1 ELSE 0 END)
+           OVER (ORDER BY i) AS grp
+  FROM lines
+),
+toks AS (
+  SELECT grp, i, string_split(ln, chr(9)) AS parts FROM marked
+  WHERE ln <> '' AND NOT starts_with(ln, '-DOCSTART-')
+    AND len(string_split(ln, chr(9))) >= 2
+),
+sids AS (
+  SELECT grp, CAST(dense_rank() OVER (ORDER BY grp) - 1 AS INTEGER) AS sent_idx
+  FROM (SELECT DISTINCT grp FROM toks)
+)
+SELECT 'train.tsv' AS path, s.sent_idx,
+       CAST(row_number() OVER (PARTITION BY t.grp ORDER BY t.i) - 1 AS INTEGER) AS tok_idx,
+       t.parts[1] AS token, t.parts[2] AS tag
+FROM toks t JOIN sids s USING (grp)"""
+
+
+def _embedding_matrix_sql() -> str:
+    """Value-exact oracle for the A10 matrix build: vocab ids replicated
+    (count desc / word asc after 3 specials — pipelines/dictionary.py),
+    trained rows read from the SAME kv.parquet the Ray side reads, and
+    PAD/UNK/NUM/OOV rows recomputed via the md5-derived deterministic
+    init (pipelines/embeddings.py::_rand_component)."""
+    from biomedical_ner_ray.pipelines.embeddings import (
+        SCALE_NUM,
+        SCALE_OOV,
+        SCALE_UNK,
+        SGNS_DIM,
+        ensure_embedding_artifacts,
+    )
+
+    p = ensure_fixture("sf0.01")
+    arts = ensure_embedding_artifacts(
+        p, __import__("os").path.join(p["dir"], "emb_sgns")
+    )
+
+    def rnd(scale: float) -> str:
+        return (
+            "(CAST(md5_number_lower(v.word || ':' || d.j) % 2001 AS BIGINT) - 1000)"
+            f" * CAST({scale} AS DOUBLE) / 1000.0"
+        )
+
+    return f"""
+WITH transcripts_fx AS (
+  SELECT * FROM read_parquet('{p["transcripts_glob"]}')
+),
+toks AS (
+  SELECT lower(unnest(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS w
+  FROM transcripts_fx
+),
+counts AS (SELECT w, count(*) AS n FROM toks GROUP BY w HAVING count(*) >= 2),
+vocab AS (
+  SELECT w AS word,
+         CAST(row_number() OVER (ORDER BY n DESC, w ASC) + 2 AS INTEGER) AS word_id
+  FROM counts
+  UNION ALL SELECT '<PAD>', 0 UNION ALL SELECT '<UNK>', 1 UNION ALL SELECT '<NUM>', 2
+),
+kv AS (SELECT word AS kw, vector FROM read_parquet('{arts["kv"]}')),
+dims AS (SELECT CAST(unnest(generate_series(0, {SGNS_DIM - 1})) AS INTEGER) AS j)
+SELECT v.word, v.word_id,
+       CASE WHEN v.word = '<PAD>' THEN 'pad'
+            WHEN v.word IN ('<UNK>', '<NUM>') THEN 'special'
+            WHEN k.kw IS NOT NULL THEN 'trained'
+            ELSE 'oov' END AS src,
+       d.j AS dim_idx,
+       CASE WHEN v.word = '<PAD>' THEN CAST(0.0 AS DOUBLE)
+            WHEN v.word = '<UNK>' THEN {rnd(SCALE_UNK)}
+            WHEN v.word = '<NUM>' THEN {rnd(SCALE_NUM)}
+            WHEN k.kw IS NOT NULL THEN k.vector[d.j + 1]
+            ELSE {rnd(SCALE_OOV)} END AS value
+FROM vocab v LEFT JOIN kv k ON v.word = k.kw CROSS JOIN dims d"""

@@ -283,3 +283,58 @@ def sf_name_from_dir(sf_dir: str) -> str:
     """Map a driver sf_dir like /root/testdata/sf0.01 to a fixture name."""
     base = os.path.basename(os.path.normpath(sf_dir))
     return base if base in SF_CONVS else "sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# CoNLL/TSV fixture (S1): a deterministic JNLPBA-shaped token\ttag file
+# with the format hazards the reference reader handles
+# (fonctions.py:17-59): -DOCSTART- lines, blank-line boundaries,
+# malformed (<2 field) lines, and a final unterminated sentence.
+# ---------------------------------------------------------------------------
+
+CONLL_VERSION = 1
+
+
+def generate_conll_text(n_sentences: int, seed: int = SEED) -> str:
+    rng = random.Random(seed + 7)
+    by_type = _surfaces_by_type()
+    types = sorted(by_type)
+    fillers = ["the", "expression", "of", "in", "cells", "was", "analysed",
+               "with", "binding", "assay", "results", "show", "activation"]
+    lines: list[str] = []
+    for s in range(n_sentences):
+        if s % 37 == 0:
+            lines.append("-DOCSTART-\t-X-")
+        if s % 53 == 17:
+            lines.append("malformed_line_no_tab")
+        n_tok = 4 + rng.randrange(8)
+        ent_at = rng.randrange(n_tok)
+        ent_type = types[rng.randrange(len(types))]
+        surface = by_type[ent_type][rng.randrange(len(by_type[ent_type]))]
+        ent_toks = surface.split(" ")
+        for i in range(n_tok):
+            if i == ent_at:
+                for j, et in enumerate(ent_toks):
+                    lines.append(f"{et}\t{'B' if j == 0 else 'I'}-{ent_type}")
+            else:
+                lines.append(f"{fillers[rng.randrange(len(fillers))]}\tO")
+        if s < n_sentences - 1:
+            lines.append("")  # final sentence is unterminated on purpose
+    return "\n".join(lines)
+
+
+def ensure_conll_fixture(sf_name: str) -> str:
+    """Idempotently write the CoNLL fixture file; returns its path."""
+    d = fixture_dir(sf_name)
+    out = os.path.join(d, "conll")
+    path = os.path.join(out, "train.tsv")
+    marker = os.path.join(out, "_complete.json")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(out, exist_ok=True)
+    n_sentences = max(SF_CONVS[sf_name] // 2, 50)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(generate_conll_text(n_sentences))
+    with open(marker, "w") as f:
+        json.dump({"version": CONLL_VERSION, "sentences": n_sentences}, f)
+    return path

@@ -154,19 +154,30 @@ def run_kg_pipeline(
     # (it only catches ModuleNotFoundError). Make the probe deterministic
     # with a stub module — we never touch HTTP filesystems, so the
     # isinstance check it feeds is correctly always False.
+    # The stub is SCOPED to the concurrent window (installed before the
+    # bucket threads start, removed right after they join) so library
+    # code never leaves a fake module behind for later importers; the
+    # sequential stages below hit the ordinary single-threaded import
+    # path, which Ray handles (ModuleNotFoundError is caught).
+    import sys as _sys
+    import types as _types
+
+    _stub_installed = False
     try:
         import fsspec.implementations.http  # noqa: F401
     except ImportError:
-        import sys as _sys
-        import types as _types
-
         _stub = _types.ModuleType("fsspec.implementations.http")
         _stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
         _sys.modules["fsspec.implementations.http"] = _stub
+        _stub_installed = True
 
     todo = [(b, files) for b, files in enumerate(buckets) if files]
-    with ThreadPoolExecutor(max_workers=bucket_parallelism) as ex:
-        ann_manifests = list(ex.map(lambda bf: run_bucket(*bf), todo))
+    try:
+        with ThreadPoolExecutor(max_workers=bucket_parallelism) as ex:
+            ann_manifests = list(ex.map(lambda bf: run_bucket(*bf), todo))
+    finally:
+        if _stub_installed:
+            _sys.modules.pop("fsspec.implementations.http", None)
     results["annotations"] = {
         "rows": sum(m["rows"] for m in ann_manifests),
         "skipped_buckets": sum(1 for m in ann_manifests if m["skipped"]),

@@ -35,7 +35,7 @@ from .kernels.textstats import (
     quality_features,
     quality_score,
 )
-from .kernels.tokenize import TOKEN_RE
+from .kernels.tokenize import MAX_SEQ_LEN, TOKEN_RE
 from .oracle import canonical_components
 from .stages.annotate import annotate_stage
 from .stages.explode import mentions_stage, triples_stage
@@ -197,7 +197,11 @@ def kg_components(sf_dir: str):
 def kg_vocab(sf_dir: str):
     """Reference create_vocab semantics (G1, creation_vocabulaire.py:3-62):
     lowercased app-tokenizer token counts with min_freq >= 2. Partial
-    per-batch counts → small groupby (combiner pattern)."""
+    per-batch counts → keyed hash exchange with a vectorized pandas
+    combine: a real corpus vocab has 10⁶–10⁸ keys, far past the ~5k
+    groups/s cliff of the built-in per-group aggregate."""
+    from .stages.exchange import keyed_exchange
+
     paths = _fixture(sf_dir)
     ds = _transcripts_ds(paths, columns=["text"])
 
@@ -209,14 +213,13 @@ def kg_vocab(sf_dir: str):
                 c[w] = c.get(w, 0) + 1
         return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
 
-    counts = (
-        _combine(ds.map_batches(partial, batch_format="pyarrow"))
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n_occurrences"))
-    )
-    return counts.map_batches(
-        lambda df: df[df["n_occurrences"] >= 2], batch_format="pandas"
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=False, as_index=False)["n"].sum()
+        g = g[g["n"] >= 2]
+        return g.rename(columns={"n": "n_occurrences"})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return keyed_exchange(parts, ["word"], combine)
 
 
 def kg_tag_mapping(sf_dir: str):
@@ -298,7 +301,10 @@ def kg_token_table(sf_dir: str):
 def kg_char_vocab(sf_dir: str):
     """Reference create_char_vocab semantics (G2,
     creation_vocabulaire.py:65-108): character counts over the
-    tokenizer's tokens (lowercased)."""
+    tokenizer's tokens (lowercased). Same keyed-exchange combine as
+    kg_vocab — char vocabs are small, but the shape stays uniform."""
+    from .stages.exchange import keyed_exchange
+
     paths = _fixture(sf_dir)
     ds = _transcripts_ds(paths, columns=["text"])
 
@@ -310,11 +316,12 @@ def kg_char_vocab(sf_dir: str):
                     c[ch] = c.get(ch, 0) + 1
         return pd.DataFrame({"ch": list(c.keys()), "n": list(c.values())})
 
-    return (
-        _combine(ds.map_batches(partial, batch_format="pyarrow"))
-        .groupby("ch")
-        .aggregate(Sum("n", alias_name="n_occurrences"))
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ch", sort=False, as_index=False)["n"].sum()
+        return g.rename(columns={"n": "n_occurrences"})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return keyed_exchange(parts, ["ch"], combine)
 
 
 def kg_split_assign(sf_dir: str):
@@ -375,7 +382,7 @@ def kg_bio_tag_counts(sf_dir: str):
         c: dict[str, int] = collections.defaultdict(int)
         total = 0
         for nt, ms in zip(batch["n_tokens"].to_pylist(), batch["mentions"].to_pylist()):
-            total += min(nt, 100)
+            total += min(nt, MAX_SEQ_LEN)
             for m in ms:
                 c["B-" + m["type"]] += 1
                 c["I-" + m["type"]] += m["end_tok"] - m["start_tok"]
@@ -397,7 +404,10 @@ def kg_bio_tag_counts(sf_dir: str):
 
 def doc_wordcount(sf_dir: str):
     """Word frequency (\\w+ over lowercased text), min_freq 2 — the G1
-    wordcount shape over the documents corpus."""
+    wordcount shape over the documents corpus, combined through the
+    keyed hash exchange (vocab-scale key cardinality)."""
+    from .stages.exchange import keyed_exchange
+
     ds = _tbl(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -409,14 +419,13 @@ def doc_wordcount(sf_dir: str):
                 c[w] = c.get(w, 0) + 1
         return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
 
-    counts = (
-        _combine(ds.map_batches(partial, batch_format="pyarrow"))
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n_occurrences"))
-    )
-    return counts.map_batches(
-        lambda df: df[df["n_occurrences"] >= 2], batch_format="pandas"
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=False, as_index=False)["n"].sum()
+        g = g[g["n"] >= 2]
+        return g.rename(columns={"n": "n_occurrences"})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return keyed_exchange(parts, ["word"], combine)
 
 
 def doc_top_words(sf_dir: str):
@@ -541,6 +550,8 @@ def doc_bigram_counts(sf_dir: str):
     """Word-bigram frequency over documents with min_freq ≥ 2 (the G1
     wordcount shape lifted to n-grams — the vocab build a subword /
     phrase model needs)."""
+    from .stages.exchange import keyed_exchange
+
     ds = _tbl(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -554,14 +565,13 @@ def doc_bigram_counts(sf_dir: str):
                 c[bg] = c.get(bg, 0) + 1
         return pd.DataFrame({"bigram": list(c.keys()), "n": list(c.values())})
 
-    counts = (
-        _combine(ds.map_batches(partial, batch_format="pyarrow"))
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n_occurrences"))
-    )
-    return counts.map_batches(
-        lambda df: df[df["n_occurrences"] >= 2], batch_format="pandas"
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", sort=False, as_index=False)["n"].sum()
+        g = g[g["n"] >= 2]
+        return g.rename(columns={"n": "n_occurrences"})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return keyed_exchange(parts, ["bigram"], combine)
 
 
 ANTI_JOIN_CUTOFF = "2000-01-01"
@@ -713,37 +723,91 @@ def doc_dedup_jaccard(sf_dir: str):
 
 
 EMB_COS_THRESHOLD = 0.45
+EMB_ASSIGN = 2  # multi-probe: each vector joins its top-2 centroid buckets
 
 
 def emb_neardup_pairs(sf_dir: str):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.45, vec_id_a < vec_id_b):
-    broadcast normalized matrix, per-batch matmul — the brute-force tier;
-    at cluster scale the matrix side is sharded or IVF-bucketed first."""
+    """Embedding-cosine near-dup via IVF bucketing — the 100TB shape.
+
+    16 deterministic centroids (the vectors with vec_id <
+    IVF_N_CENTROIDS, read with a pushed-down row filter — never the
+    full table); every vector is MULTI-ASSIGNED to its top-EMB_ASSIGN
+    centroids (cos desc, centroid-id asc tie-break); candidate pairs
+    exist only WITHIN a shared bucket (keyed exchange on the bucket id,
+    per-bucket vectorized matmul); pairs passing cos ≥ 0.45 with
+    vec_id_a < vec_id_b are deduped across shared buckets by a second
+    exchange on the pair key. Nothing broadcasts the corpus matrix and
+    no stage is O(N²): per-bucket work is O((N/C)²·d) and C (the
+    centroid count) scales with the corpus. The SQL oracle replicates
+    the bucket rule exactly, so the check stays value-exact."""
+    from .stages.exchange import keyed_exchange
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    vids = np.asarray(t["vec_id"].to_pylist())
-    mat = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((vids, mat))
+    cent = pq.read_table(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", IVF_N_CENTROIDS)],
+    )
+    cdf = cent.to_pandas().sort_values("vec_id")
+    cmat = np.stack([np.asarray(e, dtype=np.float64) for e in cdf["embedding"]])
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    ref = ray.put(cmat)
 
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
-    def pairs(batch: pa.Table) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pd.DataFrame:
         from .state.broadcast import resolve
 
-        all_vids, all_mat = resolve(ref)
-        bvids = np.asarray(batch["vec_id"].to_pylist())
-        bmat = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-        )
-        bmat = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
-        cos = bmat @ all_mat.T
-        ii, jj = np.nonzero((cos >= EMB_COS_THRESHOLD) & (bvids[:, None] < all_vids[None, :]))
+        cm = resolve(ref)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype="int64")
+        embs = batch["embedding"].to_pylist()
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = nm @ cm.T  # [B, C]
+        # stable argsort of -cos keeps ascending cid on ties → exactly
+        # the oracle's (cos DESC, cid ASC) probe order
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :EMB_ASSIGN]
+        frames = []
+        for a in range(EMB_ASSIGN):
+            frames.append(
+                pd.DataFrame(
+                    {"bucket": top[:, a].astype("int64"), "vec_id": vids, "emb": embs}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            vids = g["vec_id"].to_numpy()
+            m = np.stack([np.asarray(e, dtype=np.float64) for e in g["emb"]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cos = m @ m.T
+            ii, jj = np.nonzero(
+                (cos >= EMB_COS_THRESHOLD) & (vids[:, None] < vids[None, :])
+            )
+            out_a.append(vids[ii])
+            out_b.append(vids[jj])
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype="int64")
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype="int64")
         return pd.DataFrame(
-            {"vec_id_a": bvids[ii].astype("int64"), "vec_id_b": all_vids[jj].astype("int64")}
+            {"vec_id_a": a.astype("int64"), "vec_id_b": b.astype("int64")}
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=1024)
+    pairs = keyed_exchange(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=1024),
+        ["bucket"],
+        bucket_pairs,
+    )
+    # a pair can surface in up to EMB_ASSIGN shared buckets — dedupe
+    return keyed_exchange(
+        pairs,
+        ["vec_id_a", "vec_id_b"],
+        lambda df: df.drop_duplicates(),
+        2,
+    )
 
 
 IVF_N_CENTROIDS = 16
@@ -754,9 +818,16 @@ def ann_topk_ivf(sf_dir: str):
     """IVF-style approximate top-k: deterministic centroids (the vectors
     with vec_id < 16), every vector assigned to its max-cosine centroid,
     queries probe their 4 nearest centroid buckets only. Same output
-    shape as ann_topk; the SQL oracle replicates the probe logic exactly."""
+    shape as ann_topk; the SQL oracle replicates the probe logic exactly.
+
+    Setup reads ONLY the centroid/query rows via parquet filter
+    pushdown (row-group pruning) — never the whole embeddings table."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    t = pq.read_table(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max(IVF_N_CENTROIDS, ANN_N_QUERIES))],
+    )
     df = t.to_pandas()
     df["norm_emb"] = df["embedding"].map(
         lambda e: (lambda v: v / np.linalg.norm(v))(np.asarray(e, dtype=np.float64))
@@ -1033,18 +1104,25 @@ def kg_conv_turn_gaps(sf_dir: str):
         )
         return pd.concat([cur, prev], ignore_index=True)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def merge(df: pd.DataFrame) -> pa.Table:
         cur = df[~df["is_prev"]]
         prev = df[df["is_prev"]][["conv_id", "turn_idx", "ts_us"]].rename(
             columns={"ts_us": "prev_us"}
         )
         out = cur.merge(prev, on=["conv_id", "turn_idx"], how="left")
-        gap = (out["ts_us"] - out["prev_us"]).astype("Int64")
-        return pd.DataFrame(
+        # Emit gap_us as an Arrow int64 with REAL nulls (first turn of a
+        # conversation has no predecessor) — a pandas nullable Int64
+        # column hashes as <NA> downstream and diverges from SQL NULL.
+        prev_us = out["prev_us"].to_numpy(dtype="float64", na_value=np.nan)
+        missing = np.isnan(prev_us)
+        gap_vals = (
+            out["ts_us"].to_numpy(dtype="int64") - np.nan_to_num(prev_us)
+        ).astype("int64")
+        return pa.table(
             {
-                "conv_id": out["conv_id"],
-                "turn_idx": out["turn_idx"].astype("int32"),
-                "gap_us": gap,
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"].to_numpy(dtype="int32")),
+                "gap_us": pa.array(gap_vals, pa.int64(), mask=missing),
             }
         )
 
@@ -1056,6 +1134,57 @@ def kg_conv_turn_gaps(sf_dir: str):
         merge,
         num_partitions=8,
     )
+
+
+def conll_token_table(sf_dir: str):
+    """S1 CoNLL/TSV source: the reference's JNLPBA reader
+    (fonctions.py:17-59) as a Ray Data source over a generated TSV
+    fixture — blank-line sentence boundaries, -DOCSTART- and malformed
+    line skips, final-sentence flush. One row per token; the DuckDB
+    oracle parses the SAME file via read_text + window functions."""
+    from .fixtures import ensure_conll_fixture
+    from .sources.conll import read_conll
+
+    path = ensure_conll_fixture(sf_name_from_dir(sf_dir))
+    return read_conll(path)
+
+
+def kg_embedding_matrix(sf_dir: str):
+    """A8/A10/J4/S6: SGNS-trained keyed vectors + vocab-aligned embedding
+    matrix (pipelines/embeddings.py; reference fonctions.py:165-195
+    trainer, :239-273 matrix build), exploded to one row per (word,
+    dimension) so every float is value-checked by the SQL oracle: the
+    trained rows are a pass-through of the kv.parquet artifact (both
+    sides read the same file) and the PAD/UNK/NUM/OOV rows use the
+    md5-derived deterministic init the oracle replicates exactly."""
+    import pyarrow.compute as pc
+
+    from .pipelines.embeddings import SGNS_DIM, ensure_embedding_artifacts
+
+    paths = _fixture(sf_dir)
+    arts = ensure_embedding_artifacts(
+        paths, os.path.join(paths["dir"], "emb_sgns")
+    )
+    ds = rd.read_parquet(arts["matrix"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        vec = batch["vector"]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        parent = pc.list_parent_indices(vec)
+        return pa.table(
+            {
+                "word": pc.take(batch["word"], parent),
+                "word_id": pc.take(batch["word_id"], parent),
+                "src": pc.take(batch["src"], parent),
+                "dim_idx": pa.array(
+                    np.tile(np.arange(SGNS_DIM, dtype=np.int32), batch.num_rows)
+                ),
+                "value": vec.flatten(),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 SLIDE_WINDOW_MIN = 30
@@ -1184,10 +1313,12 @@ def nation_revenue(sf_dir: str):
     nat = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
+    name_of_nation = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
     nation_of_cust = dict(
-        zip(cust["c_custkey"].to_pylist(),
-            (dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))[k]
-             for k in cust["c_nationkey"].to_pylist()))
+        zip(
+            cust["c_custkey"].to_pylist(),
+            (name_of_nation[k] for k in cust["c_nationkey"].to_pylist()),
+        )
     )
     ref = ray.put(nation_of_cust)
     ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -1277,9 +1408,14 @@ ANN_K = 5
 def ann_topk(sf_dir: str):
     """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
     matmul partial top-k, tiny final per-query merge. Scale path: partials
-    shrink the candidate stream from O(N×Q) to O(batches×Q×k)."""
+    shrink the candidate stream from O(N×Q) to O(batches×Q×k). The
+    query rows are read with a pushed-down row filter, not a full scan."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qt = pq.read_table(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", ANN_N_QUERIES)],
+    )
     qdf = qt.to_pandas()
     qdf = qdf[qdf["vec_id"] < ANN_N_QUERIES].sort_values("vec_id")
     qids = qdf["vec_id"].to_numpy()

@@ -222,10 +222,16 @@ def minhash_pairs_join(docs_ds_factory, num_partitions: int = 8):
         2,
     )
     import os
+    import shutil
 
-    handoff = os.path.join(
-        tempfile.gettempdir(), "graft_minhash_cands", uuid.uuid4().hex
-    )
+    # The handoff must outlive this function (the returned dataset reads
+    # it lazily), so it can't be deleted here. Bound the disk footprint
+    # instead: sweep prior invocations' handoffs at entry (bench/driver
+    # run queries serially; a cluster run would keep these as resumable
+    # checkpoints under the job's scratch dir and reap them with the job).
+    base = os.path.join(tempfile.gettempdir(), "graft_minhash_cands")
+    shutil.rmtree(base, ignore_errors=True)
+    handoff = os.path.join(base, uuid.uuid4().hex)
     cands_out.write_parquet(handoff)
 
     # phase 2 (hash context): shingle fetch for candidates via two joins
