@@ -109,6 +109,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_embedding_matrix": Q.kg_embedding_matrix,
         # CoNLL/TSV text source (S1)
         "conll_token_table": Q.conll_token_table,
+        # balance/augmentation pipeline (G8 + M11): targets and the
+        # deterministic copy allocation are SQL-exact; the augmented
+        # corpus itself is model-driven (rows-only check)
+        "balance_targets": Q.balance_targets,
+        "balance_assign": Q.balance_assign,
+        "balance_augmented": Q.balance_augmented,
     }
 
 
@@ -725,15 +731,20 @@ SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
         "kg_embedding_matrix": _embedding_matrix_sql(),
         "conll_token_table": _conll_sql(),
+        "balance_targets": _balance_targets_sql(),
+        "balance_assign": _balance_assign_sql(),
+        # balance_augmented intentionally has NO oracle entry: its word
+        # substitutions come from the trained model's top-k neighbors
+        # (not SQL-expressible); the driver records the rows-only check
     }
 
 
-def _conll_sql() -> str:
-    """Oracle for the S1 CoNLL reader: DuckDB read_text over the SAME
-    fixture file, replicating the reference's line semantics
+def _conll_cte() -> str:
+    """Shared CTE bank parsing the CoNLL fixture file with DuckDB
+    read_text, replicating the reference's line semantics
     (fonctions.py:17-59): strip → blank-line sentence boundary →
-    -DOCSTART-/malformed skip; sentence ordinals are dense over
-    non-empty sentences, file-local."""
+    -DOCSTART-/malformed skip; sentence ordinals dense over non-empty
+    sentences, file-local."""
     from biomedical_ner_ray.fixtures import ensure_conll_fixture
 
     path = ensure_conll_fixture("sf0.01")
@@ -750,19 +761,99 @@ marked AS (
            OVER (ORDER BY i) AS grp
   FROM lines
 ),
-toks AS (
+ctoks AS (
   SELECT grp, i, string_split(ln, chr(9)) AS parts FROM marked
   WHERE ln <> '' AND NOT starts_with(ln, '-DOCSTART-')
     AND len(string_split(ln, chr(9))) >= 2
 ),
-sids AS (
+csids AS (
   SELECT grp, CAST(dense_rank() OVER (ORDER BY grp) - 1 AS INTEGER) AS sent_idx
-  FROM (SELECT DISTINCT grp FROM toks)
+  FROM (SELECT DISTINCT grp FROM ctoks)
+),
+stoks AS (
+  SELECT s.sent_idx, t.grp, t.i, t.parts[1] AS token, t.parts[2] AS tag
+  FROM ctoks t JOIN csids s USING (grp)
+)"""
+
+
+def _conll_sql() -> str:
+    return (
+        _conll_cte()
+        + """
+SELECT 'train.tsv' AS path, sent_idx,
+       CAST(row_number() OVER (PARTITION BY grp ORDER BY i) - 1 AS INTEGER) AS tok_idx,
+       token, tag
+FROM stoks"""
+    )
+
+
+# G8 target arithmetic shared by both balance oracles; integer forms
+# mirror pipelines/balance.py::compute_targets exactly
+_BALANCE_TGT_CTE = """,
+bcounts AS (
+  SELECT tag, CAST(count(*) AS BIGINT) AS n FROM stoks WHERE tag <> 'O' GROUP BY tag
+),
+bmeds AS (
+  SELECT CASE WHEN len(l) % 2 = 1 THEN l[len(l)//2 + 1]
+              ELSE (l[len(l)//2] + l[len(l)//2 + 1]) // 2 END AS med,
+         list_max(l) AS mx
+  FROM (SELECT list(n ORDER BY n) AS l FROM bcounts)
+),
+btgt AS (
+  SELECT c.tag, c.n,
+         CASE WHEN c.tag IN ('B-RNA','I-RNA') THEN least(m.med*2, m.mx)
+              WHEN c.n < m.med THEN least(m.med*12//10, m.mx*8//10)
+              ELSE c.n END AS target
+  FROM bcounts c, bmeds m
+),
+bdef AS (SELECT tag, n, target, greatest(0, target - n) AS deficit FROM btgt)"""
+
+
+def _balance_targets_sql() -> str:
+    return (
+        _conll_cte()
+        + _BALANCE_TGT_CTE
+        + """
+SELECT tag, n, CAST(target AS BIGINT) AS target, CAST(deficit AS BIGINT) AS deficit
+FROM bdef"""
+    )
+
+
+def _balance_assign_sql() -> str:
+    return (
+        _conll_cte()
+        + _BALANCE_TGT_CTE
+        + """,
+sent_tag AS (SELECT DISTINCT sent_idx, tag FROM stoks WHERE tag <> 'O'),
+rare AS (
+  SELECT st.sent_idx, st.tag, d.deficit FROM sent_tag st
+  JOIN bdef d USING (tag) WHERE d.deficit > 0
+),
+scls AS (
+  SELECT sent_idx,
+         CASE WHEN bool_or(tag IN ('B-RNA','I-RNA')) THEN 'rna' ELSE 'other' END AS cls
+  FROM rare GROUP BY sent_idx
+),
+ncls AS (SELECT cls, count(*) AS n FROM scls GROUP BY cls),
+bud AS (
+  SELECT coalesce(sum(CASE WHEN tag IN ('B-RNA','I-RNA') THEN deficit END), 0) AS b_rna,
+         coalesce(sum(CASE WHEN tag NOT IN ('B-RNA','I-RNA') THEN deficit END), 0) AS b_other
+  FROM bdef
+),
+quota AS (
+  SELECT 'rna' AS cls,
+         CASE WHEN b.b_rna = 0 THEN 0
+              ELSE least(20, (b.b_rna + greatest(coalesce(n.n, 0), 1) - 1) // greatest(coalesce(n.n, 0), 1)) END AS q
+  FROM bud b LEFT JOIN ncls n ON n.cls = 'rna'
+  UNION ALL
+  SELECT 'other',
+         CASE WHEN b.b_other = 0 THEN 0
+              ELSE least(3, (b.b_other + greatest(coalesce(n.n, 0), 1) - 1) // greatest(coalesce(n.n, 0), 1)) END
+  FROM bud b LEFT JOIN ncls n ON n.cls = 'other'
 )
-SELECT 'train.tsv' AS path, s.sent_idx,
-       CAST(row_number() OVER (PARTITION BY t.grp ORDER BY t.i) - 1 AS INTEGER) AS tok_idx,
-       t.parts[1] AS token, t.parts[2] AS tag
-FROM toks t JOIN sids s USING (grp)"""
+SELECT 'train.tsv:' || c.sent_idx AS sent_id, c.cls, CAST(q.q AS BIGINT) AS n_copies
+FROM scls c JOIN quota q USING (cls)"""
+    )
 
 
 def _embedding_matrix_sql() -> str:

@@ -1149,6 +1149,84 @@ def conll_token_table(sf_dir: str):
     return read_conll(path)
 
 
+def _conll_sentences(sf_dir: str):
+    from .fixtures import ensure_conll_fixture
+    from .sources.conll import read_conll_sentences
+
+    path = ensure_conll_fixture(sf_name_from_dir(sf_dir))
+    return path, read_conll_sentences(path)
+
+
+def balance_targets(sf_dir: str):
+    """G8 deficit targets (fonctionsFaxtText.py:687-709) over the CoNLL
+    fixture: distributed G4 tag counts → driver integer arithmetic
+    (median/max boosts in exact integer form). Output (tag, n, target,
+    deficit) — the SQL oracle replicates the whole computation."""
+    from .pipelines.balance import compute_targets, tag_counts
+
+    _, sents = _conll_sentences(sf_dir)
+    cdf = tag_counts(sents).to_pandas()
+    out = compute_targets(dict(zip(cdf["tag"], cdf["n"].astype(int))))
+    return out.astype({"n": "int64", "target": "int64", "deficit": "int64"})
+
+
+def balance_assign(sf_dir: str):
+    """M11 allocation surface: per-sentence deterministic copy quota
+    (sent_id, cls, n_copies) — the closed-form replacement for the
+    reference's sequential deficit loop; SQL-exact."""
+    from .pipelines.balance import assign_copies, compute_targets, tag_counts
+
+    _, sents = _conll_sentences(sf_dir)
+    cdf = tag_counts(sents).to_pandas()
+    targets = compute_targets(dict(zip(cdf["tag"], cdf["n"].astype(int))))
+    _, sents2 = _conll_sentences(sf_dir)
+    return assign_copies(sents2, targets)
+
+
+def balance_augmented(sf_dir: str):
+    """M11+G8 end-to-end: augmented+downsampled corpus token rows.
+    Model-top-k based, so no SQL oracle (rows-only driver check); the
+    deterministic sub-steps are oracle-checked by balance_targets /
+    balance_assign, and pytest asserts convergence + determinism."""
+    from .pipelines.balance import run_balance_pipeline
+    from .pipelines.embeddings import ensure_embedding_artifacts
+
+    paths = _fixture(sf_dir)
+    arts = ensure_embedding_artifacts(paths, os.path.join(paths["dir"], "emb_sgns"))
+    path, _ = _conll_sentences(sf_dir)
+    from .sources.conll import read_conll_sentences
+
+    final, _report = run_balance_pipeline(
+        lambda: read_conll_sentences(path), arts["kv"]
+    )
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        sids, copies, tis, toks, tags = [], [], [], [], []
+        for sid, ci, tk, tg in zip(
+            batch["sent_id"].to_pylist(),
+            batch["copy_idx"].to_pylist(),
+            batch["tokens"].to_pylist(),
+            batch["tags"].to_pylist(),
+        ):
+            for i, (w, t) in enumerate(zip(tk, tg)):
+                sids.append(sid)
+                copies.append(ci)
+                tis.append(i)
+                toks.append(w)
+                tags.append(t)
+        return pd.DataFrame(
+            {
+                "sent_id": sids,
+                "copy_idx": pd.array(copies, dtype="int32"),
+                "tok_idx": pd.array(tis, dtype="int32"),
+                "token": toks,
+                "tag": tags,
+            }
+        )
+
+    return final.map_batches(explode, batch_format="pyarrow")
+
+
 def kg_embedding_matrix(sf_dir: str):
     """A8/A10/J4/S6: SGNS-trained keyed vectors + vocab-aligned embedding
     matrix (pipelines/embeddings.py; reference fonctions.py:165-195

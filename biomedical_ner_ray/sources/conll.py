@@ -83,6 +83,26 @@ def read_conll(paths: list[str] | str):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def read_conll_sentences(paths: list[str] | str):
+    """Dataset of sentence rows (sent_id, tokens list<string>,
+    tags list<string>) — the reference's list-of-(token, tag) sentence
+    unit, with ``sent_id = '<basename>:<sent_idx>'`` stable across runs."""
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pd.DataFrame:
+        sids, toks, tags = [], [], []
+        for p, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            df = parse_conll_bytes(data, p)
+            for (base, si), g in df.groupby(["path", "sent_idx"], sort=True):
+                g = g.sort_values("tok_idx")
+                sids.append(f"{base}:{si}")
+                toks.append(g["token"].tolist())
+                tags.append(g["tag"].tolist())
+        return pd.DataFrame({"sent_id": sids, "tokens": toks, "tags": tags})
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 def sentences_from_tokens(df: pd.DataFrame) -> list[list[tuple[str, str]]]:
     """Reassemble reference-shaped sentences (list of (token, tag) lists)
     from the flat token table — test/conformance helper."""
