@@ -78,31 +78,54 @@ class CharFeaturizer:
     (embedding lookup + char channel + quadratic attention + emission
     projection) while staying deterministic and dependency-free."""
 
-    def __init__(self, num_tags: int, seed: int = 2024):
+    def __init__(
+        self,
+        num_tags: int,
+        seed: int = 2024,
+        embedding_table: dict[str, np.ndarray] | None = None,
+        emb_dim: int | None = None,
+    ):
         rng = np.random.RandomState(seed)
+        if emb_dim is None:
+            emb_dim = (
+                len(next(iter(embedding_table.values())))
+                if embedding_table
+                else WORD_EMB_DIM
+            )
+        self.emb_dim = emb_dim
         self.proj = rng.randn(CHAR_FEATURE_DIM, CHAR_FILTERS)
-        self.emb_proj = rng.randn(WORD_EMB_DIM, CHAR_FILTERS)
+        self.emb_proj = rng.randn(emb_dim, CHAR_FILTERS)
         self.out = rng.randn(2 * CHAR_FILTERS, num_tags)
         self.num_tags = num_tags
+        # TRAINED embedding table (A10 artifact, J4 lookup) when given;
+        # hash-derived vectors remain the OOV fallback
+        self._trained = embedding_table or {}
         self._emb_cache: dict[str, np.ndarray] = {}
 
+    def parameters(self) -> dict[str, np.ndarray]:
+        """Named parameter dict — the state_dict analog checkpoints act on."""
+        return {"proj": self.proj, "emb_proj": self.emb_proj, "out": self.out}
+
     def word_embeddings(self, tokens: list[str]) -> np.ndarray:
-        """[T, WORD_EMB_DIM] deterministic hash-derived embeddings,
-        memoized per distinct token — the A10 embedding-matrix lookup
-        (the cache IS the actor's embedding table, built lazily)."""
+        """[T, emb_dim] embeddings: trained vector when the token is in
+        the loaded matrix artifact (J4), else a deterministic
+        hash-derived vector memoized per distinct token — mirroring the
+        reference's trained-matrix + random-OOV split (A10)."""
         from zlib import crc32
 
         cache = self._emb_cache
         T = len(tokens)
-        emb = np.empty((T, WORD_EMB_DIM), dtype=np.float64)
+        emb = np.empty((T, self.emb_dim), dtype=np.float64)
         for ti, tok in enumerate(tokens):
             key = tok.lower()
-            v = cache.get(key)
+            v = self._trained.get(key)
             if v is None:
-                h = crc32(key.encode("utf-8"))
-                v = np.random.RandomState(h & 0x7FFFFFFF).randn(WORD_EMB_DIM)
-                if len(cache) < 500_000:  # bound actor memory
-                    cache[key] = v
+                v = cache.get(key)
+                if v is None:
+                    h = crc32(key.encode("utf-8"))
+                    v = np.random.RandomState(h & 0x7FFFFFFF).randn(self.emb_dim)
+                    if len(cache) < 500_000:  # bound actor memory
+                        cache[key] = v
             emb[ti] = v
         return emb
 
@@ -169,13 +192,47 @@ def viterbi_decode(emissions: np.ndarray, trans: np.ndarray) -> list[int]:
 
 class CRFScorer:
     """Load-once scorer state (tagset, transitions, char featurizer) —
-    the learned-model analog of AliasDict for the annotate stage."""
+    the learned-model analog of AliasDict for the annotate stage.
 
-    def __init__(self, types: list[str]):
+    Optional artifacts, both loaded ONCE here (A1 contract):
+    - ``embedding_matrix_path``: the A10 vocab-aligned matrix parquet
+      (pipelines/embeddings.py) — trained vectors replace the hash
+      fallback for in-vocab words (J4).
+    - ``checkpoint_path``: an .npz parameter checkpoint restored with
+      the reference's strict-then-partial shape-filtered semantics
+      (S5, app.py:181-205 via state/checkpoint.load_into); the load
+      report lands in ``self.checkpoint_report``.
+
+    The decode-equivalence guarantee is UNAFFECTED by either artifact:
+    emission perturbations stay |s| ≤ FEATURE_SCALE (tanh-bounded), far
+    under the dictionary prior."""
+
+    def __init__(
+        self,
+        types: list[str],
+        embedding_matrix_path: str | None = None,
+        checkpoint_path: str | None = None,
+    ):
         self.tags = bio_tagset(types)
         self.tag_index = {t: i for i, t in enumerate(self.tags)}
         self.trans = bio_transitions(self.tags)
-        self.featurizer = CharFeaturizer(len(self.tags))
+        table = None
+        if embedding_matrix_path:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(embedding_matrix_path, columns=["word", "vector"])
+            table = {
+                w: np.asarray(v, dtype=np.float64)
+                for w, v in zip(t["word"].to_pylist(), t["vector"].to_pylist())
+            }
+        self.featurizer = CharFeaturizer(len(self.tags), embedding_table=table)
+        self.checkpoint_report: dict | None = None
+        if checkpoint_path:
+            from ..state.checkpoint import load_into
+
+            self.checkpoint_report = load_into(
+                checkpoint_path, self.featurizer.parameters()
+            )
 
     def decode(self, tokens: list[str], dict_tags: list[str]) -> list[str]:
         """Viterbi-decode the first MAX_SEQ_LEN tokens; guaranteed equal

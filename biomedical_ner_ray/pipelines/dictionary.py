@@ -38,7 +38,10 @@ SPECIALS = ("<PAD>", "<UNK>", "<NUM>")
 
 
 def _word_counts(ds):
-    from ray.data.aggregate import Sum
+    """Vocab-scale wordcount through the keyed hash exchange — the
+    built-in per-group aggregate runs ~5k groups/s and a corpus vocab is
+    10⁶–10⁸ keys (stages/exchange.py policy)."""
+    from ..stages.exchange import keyed_exchange
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         c: dict[str, int] = {}
@@ -48,11 +51,11 @@ def _word_counts(ds):
                 c[w] = c.get(w, 0) + 1
         return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(8)
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", sort=False, as_index=False)["n"].sum()
+
+    return keyed_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), ["word"], combine
     )
 
 
@@ -97,7 +100,7 @@ def build_dictionary_artifacts(
 
     # -- char vocab (G2) --
     def build_chars(tmp):
-        from ray.data.aggregate import Sum
+        from ..stages.exchange import keyed_exchange
 
         def partial(batch: pa.Table) -> pd.DataFrame:
             c: dict[str, int] = {}
@@ -107,11 +110,15 @@ def build_dictionary_artifacts(
                         c[ch] = c.get(ch, 0) + 1
             return pd.DataFrame({"ch": list(c.keys()), "n": list(c.values())})
 
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("ch", sort=False, as_index=False)["n"].sum()
+
         counts = (
-            read().map_batches(partial, batch_format="pyarrow")
-            .repartition(8)
-            .groupby("ch")
-            .aggregate(Sum("n", alias_name="n"))
+            keyed_exchange(
+                read().map_batches(partial, batch_format="pyarrow"),
+                ["ch"],
+                combine,
+            )
             .to_pandas()
             .sort_values(["n", "ch"], ascending=[False, True])
         )

@@ -213,14 +213,16 @@ def run_kg_pipeline(
                     lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
                 )
 
-            # sorted single-file artifact: keyed-exchange group→block
-            # coalescing is scheduler-dependent, and the resume guarantee
-            # is BYTE-identical rebuilt outputs; the node table is a
-            # post-aggregation artifact (#distinct CUIs), small enough —
-            # at 10^8+ keys shard by key-hash dirs instead
-            nodes_stage(lm_factory, comp_ref, meta_ref).sort("cui").repartition(
-                1
-            ).write_parquet(tmp)
+            # key-hash-sharded deterministic artifact: every shard is a
+            # stable subset (hash(cui) % N) written sorted as its own
+            # part file, so reruns are byte-identical per shard and no
+            # global sort→repartition(1) single-file bottleneck exists —
+            # at 10^8+ keys just raise n_shards
+            from ..stages.exchange import sharded_sorted_write
+
+            sharded_sorted_write(
+                nodes_stage(lm_factory, comp_ref, meta_ref), ["cui"], tmp
+            )
 
         n = mf.run_stage(
             "nodes", nodes_dir, mf.fingerprint(STAGE_VERSION, "nodes", ann_fp), build_nodes
@@ -239,10 +241,18 @@ def run_kg_pipeline(
         )
 
         def build_edges(tmp):
-            edges_stage(
-                lambda: _read(triples_dir, columns=["subj_cui", "pred", "obj_cui"]),
-                comp_ref,
-            ).sort(["subj_cui", "pred", "obj_cui"]).repartition(1).write_parquet(tmp)
+            from ..stages.exchange import sharded_sorted_write
+
+            sharded_sorted_write(
+                edges_stage(
+                    lambda: _read(
+                        triples_dir, columns=["subj_cui", "pred", "obj_cui"]
+                    ),
+                    comp_ref,
+                ),
+                ["subj_cui", "pred", "obj_cui"],
+                tmp,
+            )
 
         e = mf.run_stage(
             "edges", edges_dir, mf.fingerprint(STAGE_VERSION, "edges", ann_fp), build_edges

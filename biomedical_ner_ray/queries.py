@@ -67,6 +67,15 @@ def _fixture(sf_dir: str) -> dict[str, str]:
     return ensure_fixture(sf_name_from_dir(sf_dir))
 
 
+def _strip_meta(ds):
+    """Drop schema metadata (testdata parquet carries a pandas dict that
+    the hash-shuffle aggregators fail to hash, logging noise on every
+    join input block)."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def _alias_rows(paths: dict) -> list[dict]:
     return pq.read_table(paths["alias_dict"]).to_pylist()
 
@@ -578,35 +587,38 @@ ANTI_JOIN_CUTOFF = "2000-01-01"
 
 
 def customers_without_orders(sf_dir: str):
-    """Broadcast ANTI-join: customers with no order since
-    ANTI_JOIN_CUTOFF (churn-style query). The orders side is filtered
-    at the read, reduced to a distinct-custkey set per block, unioned
-    driver-side (bounded by #customers), then broadcast as the filter."""
-    ds_orders = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    """Distributed ANTI-join: customers with no order since
+    ANTI_JOIN_CUTOFF (churn-style query) via Ray's native left_anti
+    hash join — no driver-side key-set accumulation, so the operator
+    scales to 10⁸ customers. The orders side is filtered at the read
+    and reduced to per-block distinct keys before the exchange."""
+    from .stages.exchange import hash_shuffle
+
     cutoff = pd.Timestamp(ANTI_JOIN_CUTOFF)
 
-    def recent_keys(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"k": df.loc[df["o_orderdate"] >= cutoff, "o_custkey"].unique()}
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        # pure-Arrow (no pandas schema metadata — the hash-shuffle
+        # aggregators hash block schemas and dict metadata breaks it)
+        import pyarrow.compute as pc
+
+        ts = pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+        mask = pc.greater_equal(ts, pa.scalar(cutoff, type=pa.timestamp("us")))
+        return pa.table(
+            {"c_custkey": pc.unique(batch["o_custkey"].filter(mask))}
         )
 
-    have = set()
-    for b in ds_orders.map_batches(
-        recent_keys, batch_format="pandas"
-    ).iter_batches(batch_format="pyarrow"):
-        have.update(b["k"].to_pylist())
-    have_ref = ray.put(have)
-
-    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
-
-    def anti(batch: pa.Table) -> pa.Table:
-        from .state.broadcast import resolve
-
-        h = resolve(have_ref)
-        mask = pa.array([k not in h for k in batch["c_custkey"].to_pylist()])
-        return batch.filter(mask)
-
-    return cust.map_batches(anti, batch_format="pyarrow")
+    with hash_shuffle():
+        orders = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        have = orders.map_batches(recent_keys, batch_format="pyarrow")
+        cust = _strip_meta(
+            _tbl(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+        )
+        return cust.join(
+            have,
+            join_type="left_anti",
+            num_partitions=8,
+            on=("c_custkey",),
+        )
 
 
 def suppliers_in_region(sf_dir: str, region: str = "ASIA"):
@@ -672,8 +684,10 @@ def segment_year_revenue(sf_dir: str):
     from .stages.exchange import hash_shuffle
 
     with hash_shuffle():
-        orders = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
-        cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        orders = _strip_meta(
+            _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+        )
+        cust = _strip_meta(_tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]))
         joined = orders.join(
             cust, join_type="inner", num_partitions=8,
             on=("o_custkey",), right_on=("c_custkey",),

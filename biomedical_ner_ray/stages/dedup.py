@@ -232,7 +232,13 @@ def minhash_pairs_join(docs_ds_factory, num_partitions: int = 8):
     base = os.path.join(tempfile.gettempdir(), "graft_minhash_cands")
     shutil.rmtree(base, ignore_errors=True)
     handoff = os.path.join(base, uuid.uuid4().hex)
-    cands_out.write_parquet(handoff)
+    # strip pandas schema metadata before the write: the hash-shuffle
+    # aggregators hash block schemas for dedup, and a schema whose
+    # metadata carries the pandas dict logs "Failed to hash the schemas"
+    # on every aggregator (benign but noisy)
+    cands_out.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    ).write_parquet(handoff)
 
     # phase 2 (hash context): shingle fetch for candidates via two joins
     import ray.data as rd

@@ -70,6 +70,49 @@ def grouped_aggregate(ds, keys, partial_fn, combine_fn, num_partitions: int = 8)
     return keyed_exchange(partials, keys, combine_fn, num_partitions)
 
 
+def sharded_sorted_write(ds, keys, out_dir, n_shards: int = 8, sort_cols=None):
+    """Deterministic key-hash-sharded parquet writer.
+
+    Every row lands in shard ``hash(keys) % n_shards`` (process-stable
+    pandas hash), each shard is sorted on ``sort_cols`` and written as
+    exactly ``part-<shard>.parquet`` — so reruns produce byte-identical
+    files WITHOUT a global sort + repartition(1) single-file bottleneck:
+    shards build in parallel, and a resumable run can diff/skip per
+    shard. Returns a (shard, rows) summary DataFrame."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys = list(keys)
+    sort_cols = list(sort_cols or keys)
+
+    def add_shard(df: "pd.DataFrame") -> "pd.DataFrame":
+        h = pd.util.hash_pandas_object(df[keys], index=False)
+        return df.assign(_shard=(h % n_shards).astype("int64"))
+
+    def write_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(g["_shard"].iloc[0])
+        out = (
+            g.drop(columns=["_shard"])
+            .sort_values(sort_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False),
+            os.path.join(out_dir, f"part-{shard:05d}.parquet"),
+        )
+        return pd.DataFrame({"shard": [shard], "rows": [len(out)]})
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(write_group, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 # The DataContext flip is process-global; dataset CONSTRUCTION windows
 # from concurrent pipeline threads must not interleave (execution is
 # safe — each dataset captures its context at root creation).
