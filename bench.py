@@ -105,7 +105,17 @@ QUERY_NAMES = [
     "top_parts_by_revenue",
     "segment_year_revenue",
     "doc_dedup_minhash_join",
+    "kg_conv_turn_gaps",
+    "customers_without_orders",
+    "conll_token_table",
+    "balance_targets",
+    "balance_assign",
 ]
+# kg_embedding_matrix / balance_augmented are correctness-checked via
+# queries() but stay out of the bench list: their first call trains the
+# SGNS artifact (driver-side, one-off, cached under /tmp) and would
+# charge a fixed ~30s training cost to what is otherwise a streaming
+# benchmark.
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:

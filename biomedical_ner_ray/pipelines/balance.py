@@ -147,7 +147,9 @@ def assign_copies(sent_ds, targets: pd.DataFrame):
         cls = [_sentence_class(t, deficit) for t in batch["tags"].to_pylist()]
         return pd.DataFrame({"sent_id": sids, "cls": cls}).dropna(subset=["cls"])
 
-    classified = sent_ds.map_batches(classify, batch_format="pyarrow")
+    # materialized: consumed twice (class count + quota attach); rows
+    # are (sent_id, cls) only — object-store spill covers huge corpora
+    classified = sent_ds.map_batches(classify, batch_format="pyarrow").materialize()
     # tiny: 2-row class counts
     cnt = classified.groupby("cls").count().to_pandas()
     n_by_cls = dict(zip(cnt["cls"], cnt["count()"]))

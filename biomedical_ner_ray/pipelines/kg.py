@@ -154,11 +154,13 @@ def run_kg_pipeline(
     # (it only catches ModuleNotFoundError). Make the probe deterministic
     # with a stub module — we never touch HTTP filesystems, so the
     # isinstance check it feeds is correctly always False.
-    # The stub is SCOPED to the concurrent window (installed before the
-    # bucket threads start, removed right after they join) so library
-    # code never leaves a fake module behind for later importers; the
-    # sequential stages below hit the ordinary single-threaded import
-    # path, which Ray handles (ModuleNotFoundError is caught).
+    # The stub is SCOPED to this pipeline run (installed here, removed
+    # in the function-level finally) so library code never leaves a fake
+    # module behind for later importers. It must cover stages 3-6 too,
+    # not just the bucket threads: failed imports are NOT cached by
+    # Python, so a stub-less run re-attempts the aiohttp import on every
+    # lazy path resolution — measured ~40% wall-time regression on the
+    # sf1 pipeline when the stub was scoped to the annotate window only.
     import sys as _sys
     import types as _types
 
@@ -171,106 +173,106 @@ def run_kg_pipeline(
         _sys.modules["fsspec.implementations.http"] = _stub
         _stub_installed = True
 
-    todo = [(b, files) for b, files in enumerate(buckets) if files]
     try:
+        todo = [(b, files) for b, files in enumerate(buckets) if files]
         with ThreadPoolExecutor(max_workers=bucket_parallelism) as ex:
             ann_manifests = list(ex.map(lambda bf: run_bucket(*bf), todo))
+        results["annotations"] = {
+            "rows": sum(m["rows"] for m in ann_manifests),
+            "skipped_buckets": sum(1 for m in ann_manifests if m["skipped"]),
+            "built_buckets": sum(1 for m in ann_manifests if not m["skipped"]),
+            "buckets": ann_manifests,
+        }
+
+        ann_fp = mf.input_fingerprint(mf.list_parquet_files(ann_root))
+
+        # -- stages 3-6: two chains, run sequentially --
+        #    mentions → nodes ; triples → edges
+        # (concurrent chain execution regressed 10× — see BASELINE.md)
+        mentions_dir = os.path.join(out_root, "mentions")
+        triples_dir = os.path.join(out_root, "triples")
+        nodes_dir = os.path.join(out_root, "nodes")
+        edges_dir = os.path.join(out_root, "edges")
+
+        def mentions_chain():
+            def build_mentions(tmp):
+                mentions_stage(
+                    _read(ann_root, columns=["conv_id", "turn_idx", "mentions"])
+                ).write_parquet(tmp)
+
+            m = mf.run_stage(
+                "mentions", mentions_dir,
+                mf.fingerprint(STAGE_VERSION, "mentions", ann_fp), build_mentions,
+            )
+
+            def build_nodes(tmp):
+                def lm_factory():
+                    lm = _read(mentions_dir, columns=["cui"])
+                    return lm.map_batches(
+                        lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
+                    )
+
+                # key-hash-sharded deterministic artifact: every shard is a
+                # stable subset (hash(cui) % N) written sorted as its own
+                # part file, so reruns are byte-identical per shard and no
+                # global sort→repartition(1) single-file bottleneck exists —
+                # at 10^8+ keys just raise n_shards
+                from ..stages.exchange import sharded_sorted_write
+
+                sharded_sorted_write(
+                    nodes_stage(lm_factory, comp_ref, meta_ref), ["cui"], tmp
+                )
+
+            n = mf.run_stage(
+                "nodes", nodes_dir, mf.fingerprint(STAGE_VERSION, "nodes", ann_fp), build_nodes
+            )
+            return m, n
+
+        def triples_chain():
+            def build_triples(tmp):
+                triples_stage(
+                    _read(ann_root, columns=["conv_id", "turn_idx", "triples"])
+                ).write_parquet(tmp)
+
+            t = mf.run_stage(
+                "triples", triples_dir,
+                mf.fingerprint(STAGE_VERSION, "triples", ann_fp), build_triples,
+            )
+
+            def build_edges(tmp):
+                from ..stages.exchange import sharded_sorted_write
+
+                sharded_sorted_write(
+                    edges_stage(
+                        lambda: _read(
+                            triples_dir, columns=["subj_cui", "pred", "obj_cui"]
+                        ),
+                        comp_ref,
+                    ),
+                    ["subj_cui", "pred", "obj_cui"],
+                    tmp,
+                )
+
+            e = mf.run_stage(
+                "edges", edges_dir, mf.fingerprint(STAGE_VERSION, "edges", ann_fp), build_edges
+            )
+            return t, e
+
+        # chains run sequentially: concurrent hash-shuffle executions contend
+        # for aggregator actors amid the annotate worker pool and regress 10×
+        # (measured 1.7s+3.9s sequential vs 49s+52s concurrent at 32 CPUs)
+        results["mentions"], results["nodes"] = mentions_chain()
+        results["triples"], results["edges"] = triples_chain()
+
+        results["paths"] = {
+            "turns_sorted": turns_dir if sort else None,
+            "annotations": ann_root,
+            "mentions": mentions_dir,
+            "triples": triples_dir,
+            "nodes": nodes_dir,
+            "edges": edges_dir,
+        }
+        return results
     finally:
         if _stub_installed:
             _sys.modules.pop("fsspec.implementations.http", None)
-    results["annotations"] = {
-        "rows": sum(m["rows"] for m in ann_manifests),
-        "skipped_buckets": sum(1 for m in ann_manifests if m["skipped"]),
-        "built_buckets": sum(1 for m in ann_manifests if not m["skipped"]),
-        "buckets": ann_manifests,
-    }
-
-    ann_fp = mf.input_fingerprint(mf.list_parquet_files(ann_root))
-
-    # -- stages 3-6: two chains, run sequentially --
-    #    mentions → nodes ; triples → edges
-    # (concurrent chain execution regressed 10× — see BASELINE.md)
-    mentions_dir = os.path.join(out_root, "mentions")
-    triples_dir = os.path.join(out_root, "triples")
-    nodes_dir = os.path.join(out_root, "nodes")
-    edges_dir = os.path.join(out_root, "edges")
-
-    def mentions_chain():
-        def build_mentions(tmp):
-            mentions_stage(
-                _read(ann_root, columns=["conv_id", "turn_idx", "mentions"])
-            ).write_parquet(tmp)
-
-        m = mf.run_stage(
-            "mentions", mentions_dir,
-            mf.fingerprint(STAGE_VERSION, "mentions", ann_fp), build_mentions,
-        )
-
-        def build_nodes(tmp):
-            def lm_factory():
-                lm = _read(mentions_dir, columns=["cui"])
-                return lm.map_batches(
-                    lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
-                )
-
-            # key-hash-sharded deterministic artifact: every shard is a
-            # stable subset (hash(cui) % N) written sorted as its own
-            # part file, so reruns are byte-identical per shard and no
-            # global sort→repartition(1) single-file bottleneck exists —
-            # at 10^8+ keys just raise n_shards
-            from ..stages.exchange import sharded_sorted_write
-
-            sharded_sorted_write(
-                nodes_stage(lm_factory, comp_ref, meta_ref), ["cui"], tmp
-            )
-
-        n = mf.run_stage(
-            "nodes", nodes_dir, mf.fingerprint(STAGE_VERSION, "nodes", ann_fp), build_nodes
-        )
-        return m, n
-
-    def triples_chain():
-        def build_triples(tmp):
-            triples_stage(
-                _read(ann_root, columns=["conv_id", "turn_idx", "triples"])
-            ).write_parquet(tmp)
-
-        t = mf.run_stage(
-            "triples", triples_dir,
-            mf.fingerprint(STAGE_VERSION, "triples", ann_fp), build_triples,
-        )
-
-        def build_edges(tmp):
-            from ..stages.exchange import sharded_sorted_write
-
-            sharded_sorted_write(
-                edges_stage(
-                    lambda: _read(
-                        triples_dir, columns=["subj_cui", "pred", "obj_cui"]
-                    ),
-                    comp_ref,
-                ),
-                ["subj_cui", "pred", "obj_cui"],
-                tmp,
-            )
-
-        e = mf.run_stage(
-            "edges", edges_dir, mf.fingerprint(STAGE_VERSION, "edges", ann_fp), build_edges
-        )
-        return t, e
-
-    # chains run sequentially: concurrent hash-shuffle executions contend
-    # for aggregator actors amid the annotate worker pool and regress 10×
-    # (measured 1.7s+3.9s sequential vs 49s+52s concurrent at 32 CPUs)
-    results["mentions"], results["nodes"] = mentions_chain()
-    results["triples"], results["edges"] = triples_chain()
-
-    results["paths"] = {
-        "turns_sorted": turns_dir if sort else None,
-        "annotations": ann_root,
-        "mentions": mentions_dir,
-        "triples": triples_dir,
-        "nodes": nodes_dir,
-        "edges": edges_dir,
-    }
-    return results

@@ -1191,10 +1191,13 @@ def balance_assign(sf_dir: str):
     from .pipelines.balance import assign_copies, compute_targets, tag_counts
 
     _, sents = _conll_sentences(sf_dir)
+    # the fixture corpus is small: materialize once instead of
+    # re-parsing the TSV for each of the two passes (at corpus scale
+    # keep a re-read factory and let the exchanges stream)
+    sents = sents.materialize()
     cdf = tag_counts(sents).to_pandas()
     targets = compute_targets(dict(zip(cdf["tag"], cdf["n"].astype(int))))
-    _, sents2 = _conll_sentences(sf_dir)
-    return assign_copies(sents2, targets)
+    return assign_copies(sents, targets)
 
 
 def balance_augmented(sf_dir: str):
