@@ -69,6 +69,7 @@ def run_kg_pipeline(
     annotate_batch_size: int = 4096,
     annotate_mode: str = "tasks",
     scorer: str = "dict",
+    scorer_kwargs: dict | None = None,
     n_buckets: int = 8,
     bucket_parallelism: int = 4,
     sort: bool = True,
@@ -121,7 +122,11 @@ def run_kg_pipeline(
     def run_bucket(b: int, files: list[str]) -> dict:
         bdir = os.path.join(ann_root, f"bucket={b:03d}")
         bfp = mf.fingerprint(
-            STAGE_VERSION, "annotate", scorer, mf.input_fingerprint(files)
+            STAGE_VERSION,
+            "annotate",
+            scorer,
+            repr(sorted((scorer_kwargs or {}).items())),
+            mf.input_fingerprint(files),
         )
 
         def build_ann(tmp):
@@ -133,6 +138,7 @@ def run_kg_pipeline(
                 batch_size=annotate_batch_size,
                 mode=annotate_mode,
                 scorer=scorer,
+                scorer_kwargs=scorer_kwargs,
             ).write_parquet(tmp)
 
         m = mf.run_stage(f"annotations/{b}", bdir, bfp, build_ann)

@@ -75,9 +75,15 @@ class TurnAnnotator:
     char-feature emissions + BIO-constrained Viterbi (kernels/crf.py,
     A4/A7/M14) — with provably identical decoded tags, giving the
     pipeline a realistic model-scoring cost profile. A torch BiLSTM-CRF
-    drops into the same slot by replacing CRFScorer."""
+    drops into the same slot by replacing CRFScorer.
 
-    def __init__(self, alias_ref, scorer: str = "dict"):
+    ``scorer_kwargs`` forwards artifact paths to the scorer — e.g.
+    ``{"embedding_matrix_path": ..., "checkpoint_path": ...}`` loads the
+    trained A10 matrix (J4) and a partial-restorable parameter
+    checkpoint (S5) ONCE per actor, exactly the reference's
+    load-everything-in-__init__ contract."""
+
+    def __init__(self, alias_ref, scorer: str = "dict", scorer_kwargs=None):
         rows = resolve(alias_ref)
         self.alias_dict = rows if isinstance(rows, AliasDict) else AliasDict(rows)
         self.scorer = scorer
@@ -85,7 +91,7 @@ class TurnAnnotator:
             from ..kernels.crf import CRFScorer
 
             types = sorted({e.type for e in self.alias_dict.by_key.values()})
-            self.crf = CRFScorer(types)
+            self.crf = CRFScorer(types, **(scorer_kwargs or {}))
         elif scorer != "dict":
             raise ValueError(f"unknown scorer {scorer!r}")
 
@@ -169,12 +175,12 @@ class TurnAnnotator:
 _ANNOTATOR_CACHE: dict[tuple, TurnAnnotator] = {}
 
 
-def _cached_annotator(alias_ref, scorer: str = "dict") -> TurnAnnotator:
+def _cached_annotator(alias_ref, scorer: str = "dict", scorer_kwargs=None) -> TurnAnnotator:
     ref = alias_ref.hex() if hasattr(alias_ref, "hex") else str(id(alias_ref))
-    key = (ref, scorer)
+    key = (ref, scorer, tuple(sorted((scorer_kwargs or {}).items())))
     ann = _ANNOTATOR_CACHE.get(key)
     if ann is None:
-        ann = TurnAnnotator(alias_ref, scorer=scorer)
+        ann = TurnAnnotator(alias_ref, scorer=scorer, scorer_kwargs=scorer_kwargs)
         _ANNOTATOR_CACHE.clear()
         _ANNOTATOR_CACHE[key] = ann
     return ann
@@ -187,6 +193,7 @@ def annotate_stage(
     batch_size: int = 1024,
     mode: str = "tasks",
     scorer: str = "dict",
+    scorer_kwargs: dict | None = None,
 ):
     """Annotate a turns Dataset.
 
@@ -200,7 +207,11 @@ def annotate_stage(
     if mode == "actors":
         return ds.map_batches(
             TurnAnnotator,
-            fn_constructor_kwargs={"alias_ref": alias_ref, "scorer": scorer},
+            fn_constructor_kwargs={
+                "alias_ref": alias_ref,
+                "scorer": scorer,
+                "scorer_kwargs": scorer_kwargs,
+            },
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency or (2, 8),
@@ -208,6 +219,6 @@ def annotate_stage(
         )
 
     def annotate(batch: pa.Table) -> pa.Table:
-        return _cached_annotator(alias_ref, scorer)(batch)
+        return _cached_annotator(alias_ref, scorer, scorer_kwargs)(batch)
 
     return ds.map_batches(annotate, batch_format="pyarrow", batch_size=batch_size)
