@@ -142,6 +142,23 @@ def kg_mentions(sf_dir: str):
     )
 
 
+def kg_mentions_model(sf_dir: str):
+    """Mention spans decoded by the FULL CombinatorialNER forward
+    (kernels/combinatorial.py — real char-CNN convolutions, char-BiLSTM
+    recurrence, FC fusion, context BiLSTM, Manhattan attention, BIO
+    Viterbi; A3/A4/A5/A6/A7 vs models/models.py:8-193). The model's
+    tanh-bounded emissions cannot overturn the dictionary prior, so the
+    decoded spans are provably identical to kg_mentions — the SAME SQL
+    oracle verifies the whole forward pass end-to-end."""
+    paths = _fixture(sf_dir)
+    ref = ray.put(AliasDict(_alias_rows(paths)))
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+    ann = annotate_stage(ds, ref, scorer="combinatorial")
+    return mentions_stage(ann).select_columns(
+        ["conv_id", "turn_idx", "mention_id", "text", "type", "start_tok", "end_tok"]
+    )
+
+
 def kg_linked_mentions(sf_dir: str):
     """Mentions + CUI link (broadcast alias dict, J6)."""
     ann, _ = _annotations_ds(sf_dir)

@@ -92,6 +92,13 @@ class TurnAnnotator:
 
             types = sorted({e.type for e in self.alias_dict.by_key.values()})
             self.crf = CRFScorer(types, **(scorer_kwargs or {}))
+        elif scorer == "combinatorial":
+            # full CombinatorialNER forward (A3/A4/A5/A6/A7): real conv /
+            # recurrence / attention kernels, decode-equivalent output
+            from ..kernels.combinatorial import CombinatorialScorer
+
+            types = sorted({e.type for e in self.alias_dict.by_key.values()})
+            self.crf = CombinatorialScorer(types, **(scorer_kwargs or {}))
         elif scorer != "dict":
             raise ValueError(f"unknown scorer {scorer!r}")
 
@@ -101,7 +108,7 @@ class TurnAnnotator:
         triples: list[dict] = []
         if tokens:
             tags = tag_tokens(tokens, self.alias_dict)
-            if self.scorer == "crf":
+            if self.scorer != "dict":
                 tags = self.crf.decode(tokens, tags)
             for e in extract_entities(list(zip(tokens, tags))):
                 m = {

@@ -35,8 +35,10 @@ def test_modes_and_scorers_agree(ray_session, tiny_fixture):
     base = run(mode="tasks", scorer="dict")
     actor = run(mode="actors", concurrency=2, scorer="dict")
     crf = run(mode="tasks", scorer="crf")
+    comb = run(mode="tasks", scorer="combinatorial")
     pd.testing.assert_frame_equal(base, actor)
     pd.testing.assert_frame_equal(base, crf)
+    pd.testing.assert_frame_equal(base, comb)
     assert len(base) == sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
