@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
         "events_sliding": Q.events_sliding,
+        "events_asof": Q.events_asof,
         "kg_conv_stats": Q.kg_conv_stats,
         "kg_conv_turn_gaps": Q.kg_conv_turn_gaps,
         # relational: aggregate + broadcast join
@@ -518,6 +519,13 @@ SELECT user_id, window_start_us,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(cents) AS BIGINT) AS sum_value_cents
 FROM x GROUP BY user_id, window_start_us""",
+        "events_asof": """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.event_id AS click_event_id,
+       CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_events,

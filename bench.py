@@ -101,6 +101,7 @@ QUERY_NAMES = [
     "emb_neardup_pairs",
     "doc_winnowing",
     "events_sliding",
+    "events_asof",
     "kg_conv_stats",
     "top_parts_by_revenue",
     "segment_year_revenue",

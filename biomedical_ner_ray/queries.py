@@ -1167,6 +1167,86 @@ def kg_conv_turn_gaps(sf_dir: str):
     )
 
 
+def events_asof(sf_dir: str):
+    """As-of (attribution) join — a custom operator Ray Data lacks
+    natively: for every ``purchase`` event, the most recent ``click`` by
+    the same user at-or-before the purchase (left as-of: purchases with
+    no prior click keep NULL attribution). Composition: one pruned
+    events read → keyed exchange on ``user_id`` (co-locates each user's
+    event stream) → per-partition vectorized ``pandas.merge_asof`` over
+    the partition sorted by ``ts``. Partitioning assumption (documented
+    per the custom-operator contract): one user's events fit one
+    partition — the key is uniform, so no hot key exists; at 100TB
+    raise ``num_partitions`` with user cardinality. The DuckDB oracle is
+    a native ASOF LEFT JOIN. Nullable outputs are Arrow int64 with real
+    nulls (the kg_conv_turn_gaps lesson)."""
+    from .stages.exchange import keyed_exchange
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(
+        path, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"])))
+
+    # the matched click's timestamp must survive merge_asof (which
+    # consumes the right side's ts as the join key): carry it as an
+    # epoch-us shadow column on click rows
+    pruned = ds.map_batches(prune, batch_format="pyarrow").map_batches(
+        lambda df: df.assign(
+            _click_ts_us=np.where(
+                df["event_type"].to_numpy() == "click",
+                df["ts"].to_numpy(dtype="datetime64[us]").astype("int64").astype("float64"),
+                np.nan,
+            )
+        ),
+        batch_format="pandas",
+    )
+
+    def asof_part(df: pd.DataFrame) -> pa.Table:
+        left = (
+            df.loc[df["event_type"] == "purchase", ["event_id", "user_id", "ts", "value"]]
+            .sort_values("ts", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        right = (
+            df.loc[df["event_type"] == "click",
+                   ["event_id", "user_id", "ts", "_click_ts_us"]]
+            .rename(columns={"event_id": "click_event_id"})
+            .sort_values("ts", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        m = pd.merge_asof(
+            left, right, on="ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        cid = m["click_event_id"].to_numpy(dtype="float64", na_value=np.nan)
+        missing = np.isnan(cid)
+        ts64 = m["ts"].to_numpy(dtype="datetime64[us]")
+        gap = ts64.astype("int64") - m["_click_ts_us"].to_numpy(
+            dtype="float64", na_value=np.nan
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(m["event_id"].to_numpy(dtype="int64")),
+                "user_id": pa.array(m["user_id"].to_numpy(dtype="int64")),
+                "ts": pa.array(ts64),
+                "value": pa.array(m["value"].to_numpy(dtype="float64")),
+                "click_event_id": pa.array(
+                    np.nan_to_num(cid).astype("int64"), pa.int64(), mask=missing
+                ),
+                "gap_us": pa.array(
+                    np.nan_to_num(gap).astype("int64"), pa.int64(), mask=missing
+                ),
+            }
+        )
+
+    return keyed_exchange(pruned, ["user_id"], asof_part, num_partitions=8)
+
+
 def conll_token_table(sf_dir: str):
     """S1 CoNLL/TSV source: the reference's JNLPBA reader
     (fonctions.py:17-59) as a Ray Data source over a generated TSV
