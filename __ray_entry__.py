@@ -78,6 +78,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": Q.events_sessions,
         "events_sliding": Q.events_sliding,
         "events_asof": Q.events_asof,
+        "events_range_join": Q.events_range_join,
+        "events_user_activity": Q.events_user_activity,
+        "events_hll_users": Q.events_hll_users,
+        "lineitem_price_quantiles": Q.lineitem_price_quantiles,
         "kg_conv_stats": Q.kg_conv_stats,
         "kg_conv_turn_gaps": Q.kg_conv_turn_gaps,
         # relational: aggregate + broadcast join
@@ -519,6 +523,29 @@ SELECT user_id, window_start_us,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(cents) AS BIGINT) AS sum_value_cents
 FROM x GROUP BY user_id, window_start_us""",
+        "events_range_join": """
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h,
+       CAST(coalesce(sum(CAST(round(c.value * 100) AS BIGINT)), 0) AS BIGINT)
+         AS click_cents_1h
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+GROUP BY p.event_id, p.user_id, p.ts""",
+        "events_user_activity": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type""",
+        "lineitem_price_quantiles": """
+WITH x AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25_cents,
+       CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75_cents
+FROM x GROUP BY l_returnflag""",
         "events_asof": """
 SELECT l.event_id, l.user_id, l.ts, l.value,
        r.event_id AS click_event_id,

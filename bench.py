@@ -102,6 +102,10 @@ QUERY_NAMES = [
     "doc_winnowing",
     "events_sliding",
     "events_asof",
+    "events_range_join",
+    "events_user_activity",
+    "events_hll_users",
+    "lineitem_price_quantiles",
     "kg_conv_stats",
     "top_parts_by_revenue",
     "segment_year_revenue",

@@ -1,0 +1,83 @@
+"""Distinct-count sketches (HyperLogLog).
+
+The reference engine has no sketch family; this is one of the
+large-scale additions (SURVEY.md §8.2): an exact distinct count is an
+all-to-all exchange over every distinct key, while an HLL sketch is a
+fixed 2^p-byte register array that merges with an elementwise max — the
+canonical shape for 100TB "how many unique users/documents" questions
+(partial sketch per block, one tiny combine, no key shuffle at all).
+
+Plain numpy, deterministic: element hashing reuses the repo's
+md5-derived u64 (``stable_u64_md5``) so partials are reproducible
+across processes and runs. Standard bias-corrected estimator
+(Flajolet et al. 2007) with linear counting for the small range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import stable_u64_md5
+
+HLL_P = 12  # 4096 registers; relative standard error ~1.04/sqrt(2^p) = 1.6%
+
+
+def hll_empty(p: int = HLL_P) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def hll_add_u64(registers: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Fold an array of u64 hashes into ``registers`` (in place).
+
+    Register index = low ``p`` bits; rank = 1 + leading-zero count of
+    the remaining 64-p bits (vectorized via a float64 exponent trick:
+    for w > 0, floor(log2(w)) read from the IEEE exponent field is
+    exact for all w < 2^53, and the 52-bit top of a u64 >> p always
+    is).
+    """
+    p = int(np.log2(len(registers)))
+    idx = (hashes & ((1 << p) - 1)).astype(np.int64)
+    w = hashes >> np.uint64(p)
+    width = 64 - p
+    # rank = width - floor(log2(w)) for w>0, else width+1
+    rank = np.full(len(w), width + 1, dtype=np.uint8)
+    nz = w > 0
+    if nz.any():
+        wf = w[nz].astype(np.float64)
+        exp = ((wf.view(np.int64) >> 52) & 0x7FF) - 1023  # floor(log2(w))
+        rank[nz] = (width - exp).astype(np.uint8)
+    np.maximum.at(registers, idx, rank)
+    return registers
+
+
+def hll_add_values(registers: np.ndarray, values) -> np.ndarray:
+    hashes = np.fromiter(
+        (stable_u64_md5(str(v).encode("utf-8")) for v in values), dtype=np.uint64
+    )
+    if len(hashes) == 0:
+        return registers
+    return hll_add_u64(registers, hashes)
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(registers: np.ndarray) -> int:
+    m = float(len(registers))
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    inv = np.ldexp(1.0, -registers.astype(np.int64))  # 2^-M[j]
+    raw = alpha * m * m / inv.sum()
+    zeros = int((registers == 0).sum())
+    if raw <= 2.5 * m and zeros > 0:
+        return int(round(m * np.log(m / zeros)))  # linear counting
+    if raw > (1 << 64) / 30.0:
+        return int(round(-(2.0**64) * np.log1p(-raw / 2.0**64)))
+    return int(round(raw))

@@ -1247,6 +1247,217 @@ def events_asof(sf_dir: str):
     return keyed_exchange(pruned, ["user_id"], asof_part, num_partitions=8)
 
 
+def events_range_join(sf_dir: str):
+    """Banded range (interval) join — the second custom join operator
+    Ray Data lacks natively: for every ``purchase`` event, the COUNT and
+    integer-cents SUM of the same user's ``click`` events inside the
+    inclusive window ``[ts - 1h, ts]``. Composition: pruned read →
+    keyed exchange on the equality band ``user_id`` → per-partition
+    per-user cumulative click counts/sums (vectorized pandas groupby
+    cumsum) → TWO ``merge_asof`` probes (upper bound inclusive at
+    ``ts``, lower bound exclusive at ``ts - 1h``); window aggregate =
+    difference of cumulatives. No per-row loops, no all-pairs blowup:
+    work is O(events log events) per partition regardless of window
+    hit count. Partitioning assumption (custom-operator contract): the
+    band key is uniform — one user's events fit one partition; raise
+    ``num_partitions`` with user cardinality at 100TB. Oracle: DuckDB
+    inequality LEFT JOIN + group-by."""
+    from .stages.exchange import keyed_exchange
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(
+        path, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
+        )
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+
+    HOUR_US = 3_600_000_000
+
+    def window_part(df: pd.DataFrame) -> pa.Table:
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        df = df.assign(_ts_us=ts_us)
+        clicks = (
+            df.loc[df["event_type"] == "click", ["user_id", "_ts_us", "value"]]
+            .sort_values(["user_id", "_ts_us"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        cents = (clicks["value"] * 100).round().astype("int64")
+        g = clicks.groupby("user_id", sort=False)
+        clicks = clicks.assign(
+            _cum_n=g.cumcount() + 1,
+            _cum_cents=cents.groupby(clicks["user_id"], sort=False).cumsum(),
+        ).sort_values("_ts_us", kind="mergesort")
+        left = (
+            df.loc[df["event_type"] == "purchase",
+                   ["event_id", "user_id", "ts", "_ts_us"]]
+            .sort_values("_ts_us", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        right = clicks[["user_id", "_ts_us", "_cum_n", "_cum_cents"]]
+        hi = pd.merge_asof(
+            left, right, on="_ts_us", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        lo_left = left.assign(_ts_us=left["_ts_us"] - HOUR_US)
+        lo = pd.merge_asof(
+            lo_left, right, on="_ts_us", by="user_id",
+            direction="backward", allow_exact_matches=False,
+        )
+        hi_n = hi["_cum_n"].fillna(0).to_numpy(dtype="int64")
+        lo_n = lo["_cum_n"].fillna(0).to_numpy(dtype="int64")
+        hi_c = hi["_cum_cents"].fillna(0).to_numpy(dtype="int64")
+        lo_c = lo["_cum_cents"].fillna(0).to_numpy(dtype="int64")
+        return pa.table(
+            {
+                "event_id": pa.array(left["event_id"].to_numpy(dtype="int64")),
+                "user_id": pa.array(left["user_id"].to_numpy(dtype="int64")),
+                "ts": pa.array(left["ts"].to_numpy(dtype="datetime64[us]")),
+                "n_clicks_1h": pa.array(hi_n - lo_n),
+                "click_cents_1h": pa.array(hi_c - lo_c),
+            }
+        )
+
+    return keyed_exchange(pruned, ["user_id"], window_part, num_partitions=8)
+
+
+def lineitem_price_quantiles(sf_dir: str):
+    """Grouped exact order statistics (p25/p50/p75 of extended price per
+    return flag) via the value-count-histogram decomposition: never ship
+    rows to a quantile worker — ship ``(key, value, count)``. Stage 1:
+    per-block pandas value counts + keyed exchange on (flag, cents)
+    merges partial counts exactly (high-cardinality-safe). Stage 2: a
+    second exchange on the flag alone walks each flag's sorted histogram
+    with a cumulative-count ``searchsorted`` — DuckDB ``quantile_disc``
+    rank semantics (1-based rank ``ceil(n*q)``, probed empirically; q
+    limited to exact binary fractions so ``n*q`` has no float error).
+    Scale assumption documented: stage 2's per-key payload is the
+    DISTINCT-VALUE histogram, bounded by the value domain (prices in
+    cents), not by row count — the standard exact-quantile shape when
+    the domain is bounded; switch to t-digest when it is not."""
+    import math
+
+    from .stages.exchange import grouped_aggregate, keyed_exchange
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        out = (
+            pd.DataFrame({"l_returnflag": df["l_returnflag"], "cents": cents})
+            .groupby(["l_returnflag", "cents"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "cents"], sort=False, as_index=False)[
+            "n"
+        ].sum()
+
+    hist = grouped_aggregate(ds, ["l_returnflag", "cents"], partial, combine)
+
+    QS = (0.25, 0.5, 0.75)
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=True):  # ≤3 groups/partition
+            g = g.sort_values("cents", kind="mergesort")
+            vals = g["cents"].to_numpy(dtype="int64")
+            cum = g["n"].to_numpy(dtype="int64").cumsum()
+            n = int(cum[-1])
+            picks = [
+                int(vals[np.searchsorted(cum, math.ceil(n * q))]) for q in QS
+            ]
+            rows.append((flag, n, *picks))
+        return pd.DataFrame(
+            rows,
+            columns=["l_returnflag", "n_items", "p25_cents", "p50_cents", "p75_cents"],
+        )
+
+    return keyed_exchange(hist, ["l_returnflag"], quantiles, num_partitions=8)
+
+
+def events_user_activity(sf_dir: str):
+    """Exact distinct-count per event type (``COUNT(DISTINCT user_id)``)
+    in the scale-safe two-level shape: per-block dedup of (type, user)
+    pairs → keyed exchange on the PAIR (uniform key, so a hot event
+    type cannot hot-spot one partition) emitting per-partition partial
+    counts → tiny driver combine over ≤ partitions × types rows."""
+    from .stages.exchange import grouped_aggregate
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        uniq = df.drop_duplicates(["event_type", "user_id"])
+        return (
+            uniq.groupby("event_type", sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+
+    partials = grouped_aggregate(ds, ["event_type", "user_id"], partial, combine)
+    small = partials.to_pandas()  # bounded: ≤ num_partitions × #event_types rows
+    out = (
+        small.groupby("event_type", sort=True, as_index=False)["n_users"]
+        .sum()
+        .astype({"n_users": "int64"})
+    )
+    return out
+
+
+def events_hll_users(sf_dir: str):
+    """Approximate distinct users per event type via the HyperLogLog
+    sketch (kernels/sketch.py): each block folds its user ids into a
+    4096-register sketch per type (md5-u64 hashing, deterministic),
+    registers ride the exchange as fixed 4KB binary blobs, and the
+    combine is an elementwise max — NO per-key shuffle at any scale.
+    Estimates are deterministic, so the driver's rows-only check is
+    stable; pytest asserts <5%% error vs the exact count (p=12 →
+    ~1.6%% expected RSE)."""
+    from .kernels.sketch import (
+        hll_add_values,
+        hll_empty,
+        hll_estimate,
+        hll_merge,
+    )
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            reg = hll_empty()
+            hll_add_values(reg, g["user_id"].to_numpy())
+            rows.append((etype, reg.tobytes()))
+        return pd.DataFrame(rows, columns=["event_type", "registers"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type", sort=True):
+            reg = hll_empty()
+            for blob in g["registers"]:
+                reg = hll_merge(reg, np.frombuffer(blob, dtype=np.uint8))
+            rows.append((etype, hll_estimate(reg)))
+        return pd.DataFrame(rows, columns=["event_type", "n_users_hll"]).astype(
+            {"n_users_hll": "int64"}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_exchange(partials, ["event_type"], combine, num_partitions=8)
+
+
 def conll_token_table(sf_dir: str):
     """S1 CoNLL/TSV source: the reference's JNLPBA reader
     (fonctions.py:17-59) as a Ray Data source over a generated TSV
