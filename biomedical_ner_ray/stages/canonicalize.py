@@ -85,10 +85,36 @@ def _half_round(edges_ds, labels_ds, num_partitions: int):
     return keyed_exchange(edge_lab, ["alias_key"], alias_min, num_partitions)
 
 
-def connected_components_ds(alias_ds, rounds: int = 3, num_partitions: int = 8):
+def connected_components_ds(
+    alias_ds,
+    rounds: int = 3,
+    num_partitions: int = 8,
+    small_graph_threshold: int = 200_000,
+):
     """alias_ds: Dataset with (cui, alias_key) columns →
-    Dataset of (cui, label) where label = component-min CUI."""
+    Dataset of (cui, label) where label = component-min CUI.
+
+    Adaptive: a merge graph at or under ``small_graph_threshold`` edges
+    is broadcast-small by this engine's own standard (the alias dict
+    ships whole to every annotator actor), so it propagates on the
+    driver via ``oracle.canonical_components`` — identical output,
+    none of the 2·rounds+1 exchange overheads. Above the threshold the
+    distributed keyed-exchange propagation runs; pass
+    ``small_graph_threshold=0`` to force it (the large-graph test
+    does)."""
+    import ray.data as rd
+
     edges = alias_ds.select_columns(["cui", "alias_key"]).materialize()
+
+    if edges.count() <= small_graph_threshold:
+        from ..oracle import canonical_components
+
+        rows = edges.to_pandas()
+        label = canonical_components(rows.to_dict("records"), rounds=rounds)
+        out = pd.DataFrame(
+            sorted(label.items()), columns=["cui", "label"]
+        )
+        return rd.from_pandas(out)
 
     labels = None
     for _ in range(rounds):

@@ -22,9 +22,14 @@ def test_distributed_components_match_oracle(ray_session):
     rows = alias_rows()
     gold = canonical_components(rows)
     ds = rd.from_items([{"cui": r["cui"], "alias_key": r["alias_key"]} for r in rows])
+    # adaptive driver fast path (graph is broadcast-small) ...
     out = connected_components_ds(ds, rounds=3).to_pandas()
-    got = dict(zip(out["cui"], out["label"]))
-    assert got == gold
+    assert dict(zip(out["cui"], out["label"])) == gold
+    # ... and the forced distributed keyed-exchange path agree with gold
+    out2 = connected_components_ds(
+        ds, rounds=3, small_graph_threshold=0
+    ).to_pandas()
+    assert dict(zip(out2["cui"], out2["label"])) == gold
 
 
 def test_components_idempotent_extra_rounds():
@@ -53,7 +58,9 @@ def test_distributed_components_large_graph(ray_session):
     df = pd.DataFrame({"cui": cui, "alias_key": alias})
     ds = rd.from_pandas(df).repartition(8)
     t0 = time.perf_counter()
-    out = connected_components_ds(ds, rounds=3, num_partitions=8).to_pandas()
+    out = connected_components_ds(
+        ds, rounds=3, num_partitions=8, small_graph_threshold=0
+    ).to_pandas()
     elapsed = time.perf_counter() - t0
     assert len(out) == n_chains * chain_len
     # after 3 rounds every path of length 4 has converged to its min label
