@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_activity": Q.events_user_activity,
         "events_hll_users": Q.events_hll_users,
         "lineitem_price_quantiles": Q.lineitem_price_quantiles,
+        "segment_year_rollup": Q.segment_year_rollup,
+        "user_day_purchase_click_outer": Q.user_day_purchase_click_outer,
         "kg_conv_stats": Q.kg_conv_stats,
         "kg_conv_turn_gaps": Q.kg_conv_turn_gaps,
         # relational: aggregate + broadcast join
@@ -523,6 +525,32 @@ SELECT user_id, window_start_us,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(cents) AS BIGINT) AS sum_value_cents
 FROM x GROUP BY user_id, window_start_us""",
+        "segment_year_rollup": """
+SELECT c.c_mktsegment,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY ROLLUP (c.c_mktsegment, o_year)""",
+        "user_day_purchase_click_outer": """
+WITH p AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, day),
+c AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_clicks,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS click_cents
+  FROM events WHERE event_type = 'click' GROUP BY user_id, day)
+SELECT coalesce(p.user_id, c.user_id) AS user_id,
+       coalesce(p.day, c.day) AS day,
+       CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(coalesce(p.purchase_cents, 0) AS BIGINT) AS purchase_cents,
+       CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(coalesce(c.click_cents, 0) AS BIGINT) AS click_cents
+FROM p FULL OUTER JOIN c ON p.user_id = c.user_id AND p.day = c.day""",
         "events_range_join": """
 SELECT p.event_id, p.user_id, p.ts,
        CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h,

@@ -106,6 +106,8 @@ QUERY_NAMES = [
     "events_user_activity",
     "events_hll_users",
     "lineitem_price_quantiles",
+    "segment_year_rollup",
+    "user_day_purchase_click_outer",
     "kg_conv_stats",
     "top_parts_by_revenue",
     "segment_year_revenue",

@@ -1458,6 +1458,136 @@ def events_hll_users(sf_dir: str):
     return keyed_exchange(partials, ["event_type"], combine, num_partitions=8)
 
 
+def segment_year_rollup(sf_dir: str):
+    """Hierarchical ROLLUP aggregate — (segment, year) → (segment) →
+    grand total in one pass. The finest grain is a broadcast-join
+    partial + keyed-exchange combine over raw orders; every coarser
+    grain is a re-aggregation of the FINEST grain's bounded result
+    (segments × years rows), never of raw rows — the standard rollup
+    decomposition that keeps the wide input scanned exactly once at any
+    scale. NULL level markers are Arrow nulls to hash-match DuckDB's
+    GROUP BY ROLLUP output."""
+    from .stages.exchange import grouped_aggregate
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    )
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        seg = resolve(seg_ref)
+        df = df.assign(
+            c_mktsegment=df["o_custkey"].map(seg),
+            o_year=df["o_orderdate"].dt.year.astype("int64"),
+            cents=(df["o_totalprice"] * 100).round().astype("int64"),
+        )
+        return (
+            df.groupby(["c_mktsegment", "o_year"], sort=False)
+            .agg(n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+            .reset_index()
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["c_mktsegment", "o_year"], sort=False)
+            .agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+        )
+
+    fine = grouped_aggregate(
+        ds, ["c_mktsegment", "o_year"], partial, combine
+    ).to_pandas()  # bounded: #segments × #years rows
+
+    seg_tot = (
+        fine.groupby("c_mktsegment", as_index=False)[["n_orders", "revenue_cents"]]
+        .sum()
+        .assign(o_year=pd.NA)
+    )
+    grand = pd.DataFrame(
+        {
+            "c_mktsegment": [pd.NA],
+            "o_year": [pd.NA],
+            "n_orders": [fine["n_orders"].sum()],
+            "revenue_cents": [fine["revenue_cents"].sum()],
+        }
+    )
+    allrows = pd.concat([fine, seg_tot, grand], ignore_index=True)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(
+                [None if pd.isna(v) else v for v in allrows["c_mktsegment"]],
+                pa.string(),
+            ),
+            "o_year": pa.array(
+                [None if pd.isna(v) else int(v) for v in allrows["o_year"]],
+                pa.int64(),
+            ),
+            "n_orders": pa.array(allrows["n_orders"].to_numpy(dtype="int64")),
+            "revenue_cents": pa.array(allrows["revenue_cents"].to_numpy(dtype="int64")),
+        }
+    )
+
+
+def user_day_purchase_click_outer(sf_dir: str):
+    """FULL OUTER join semantics over two aggregated streams with
+    genuinely exclusive keys: per-(user, day) purchase totals ⟗
+    per-(user, day) click totals (days where a user purchased but never
+    clicked — and vice versa — survive with zeroed other-side columns).
+    One pruned read, side-tagged partials, ONE keyed exchange on the
+    join key, per-partition pandas outer merge — the engine's
+    co-partition pattern for join types Ray Data's native path can't
+    keep zero-copy (the native full-outer alternative needs the
+    hash-shuffle context plus a parquet handoff between shuffle
+    regimes, see stages/dedup.py's join path; for an already-aggregated
+    bounded-per-key stream this single exchange is strictly less data
+    movement)."""
+    from .stages.exchange import keyed_exchange
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].isin(["purchase", "click"])]
+        df = df.assign(
+            day=df["ts"].dt.floor("D"),
+            cents=(df["value"] * 100).round().astype("int64"),
+        )
+        return (
+            df.groupby(["user_id", "day", "event_type"], sort=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+
+    def outer_part(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby(["user_id", "day", "event_type"], sort=False)
+            .agg(n=("n", "sum"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        p = agg.loc[agg["event_type"] == "purchase",
+                    ["user_id", "day", "n", "cents"]].rename(
+            columns={"n": "n_purchases", "cents": "purchase_cents"}
+        )
+        c = agg.loc[agg["event_type"] == "click",
+                    ["user_id", "day", "n", "cents"]].rename(
+            columns={"n": "n_clicks", "cents": "click_cents"}
+        )
+        m = p.merge(c, on=["user_id", "day"], how="outer")
+        for col in ("n_purchases", "purchase_cents", "n_clicks", "click_cents"):
+            m[col] = m[col].fillna(0).astype("int64")
+        return m
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_exchange(partials, ["user_id", "day"], outer_part, num_partitions=8)
+
+
 def conll_token_table(sf_dir: str):
     """S1 CoNLL/TSV source: the reference's JNLPBA reader
     (fonctions.py:17-59) as a Ray Data source over a generated TSV
