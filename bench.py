@@ -45,11 +45,15 @@ def _sf_value(sf_dir: str) -> float:
 
 
 def _consume(ds) -> int:
-    """Fully execute a Dataset (or accept a DataFrame) and return rows."""
+    """Fully execute a Dataset (or accept a DataFrame/Arrow table) and
+    return rows."""
     import pandas as pd
+    import pyarrow as pa
 
     if isinstance(ds, pd.DataFrame):
         return len(ds)
+    if isinstance(ds, pa.Table):
+        return ds.num_rows
     n = 0
     for batch in ds.iter_batches(batch_format="pyarrow"):
         n += batch.num_rows
