@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": Q.lineitem_price_quantiles,
         "segment_year_rollup": Q.segment_year_rollup,
         "user_day_purchase_click_outer": Q.user_day_purchase_click_outer,
+        "doc_stratified_sample": Q.doc_stratified_sample,
         "kg_conv_stats": Q.kg_conv_stats,
         "kg_conv_turn_gaps": Q.kg_conv_turn_gaps,
         # relational: aggregate + broadcast join
@@ -525,6 +526,13 @@ SELECT user_id, window_start_us,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(cents) AS BIGINT) AS sum_value_cents
 FROM x GROUP BY user_id, window_start_us""",
+        "doc_stratified_sample": """
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS mn FROM cnt),
+th AS (SELECT cnt.lang, CAST(floor(mn.mn * 10 / cnt.n) AS BIGINT) AS k FROM cnt, mn)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':' || d.lang) % 10 < th.k""",
         "segment_year_rollup": """
 SELECT c.c_mktsegment,
        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
@@ -575,12 +583,18 @@ SELECT l_returnflag,
        CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75_cents
 FROM x GROUP BY l_returnflag""",
         "events_asof": """
-SELECT l.event_id, l.user_id, l.ts, l.value,
-       r.event_id AS click_event_id,
-       CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
-FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
-  ON l.user_id = r.user_id AND l.ts >= r.ts""",
+WITH j AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value,
+         c.event_id AS click_event_id,
+         CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts)
+SELECT event_id, user_id, ts, value, click_event_id, gap_us
+FROM j WHERE rn = 1""",
         "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_events,

@@ -1177,9 +1177,13 @@ def events_asof(sf_dir: str):
     the partition sorted by ``ts``. Partitioning assumption (documented
     per the custom-operator contract): one user's events fit one
     partition — the key is uniform, so no hot key exists; at 100TB
-    raise ``num_partitions`` with user cardinality. The DuckDB oracle is
-    a native ASOF LEFT JOIN. Nullable outputs are Arrow int64 with real
-    nulls (the kg_conv_turn_gaps lesson)."""
+    raise ``num_partitions`` with user cardinality. Tie-break when
+    several clicks share the as-of timestamp: the max ``click_event_id``
+    wins (right side sorted (ts, id); merge_asof backward takes the last
+    tied row) — DuckDB's NATIVE ASOF join picks an ARBITRARY tied row,
+    so the oracle is the equivalent deterministic window formulation.
+    Nullable outputs are Arrow int64 with real nulls (the
+    kg_conv_turn_gaps lesson)."""
     from .stages.exchange import keyed_exchange
 
     path = os.path.join(sf_dir, "events.parquet")
@@ -1216,7 +1220,7 @@ def events_asof(sf_dir: str):
             df.loc[df["event_type"] == "click",
                    ["event_id", "user_id", "ts", "_click_ts_us"]]
             .rename(columns={"event_id": "click_event_id"})
-            .sort_values("ts", kind="mergesort")
+            .sort_values(["ts", "click_event_id"], kind="mergesort")
             .reset_index(drop=True)
         )
         m = pd.merge_asof(
@@ -1586,6 +1590,43 @@ def user_day_purchase_click_outer(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return keyed_exchange(partials, ["user_id", "day"], outer_part, num_partitions=8)
+
+
+def doc_stratified_sample(sf_dir: str):
+    """Class-balanced stratified sampling — the training-data op behind
+    the reference's corpus balancing (G8 analog at document level):
+    per-language counts → per-class keep rate k/10 = ⌊min_count·10 /
+    count⌋ → deterministic md5-hash row filter (seeded per (doc_id,
+    lang) so retries/parallelism cannot change the sample — the same
+    contract as kg_downsample/kg_split_assign). Two streaming passes:
+    the counts pass reduces to ≤ #blocks × #classes partial rows
+    (driver-bounded); the filter pass is row-local with the tiny rate
+    map captured in the closure. SQL-exact via md5_number_lower."""
+    from .kernels.hashing import stable_u64_md5
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    counts = (
+        ds.map_batches(
+            lambda df: df.groupby("lang", sort=False, as_index=False).size(),
+            batch_format="pandas",
+        ).to_pandas()  # bounded: ≤ #blocks × #languages rows
+        .groupby("lang")["size"]
+        .sum()
+    )
+    mn = int(counts.min())
+    rate = {lang: (mn * 10) // int(n) for lang, n in counts.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        mask = [
+            stable_u64_md5(f"{i}:{lg}".encode("utf-8")) % 10 < rate[lg]
+            for i, lg in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def conll_token_table(sf_dir: str):
