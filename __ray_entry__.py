@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_year_rollup": Q.segment_year_rollup,
         "user_day_purchase_click_outer": Q.user_day_purchase_click_outer,
         "doc_stratified_sample": Q.doc_stratified_sample,
+        "lineitem_price_quantiles_sketch": Q.lineitem_price_quantiles_sketch,
         "kg_conv_stats": Q.kg_conv_stats,
         "kg_conv_turn_gaps": Q.kg_conv_turn_gaps,
         # relational: aggregate + broadcast join

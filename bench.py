@@ -110,6 +110,8 @@ QUERY_NAMES = [
     "events_user_activity",
     "events_hll_users",
     "lineitem_price_quantiles",
+    "lineitem_price_quantiles_sketch",
+    "doc_stratified_sample",
     "segment_year_rollup",
     "user_day_purchase_click_outer",
     "kg_conv_stats",

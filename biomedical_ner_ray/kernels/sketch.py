@@ -81,3 +81,68 @@ def hll_estimate(registers: np.ndarray) -> int:
     if raw > (1 << 64) / 30.0:
         return int(round(-(2.0**64) * np.log1p(-raw / 2.0**64)))
     return int(round(raw))
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style relative-error quantile sketch
+# ---------------------------------------------------------------------------
+#
+# The mergeable companion to the exact value-count-histogram quantiles
+# (queries.lineitem_price_quantiles): when the value domain is NOT
+# bounded, exact histograms grow with distinct values, while this
+# sketch stores log-spaced bucket counts — relative error ≤ alpha by
+# construction, merge = sparse bucket-count addition, deterministic
+# (no sampling). Positive values only (prices, latencies, sizes).
+
+DD_ALPHA = 0.01  # 1% relative-error guarantee
+
+
+def dd_gamma(alpha: float = DD_ALPHA) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_add(counts: dict, values, alpha: float = DD_ALPHA) -> dict:
+    """Fold positive values into a sparse {bucket_index: count} map.
+    Bucket i covers (gamma^(i-1), gamma^i]; zeros use bucket None."""
+    import math
+
+    g = math.log(dd_gamma(alpha))
+    arr = np.asarray(values, dtype=np.float64)
+    zeros = int((arr <= 0).sum())
+    pos = arr[arr > 0]
+    if len(pos):
+        idx = np.ceil(np.log(pos) / g).astype(np.int64)
+        uniq, n = np.unique(idx, return_counts=True)
+        for i, c in zip(uniq.tolist(), n.tolist()):
+            counts[i] = counts.get(i, 0) + int(c)
+    if zeros:
+        counts[None] = counts.get(None, 0) + zeros
+    return counts
+
+
+def dd_merge(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    return out
+
+
+def dd_quantile(counts: dict, q: float, alpha: float = DD_ALPHA) -> float:
+    """quantile_disc-style rank pick (1-based rank ceil(n*q)) over the
+    bucket midpoints 2*gamma^i/(gamma+1) — within alpha of the true
+    order statistic."""
+    import math
+
+    n = sum(counts.values())
+    if n == 0:
+        return float("nan")
+    rank = max(1, math.ceil(n * q))
+    seen = counts.get(None, 0)
+    if seen >= rank:
+        return 0.0
+    gamma = dd_gamma(alpha)
+    for i in sorted(k for k in counts if k is not None):
+        seen += counts[i]
+        if seen >= rank:
+            return 2.0 * gamma**i / (gamma + 1.0)
+    return float("nan")

@@ -1389,6 +1389,59 @@ def lineitem_price_quantiles(sf_dir: str):
     return keyed_exchange(hist, ["l_returnflag"], quantiles, num_partitions=8)
 
 
+def lineitem_price_quantiles_sketch(sf_dir: str):
+    """Approximate grouped quantiles via the mergeable DDSketch
+    (kernels/sketch.py) — the scale path for UNBOUNDED value domains
+    where the exact value-count histogram
+    (``lineitem_price_quantiles``) would grow with distinct values:
+    each block folds its prices into a sparse log-spaced bucket map
+    (relative error ≤ 1% by construction), serialized bucket counts
+    ride the exchange, combine = bucket-count addition. Deterministic
+    (no sampling), so the driver's rows-only check is stable; pytest
+    asserts the ≤1%% envelope against the exact operator."""
+    import json
+
+    from .kernels.sketch import dd_add, dd_merge, dd_quantile
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            counts = dd_add({}, g["l_extendedprice"].to_numpy())
+            rows.append(
+                (flag, len(g), json.dumps({str(k): v for k, v in counts.items()}))
+            )
+        return pd.DataFrame(rows, columns=["l_returnflag", "n", "buckets"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=True):
+            merged: dict = {}
+            for blob in g["buckets"]:
+                raw = json.loads(blob)
+                merged = dd_merge(
+                    merged,
+                    {(None if k == "None" else int(k)): v for k, v in raw.items()},
+                )
+            rows.append(
+                (
+                    flag,
+                    int(g["n"].sum()),
+                    round(dd_quantile(merged, 0.25), 6),
+                    round(dd_quantile(merged, 0.50), 6),
+                    round(dd_quantile(merged, 0.75), 6),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "n_items", "p25", "p50", "p75"]
+        ).astype({"n_items": "int64"})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_exchange(partials, ["l_returnflag"], combine, num_partitions=8)
+
+
 def events_user_activity(sf_dir: str):
     """Exact distinct-count per event type (``COUNT(DISTINCT user_id)``)
     in the scale-safe two-level shape: per-block dedup of (type, user)

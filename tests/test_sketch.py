@@ -59,3 +59,35 @@ def test_events_hll_users_query(ray_session):
     for etype, row in exact.iterrows():
         n, est = int(row["n"]), int(got.loc[etype, "n_users_hll"])
         assert abs(est - n) / max(n, 1) < 0.05, (etype, n, est)
+
+
+def test_ddsketch_kernel_relative_error():
+    import numpy as np
+
+    from biomedical_ner_ray.kernels.sketch import dd_add, dd_merge, dd_quantile
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(2, 1.0, 50_000)
+    whole = dd_add({}, vals)
+    # merge of halves == whole (bucket-count addition, order-free)
+    assert dd_merge(dd_add({}, vals[:25_000]), dd_add({}, vals[25_000:])) == whole
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = dd_quantile(whole, q)
+        true = float(np.quantile(vals, q, method="inverted_cdf"))
+        assert abs(est - true) / true <= 0.0101, (q, est, true)
+
+
+def test_price_quantiles_sketch_vs_exact(ray_session):
+    from biomedical_ner_ray import queries as Q
+
+    approx = (
+        Q.lineitem_price_quantiles_sketch(SF_DIR).to_pandas().set_index("l_returnflag")
+    )
+    exact = Q.lineitem_price_quantiles(SF_DIR).to_pandas().set_index("l_returnflag")
+    assert set(approx.index) == set(exact.index)
+    for flag in exact.index:
+        assert int(approx.loc[flag, "n_items"]) == int(exact.loc[flag, "n_items"])
+        for qa, qe in (("p25", "p25_cents"), ("p50", "p50_cents"), ("p75", "p75_cents")):
+            est = float(approx.loc[flag, qa])
+            true = float(exact.loc[flag, qe]) / 100.0  # cents -> currency
+            assert abs(est - true) / true <= 0.0101, (flag, qa, est, true)
