@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_day_purchase_click_outer": Q.user_day_purchase_click_outer,
         "doc_stratified_sample": Q.doc_stratified_sample,
         "lineitem_price_quantiles_sketch": Q.lineitem_price_quantiles_sketch,
+        "doc_decontaminate": Q.doc_decontaminate,
         "kg_conv_stats": Q.kg_conv_stats,
         "kg_conv_turn_gaps": Q.kg_conv_turn_gaps,
         # relational: aggregate + broadcast join
@@ -527,6 +528,24 @@ SELECT user_id, window_start_us,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(cents) AS BIGINT) AS sum_value_cents
 FROM x GROUP BY user_id, window_start_us""",
+        "doc_decontaminate": f"""
+WITH f AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([md5_number_lower(array_to_string(ws[i:i+{Q.DECON_NGRAM - 1}], ' '))
+                        for i in generate_series(1, greatest(len(ws)-{Q.DECON_NGRAM - 1}, 1))])) AS h
+  FROM f WHERE len(ws) > 0
+),
+keepers AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) <= {Q.DECON_DF_MAX}),
+shf AS (SELECT sh.doc_id, sh.h FROM sh JOIN keepers USING (h)),
+tr AS (SELECT * FROM shf WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 < 8),
+ev AS (SELECT * FROM shf WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 >= 8)
+SELECT ev.doc_id AS eval_doc_id, tr.doc_id AS train_doc_id,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM ev JOIN tr ON ev.h = tr.h
+GROUP BY 1, 2 HAVING count(*) >= {Q.DECON_MIN_COMMON}""",
         "doc_stratified_sample": """
 WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 mn AS (SELECT min(n) AS mn FROM cnt),

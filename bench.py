@@ -112,6 +112,7 @@ QUERY_NAMES = [
     "lineitem_price_quantiles",
     "lineitem_price_quantiles_sketch",
     "doc_stratified_sample",
+    "doc_decontaminate",
     "segment_year_rollup",
     "user_day_purchase_click_outer",
     "kg_conv_stats",

@@ -1515,6 +1515,78 @@ def events_hll_users(sf_dir: str):
     return keyed_exchange(partials, ["event_type"], combine, num_partitions=8)
 
 
+DECON_NGRAM = 5
+DECON_DF_MAX = 50
+DECON_MIN_COMMON = 2
+
+
+def doc_decontaminate(sf_dir: str):
+    """Train/eval decontamination — the canonical LLM-training-data op:
+    find (eval, train) document pairs sharing ≥ ``DECON_MIN_COMMON``
+    distinct 5-gram shingles across a deterministic md5 80/20 split
+    (the kg_split_assign contract, so the split is retry-stable).
+    Shape: explode (shingle-hash, doc, side) rows → keyed exchange on
+    the SHINGLE (each shingle's postings land whole in one partition,
+    so document frequency is exact there) → drop shingles with df >
+    ``DECON_DF_MAX`` (heavy-hitter guard: ubiquitous n-grams carry no
+    contamination signal and would cost df² pair fan-out) → vectorized
+    per-partition eval×train merge + partial pair counts → second
+    exchange on the pair summing partials. No all-pairs over the
+    corpus: work is Σ_shingle df_eval·df_train, capped by DF_MAX."""
+    from .kernels.hashing import shingles, stable_u64_md5
+    from .kernels.textstats import WORD_RE
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_shingles(batch: pa.Table) -> pd.DataFrame:
+        hs, ids, ev = [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ws = WORD_RE.findall((t or "").lower())
+            if not ws:
+                continue
+            is_eval = stable_u64_md5(str(i).encode("utf-8")) % 10 >= 8
+            for s in shingles(ws, n=DECON_NGRAM):
+                hs.append(stable_u64_md5(s.encode("utf-8")))
+                ids.append(i)
+                ev.append(is_eval)
+        return pd.DataFrame(
+            {
+                "h": np.array(hs, dtype=np.uint64),
+                "doc_id": np.array(ids, dtype=np.int64),
+                "is_eval": np.array(ev, dtype=bool),
+            }
+        )
+
+    def pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df.groupby("h")["doc_id"].transform("size") <= DECON_DF_MAX]
+        ev = df.loc[df["is_eval"], ["h", "doc_id"]].rename(
+            columns={"doc_id": "eval_doc_id"}
+        )
+        tr = df.loc[~df["is_eval"], ["h", "doc_id"]].rename(
+            columns={"doc_id": "train_doc_id"}
+        )
+        m = ev.merge(tr, on="h")
+        return (
+            m.groupby(["eval_doc_id", "train_doc_id"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n_common"})
+        )
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(
+            ["eval_doc_id", "train_doc_id"], sort=False, as_index=False
+        )["n_common"].sum()
+        out = out.loc[out["n_common"] >= DECON_MIN_COMMON]
+        return out.astype({"n_common": "int64"})
+
+    exploded = ds.map_batches(explode_shingles, batch_format="pyarrow")
+    partials = keyed_exchange(exploded, ["h"], pairs_part, num_partitions=8)
+    return keyed_exchange(
+        partials, ["eval_doc_id", "train_doc_id"], sum_pairs, num_partitions=8
+    )
+
+
 def segment_year_rollup(sf_dir: str):
     """Hierarchical ROLLUP aggregate — (segment, year) → (segment) →
     grand total in one pass. The finest grain is a broadcast-join
