@@ -24,7 +24,9 @@ def main(argv=None) -> int:
     ap.add_argument("--transcripts", required=True, help="parquet file or directory")
     ap.add_argument("--alias", required=True, help="alias dictionary parquet")
     ap.add_argument("--out", required=True, help="output root directory")
-    ap.add_argument("--scorer", default="dict", choices=["dict", "crf"])
+    ap.add_argument(
+        "--scorer", default="dict", choices=["dict", "crf", "combinatorial"]
+    )
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=4096)
     ap.add_argument("--num-cpus", type=int, default=None,
