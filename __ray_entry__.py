@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": Q.doc_stratified_sample,
         "lineitem_price_quantiles_sketch": Q.lineitem_price_quantiles_sketch,
         "doc_decontaminate": Q.doc_decontaminate,
+        "events_running_total": Q.events_running_total,
         "kg_conv_stats": Q.kg_conv_stats,
         "kg_conv_turn_gaps": Q.kg_conv_turn_gaps,
         # relational: aggregate + broadcast join
@@ -589,6 +590,13 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id
  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
 GROUP BY p.event_id, p.user_id, p.ts""",
+        "events_running_total": """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM events""",
         "events_user_activity": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type""",

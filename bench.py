@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "lineitem_price_quantiles_sketch",
     "doc_stratified_sample",
     "doc_decontaminate",
+    "events_running_total",
     "segment_year_rollup",
     "user_day_purchase_click_outer",
     "kg_conv_stats",

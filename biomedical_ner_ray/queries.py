@@ -1515,6 +1515,112 @@ def events_hll_users(sf_dir: str):
     return keyed_exchange(partials, ["event_type"], combine, num_partitions=8)
 
 
+def events_running_total(sf_dir: str):
+    """Distributed per-key PREFIX SUM (running total over time) — the
+    ordered aggregate where the usual "one key's rows fit one
+    partition" contract is deliberately DROPPED: a hot user's stream
+    may span partitions. Classic two-phase scan: (1) exchange on
+    (user, day-bucket) → local ordered cumsum + per-bucket totals in
+    one pass; (2) bucket totals exchange on the user → per-user
+    exclusive running offsets (vectorized groupby cumsum-shift);
+    (3) offsets union the row stream back through a (user, bucket)
+    exchange and add. Work per partition is bounded by the BUCKET (one
+    hot user spreads over #days partitions), and every phase is a
+    vectorized pandas kernel. The phase-1 output is materialized once
+    (it feeds both the totals and the final apply — the lazy
+    double-consumption trap documented in stages/canonicalize.py);
+    at 100TB make it a parquet handoff checkpoint instead. Oracle:
+    SUM() OVER (PARTITION BY user ORDER BY ts, event_id)."""
+    from .stages.exchange import keyed_exchange
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=df["ts"].dt.floor("D"),
+            cents=(df["value"] * 100).round().astype("int64"),
+        )[["event_id", "ts", "user_id", "bucket", "cents"]]
+
+    def local_scan(df: pd.DataFrame) -> pd.DataFrame:
+        """Rows with bucket-local cumsum, PLUS one total row per
+        (user, bucket) tagged event_id = -1."""
+        df = df.sort_values(
+            ["user_id", "bucket", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        df = df.assign(
+            local_cum=df.groupby(["user_id", "bucket"], sort=False)["cents"].cumsum()
+        )
+        totals = (
+            df.groupby(["user_id", "bucket"], sort=False, as_index=False)["cents"]
+            .sum()
+            .assign(event_id=-1, ts=pd.NaT, local_cum=0)
+        )
+        return pd.concat(
+            [df, totals[df.columns.tolist()]], ignore_index=True
+        )
+
+    scanned = keyed_exchange(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id", "bucket"],
+        local_scan,
+        num_partitions=8,
+    ).materialize()
+
+    def offsets_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.groupby(["user_id", "bucket"], sort=False, as_index=False)["cents"]
+            .sum()
+            .sort_values(["user_id", "bucket"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        off = df.groupby("user_id", sort=False)["cents"].cumsum() - df["cents"]
+        return df.assign(offset=off)[["user_id", "bucket", "offset"]]
+
+    totals = scanned.map_batches(
+        lambda df: df.loc[df["event_id"] == -1, ["user_id", "bucket", "cents"]],
+        batch_format="pandas",
+    )
+    offsets = keyed_exchange(totals, ["user_id"], offsets_part, num_partitions=8)
+
+    rows = scanned.map_batches(
+        lambda df: df.loc[df["event_id"] != -1].assign(offset=np.int64(0)),
+        batch_format="pandas",
+    )
+    off_rows = offsets.map_batches(
+        lambda df: df.assign(
+            event_id=np.int64(-1),
+            ts=pd.NaT,
+            cents=np.int64(0),
+            local_cum=np.int64(0),
+        )[["event_id", "ts", "user_id", "bucket", "cents", "local_cum", "offset"]],
+        batch_format="pandas",
+    )
+
+    def apply_offset(df: pd.DataFrame) -> pd.DataFrame:
+        offs = df.loc[df["event_id"] == -1, ["user_id", "bucket", "offset"]]
+        r = df.loc[df["event_id"] != -1].drop(columns=["offset"])
+        m = r.merge(offs, on=["user_id", "bucket"], how="left")
+        running = (
+            m["local_cum"].to_numpy(dtype="int64")
+            + m["offset"].fillna(0).to_numpy(dtype="int64")
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].to_numpy(dtype="int64"),
+                "user_id": m["user_id"].to_numpy(dtype="int64"),
+                "ts": m["ts"],
+                "running_cents": running,
+            }
+        )
+
+    return keyed_exchange(
+        rows.union(off_rows), ["user_id", "bucket"], apply_offset, num_partitions=8
+    )
+
+
 DECON_NGRAM = 5
 DECON_DF_MAX = 50
 DECON_MIN_COMMON = 2

@@ -72,10 +72,20 @@ def _run_case(name: str, tables: dict[str, pd.DataFrame], tmp_path):
 @pytest.mark.parametrize(
     "name",
     ["events_asof", "events_range_join", "user_day_purchase_click_outer",
-     "events_user_activity"],
+     "events_user_activity", "events_running_total"],
 )
 def test_event_join_ops_on_adversarial_tables(name, seed, ray_session, tmp_path):
     _run_case(name, {"events": _make_events(seed)}, tmp_path)
+
+
+def test_running_total_hot_key(ray_session, tmp_path):
+    """One user owning 70% of a tie-heavy stream: the prefix-sum op's
+    whole point is that the hot key spreads over day buckets instead of
+    melting one partition — totals must still match the window oracle."""
+    ev = _make_events(5, n=1200)
+    hot = np.random.default_rng(5).random(len(ev)) < 0.7
+    ev.loc[hot, "user_id"] = 3
+    _run_case("events_running_total", {"events": ev}, tmp_path)
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
