@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-duplicate detection family
         "doc_dedup_minhash": Q.doc_dedup_minhash,
         "doc_dedup_minhash_join": Q.doc_dedup_minhash_join,
+        "doc_dedup_incremental": Q.doc_dedup_incremental,
         "segment_year_revenue": Q.segment_year_revenue,
         "doc_dedup_simhash": Q.doc_dedup_simhash,
         "doc_dedup_jaccard": Q.doc_dedup_jaccard,
@@ -301,6 +302,24 @@ ver AS (
 SELECT da AS doc_id_a, db AS doc_id_b,
        CAST(nc AS BIGINT) AS n_common, CAST(nu AS BIGINT) AS n_union
 FROM ver WHERE nu > 0 AND {JACCARD_DEN} * nc >= {JACCARD_NUM} * nu"""
+    )
+
+
+def _minhash_incr_sql() -> str:
+    """Incremental-dedup oracle: the full-corpus band rule restricted to
+    pairs with ≥1 ingest-side doc (doc_id % INCR_NEW_MOD == 0) — band
+    matching over the whole table is equivalent to (pruned index ∪
+    batch) matching because any qualifying pair shares the new side's
+    band key, and verification only narrows candidates."""
+    from biomedical_ner_ray.queries import INCR_NEW_MOD
+
+    anchor = "ON a.key = b.key AND a.doc_id < b.doc_id"
+    sql = _minhash_sql()
+    assert anchor in sql  # keep the incremental oracle in sync
+    return sql.replace(
+        anchor,
+        anchor
+        + f"\n  WHERE (a.doc_id % {INCR_NEW_MOD} = 0 OR b.doc_id % {INCR_NEW_MOD} = 0)",
     )
 
 
@@ -772,6 +791,7 @@ FROM m, unnest(generate_series(0, (octet_length(payload) - 1) // 256)) AS g(i)
 WHERE media_type = 'video' AND octet_length(payload) > 0""",
         "doc_dedup_minhash": _minhash_sql(),
         "doc_dedup_minhash_join": _minhash_sql(),
+        "doc_dedup_incremental": _minhash_incr_sql(),
         "segment_year_revenue": """
 SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "top_parts_by_revenue",
     "segment_year_revenue",
     "doc_dedup_minhash_join",
+    "doc_dedup_incremental",
     "kg_conv_turn_gaps",
     "customers_without_orders",
     "conll_token_table",

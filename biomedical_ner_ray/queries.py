@@ -694,6 +694,72 @@ def doc_dedup_minhash_join(sf_dir: str):
     )
 
 
+# Ingest split for the incremental-dedup demo: every 5th doc plays the
+# "new crawl slice", the rest the standing corpus. The SQL oracle
+# replicates this rule, so keep them in sync (oracle_sql interpolates it).
+INCR_NEW_MOD = 5
+
+
+def _docs_split_factory(sf_dir: str, new: bool):
+    def factory():
+        ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def keep(t: pa.Table) -> pa.Table:
+            rem = np.asarray(t["doc_id"]) % INCR_NEW_MOD == 0
+            return t.filter(pa.array(rem if new else ~rem))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    return factory
+
+
+def _ensure_minhash_index(sf_dir: str) -> dict:
+    """Build (once, atomically, cached per documents.parquet identity)
+    the persisted LSH index over the base split — the standing-corpus
+    artifact an ingest-time dedup runs against."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    from .stages.dedup import build_minhash_index
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    key = hashlib.md5(
+        f"incr-v1:{os.path.abspath(doc_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(tempfile.gettempdir(), "graft_minhash_index", key)
+    if os.path.isdir(index_dir):
+        return {
+            "bands": os.path.join(index_dir, "bands"),
+            "shingles": os.path.join(index_dir, "shingles"),
+        }
+    tmp = index_dir + ".tmp-" + uuid.uuid4().hex
+    build_minhash_index(_docs_split_factory(sf_dir, new=False), tmp)
+    os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+    try:
+        os.rename(tmp, index_dir)
+    except OSError:  # lost a race to a concurrent builder — theirs wins
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "bands": os.path.join(index_dir, "bands"),
+        "shingles": os.path.join(index_dir, "shingles"),
+    }
+
+
+def doc_dedup_incremental(sf_dir: str):
+    """Ingest-time dedup: the doc_id % 5 == 0 slice is deduped against a
+    PERSISTED LSH index of the rest of the corpus (built once, cached) —
+    new–new and new–old pairs at the same exact J ≥ 4/5 threshold as the
+    batch paths, without re-shuffling the standing corpus
+    (stages/dedup.build_minhash_index / incremental_minhash_pairs)."""
+    from .stages.dedup import incremental_minhash_pairs
+
+    idx = _ensure_minhash_index(sf_dir)
+    return incremental_minhash_pairs(_docs_split_factory(sf_dir, new=True), idx)
+
+
 def segment_year_revenue(sf_dir: str):
     """Distributed SHUFFLE hash join (native Dataset.join) — the
     non-broadcast path for when both sides are large: orders ⋈ customer

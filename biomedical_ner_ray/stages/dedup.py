@@ -247,32 +247,39 @@ def minhash_pairs_join(docs_ds_factory, num_partitions: int = 8):
         cands = rd.read_parquet(handoff)
         docs = docs_ds_factory()
         sh = docs.map_batches(_shingle_table, batch_format="pyarrow")
-        j1 = cands.join(
-            sh, join_type="inner", num_partitions=num_partitions,
-            on=("doc_id_a",), right_on=("doc_id",),
-        )
-        j2 = j1.join(
-            sh, join_type="inner", num_partitions=num_partitions,
-            on=("doc_id_b",), right_on=("doc_id",),
-            left_suffix="_a", right_suffix="_b",
-        )
+        return _join_verify(cands, sh, num_partitions)
 
-        def verify(df: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for a, b, sa, sb in zip(
-                df["doc_id_a"], df["doc_id_b"], df["shingles_a"], df["shingles_b"]
-            ):
-                xa = set(np.frombuffer(sa, dtype=np.uint64).tolist())
-                xb = set(np.frombuffer(sb, dtype=np.uint64).tolist())
-                inter = len(xa & xb)
-                union = len(xa) + len(xb) - inter
-                if union and JACCARD_DEN * inter >= JACCARD_NUM * union:
-                    out.append((a, b, inter, union))
-            return pd.DataFrame(
-                out, columns=["doc_id_a", "doc_id_b", "n_common", "n_union"]
-            ).astype("int64")
 
-        return j2.map_batches(verify, batch_format="pandas")
+def _join_verify(cands, sh, num_partitions: int):
+    """Fetch packed shingle blobs for candidate pairs via two hash joins
+    and keep pairs passing the exact integer Jaccard threshold. Must be
+    called with BOTH input datasets built inside a hash_shuffle scope."""
+    j1 = cands.join(
+        sh, join_type="inner", num_partitions=num_partitions,
+        on=("doc_id_a",), right_on=("doc_id",),
+    )
+    j2 = j1.join(
+        sh, join_type="inner", num_partitions=num_partitions,
+        on=("doc_id_b",), right_on=("doc_id",),
+        left_suffix="_a", right_suffix="_b",
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for a, b, sa, sb in zip(
+            df["doc_id_a"], df["doc_id_b"], df["shingles_a"], df["shingles_b"]
+        ):
+            xa = set(np.frombuffer(sa, dtype=np.uint64).tolist())
+            xb = set(np.frombuffer(sb, dtype=np.uint64).tolist())
+            inter = len(xa & xb)
+            union = len(xa) + len(xb) - inter
+            if union and JACCARD_DEN * inter >= JACCARD_NUM * union:
+                out.append((a, b, inter, union))
+        return pd.DataFrame(
+            out, columns=["doc_id_a", "doc_id_b", "n_common", "n_union"]
+        ).astype("int64")
+
+    return j2.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -367,3 +374,229 @@ def jaccard_pairs(docs_ds):
     return docs_ds.groupby("source").map_groups(
         _block_jaccard, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted LSH index (ingest-time shape)
+# ---------------------------------------------------------------------------
+
+# Band rows in the persisted index are hive-partitioned by a stable hash
+# bucket of the band key, so an ingest batch only READS the buckets its
+# own band keys touch — the corpus index is never re-shuffled per ingest.
+INDEX_BAND_BUCKETS = 32
+
+
+def _with_band_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    h = pd.util.hash_pandas_object(df["band_key"], index=False)
+    return df.assign(band_bucket=(h % INDEX_BAND_BUCKETS).astype("int64"))
+
+
+def build_minhash_index(docs_ds_factory, index_dir: str) -> dict:
+    """Persist the corpus LSH index for incremental ingest-time dedup.
+
+    Two streaming (shuffle-free) artifacts:
+    - ``bands/``    — (doc_id, band_key) hive-partitioned by
+      ``band_bucket = stable_hash(band_key) % INDEX_BAND_BUCKETS`` so an
+      ingest batch prunes the read to its touched buckets;
+    - ``shingles/`` — (doc_id, packed u64 shingle blob) for exact
+      candidate verification, fetched per-candidate with a pushed-down
+      ``doc_id`` row filter (row-group stats prune at 100TB).
+
+    Both writes are pure maps over the corpus scan — index maintenance
+    costs one pass, no exchange. Extends the batch dedup family
+    (reference exact-dedup shape, SURVEY.md §2.7) with the corpus-
+    maintenance story a training-data pipeline needs: new crawl slices
+    are deduped against the standing corpus without re-processing it."""
+    import os
+
+    bands_dir = os.path.join(index_dir, "bands")
+    sh_dir = os.path.join(index_dir, "shingles")
+    os.makedirs(bands_dir, exist_ok=True)
+    os.makedirs(sh_dir, exist_ok=True)
+    (
+        docs_ds_factory()
+        .map_batches(_minhash_band_rows_lite, batch_format="pyarrow")
+        .map_batches(_with_band_bucket, batch_format="pandas")
+        # strip pandas schema metadata: hash-shuffle aggregators can't
+        # hash dict-bearing schemas and log noise on every block
+        .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+        .write_parquet(bands_dir, partition_cols=["band_bucket"])
+    )
+    (
+        docs_ds_factory()
+        .map_batches(_shingle_table, batch_format="pyarrow")
+        .write_parquet(sh_dir)
+    )
+    return {"bands": bands_dir, "shingles": sh_dir}
+
+
+def _flagged_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within each band bucket where at least one side
+    is from the ingest batch (old–old pairs were settled when the index
+    was built). Flags ride along so phase 2 knows which side's shingles
+    live in the index store vs the ingest batch."""
+    out = []
+    for _, g in df.groupby("band_key", sort=False):
+        if len(g) < 2:
+            continue
+        g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        new = g["is_new"].to_numpy()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if new[i] or new[j]:
+                    out.append((ids[i], ids[j], new[i], new[j]))
+    return pd.DataFrame(
+        out, columns=["doc_id_a", "doc_id_b", "new_a", "new_b"]
+    ).astype("int64")
+
+
+def incremental_minhash_pairs(
+    new_docs_factory, index: dict, num_partitions: int = 8
+):
+    """Dedup an ingest batch against a persisted corpus index built by
+    ``build_minhash_index`` — without re-shuffling the corpus.
+
+    Emits the same (doc_id_a, doc_id_b, n_common, n_union) rows as the
+    batch paths, restricted to pairs with ≥1 ingest-side doc (new–new
+    and new–old; old–old already handled at index build time).
+
+    Shape per ingest batch (N = batch docs, C = LSH candidates):
+    - phase 1 streams the batch once, writing its band rows + shingle
+      blobs as a handoff artifact (the resumable ingest checkpoint);
+      the driver learns only the ≤``INDEX_BAND_BUCKETS`` touched bucket
+      ids (a bounded aggregate, not O(N));
+    - index band rows are read ONLY from touched hive buckets, flagged,
+      unioned with the batch's band rows, and exchanged on band_key —
+      shuffle volume is O(N·bands + touched index band rows), never the
+      corpus text;
+    - phase 2 fetches shingles for the C candidates: old sides via a
+      pushed-down ``doc_id IN (...)`` parquet filter on the index store
+      (the driver holds C int64 ids, never payloads), new sides from
+      the batch handoff; verification reuses the hash-join + exact-
+      Jaccard path of ``minhash_pairs_join``."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .exchange import hash_shuffle, keyed_exchange
+
+    base = os.path.join(tempfile.gettempdir(), "graft_minhash_incr")
+    shutil.rmtree(base, ignore_errors=True)
+    work = os.path.join(base, uuid.uuid4().hex)
+    nb_dir = os.path.join(work, "new_bands")
+    ns_dir = os.path.join(work, "new_shingles")
+    cands_dir = os.path.join(work, "cands")
+    for d in (nb_dir, ns_dir, cands_dir):
+        os.makedirs(d, exist_ok=True)
+
+    # phase 1a: one streaming pass each over the ingest batch -> handoff
+    # artifacts (band rows reused twice below; shingles consumed in
+    # phase 2 — recomputing either would re-scan the batch).
+    (
+        new_docs_factory()
+        .map_batches(_minhash_band_rows_lite, batch_format="pyarrow")
+        .map_batches(_with_band_bucket, batch_format="pandas")
+        .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+        .write_parquet(nb_dir)
+    )
+    (
+        new_docs_factory()
+        .map_batches(_shingle_table, batch_format="pyarrow")
+        .write_parquet(ns_dir)
+    )
+
+    def _empty_pairs():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id_a": pa.array([], pa.int64()),
+                    "doc_id_b": pa.array([], pa.int64()),
+                    "n_common": pa.array([], pa.int64()),
+                    "n_union": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def _has_files(d):
+        return any(f.endswith(".parquet") for f in os.listdir(d))
+
+    if not _has_files(nb_dir):  # empty ingest batch
+        return _empty_pairs()
+
+    # touched buckets: bounded by INDEX_BAND_BUCKETS regardless of batch
+    # size — a column scan of the handoff, never the batch text.
+    touched = sorted(
+        pq.read_table(nb_dir, columns=["band_bucket"])
+        .column("band_bucket")
+        .unique()
+        .to_pylist()
+    )
+    # read_parquet takes a LIST of files (dirs only as a single path) —
+    # enumerate the touched buckets' files explicitly.
+    idx_paths = []
+    for b in touched:
+        d = os.path.join(index["bands"], f"band_bucket={b}")
+        if os.path.isdir(d):
+            idx_paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+
+    # phase 1b: flagged band-key exchange over (pruned index ∪ batch)
+    # -> candidate pairs with >=1 new side -> pair dedup -> handoff.
+    new_bands = rd.read_parquet(nb_dir, columns=["doc_id", "band_key"]).add_column(
+        "is_new", lambda t: pa.array([1] * t.num_rows, pa.int64()), batch_format="pyarrow"
+    )
+    if idx_paths:
+        idx_bands = rd.read_parquet(
+            idx_paths, columns=["doc_id", "band_key"]
+        ).add_column(
+            "is_new", lambda t: pa.array([0] * t.num_rows, pa.int64()), batch_format="pyarrow"
+        )
+        bands = idx_bands.union(new_bands)
+    else:
+        bands = new_bands
+    cands = keyed_exchange(
+        keyed_exchange(bands, ["band_key"], _flagged_bucket_pairs, num_partitions),
+        ["doc_id_a", "doc_id_b"],
+        _dedup_pairs,
+        2,
+    )
+    cands.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    ).write_parquet(cands_dir)
+
+    # candidate old-side ids: bounded by the candidate count (ints only,
+    # no payloads) — drives the pushed-down index-store read below.
+    import pyarrow.compute as pc
+
+    if not _has_files(cands_dir):  # no LSH candidates at all
+        return _empty_pairs()
+    ct = pq.read_table(cands_dir, columns=["doc_id_a", "doc_id_b", "new_a", "new_b"])
+    if ct.num_rows == 0:
+        return _empty_pairs()
+    old_a = ct.filter(pc.equal(ct.column("new_a"), 0)).column("doc_id_a")
+    old_b = ct.filter(pc.equal(ct.column("new_b"), 0)).column("doc_id_b")
+    old_ids = sorted(set(old_a.to_pylist()) | set(old_b.to_pylist()))
+
+    # phase 2 (hash context): shingle fetch via the shared join-verify.
+    with hash_shuffle():
+        cands_ds = rd.read_parquet(
+            cands_dir, columns=["doc_id_a", "doc_id_b"]
+        )
+        sh_new = rd.read_parquet(ns_dir)
+        if old_ids:
+            sh_old = rd.read_parquet(
+                index["shingles"],
+                filter=pads.field("doc_id").isin(old_ids),
+            )
+            sh = sh_old.union(sh_new)
+        else:
+            sh = sh_new
+        return _join_verify(cands_ds, sh, num_partitions)
