@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_minhash": Q.doc_dedup_minhash,
         "doc_dedup_minhash_join": Q.doc_dedup_minhash_join,
         "doc_dedup_incremental": Q.doc_dedup_incremental,
+        "doc_dedup_clusters": Q.doc_dedup_clusters,
+        "doc_dedup_keep": Q.doc_dedup_keep,
         "segment_year_revenue": Q.segment_year_revenue,
         "doc_dedup_simhash": Q.doc_dedup_simhash,
         "doc_dedup_jaccard": Q.doc_dedup_jaccard,
@@ -321,6 +323,47 @@ def _minhash_incr_sql() -> str:
         anchor
         + f"\n  WHERE (a.doc_id % {INCR_NEW_MOD} = 0 OR b.doc_id % {INCR_NEW_MOD} = 0)",
     )
+
+
+def _clusters_sql() -> str:
+    """Exact connected components over the near-dup pair graph: the
+    recursive CTE computes the true transitive closure (no round bound),
+    so it is a strictly stronger oracle than the Ray side's bounded-
+    round propagation — any diameter > _CLUSTER_ROUNDS would surface as
+    a mismatch rather than hide."""
+    return f"""
+WITH RECURSIVE
+mp AS ({_minhash_sql()}),
+ed AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM mp
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM mp
+),
+reach(src, dst) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src"""
+
+
+def _dedup_keep_sql() -> str:
+    return f"""
+WITH RECURSIVE
+mp AS ({_minhash_sql()}),
+ed AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM mp
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM mp
+),
+reach(src, dst) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
+),
+cl AS (SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE rep < doc_id)"""
 
 
 _SIMHASH_SQL = rf"""
@@ -792,6 +835,8 @@ WHERE media_type = 'video' AND octet_length(payload) > 0""",
         "doc_dedup_minhash": _minhash_sql(),
         "doc_dedup_minhash_join": _minhash_sql(),
         "doc_dedup_incremental": _minhash_incr_sql(),
+        "doc_dedup_clusters": _clusters_sql(),
+        "doc_dedup_keep": _dedup_keep_sql(),
         "segment_year_revenue": """
 SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -121,6 +121,8 @@ QUERY_NAMES = [
     "segment_year_revenue",
     "doc_dedup_minhash_join",
     "doc_dedup_incremental",
+    "doc_dedup_clusters",
+    "doc_dedup_keep",
     "kg_conv_turn_gaps",
     "customers_without_orders",
     "conll_token_table",

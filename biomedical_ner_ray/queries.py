@@ -760,6 +760,69 @@ def doc_dedup_incremental(sf_dir: str):
     return incremental_minhash_pairs(_docs_split_factory(sf_dir, new=True), idx)
 
 
+_CLUSTER_ROUNDS = 8  # exact for component diameter ≤ 8; the oracle is
+# the true transitive closure (recursive CTE), so any diameter overrun
+# would surface as a mismatch rather than hide.
+
+
+def doc_dedup_clusters(sf_dir: str):
+    """Near-dup canonicalization (the step after pair detection):
+    MinHash+LSH pairs → connected components → (doc_id, cluster_rep =
+    component-min doc_id) for every doc in some near-dup pair
+    (stages/dedup.minhash_clusters over
+    stages/canonicalize.connected_components_ds)."""
+    from .stages.dedup import minhash_clusters
+
+    return minhash_clusters(
+        lambda: _tbl(sf_dir, "documents", columns=["doc_id", "text"]),
+        rounds=_CLUSTER_ROUNDS,
+    )
+
+
+def doc_dedup_keep(sf_dir: str):
+    """The actual corpus dedup: keep one representative per near-dup
+    cluster (the component-min doc) plus every unclustered doc.
+
+    Scale shape: the drop list (non-representative cluster members) is
+    written as a parquet handoff (cluster output is a checkpointable
+    artifact), then removed from the corpus with a NATIVE left_anti
+    hash join — no driver-side key set, both sides streamed."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .stages.exchange import hash_shuffle
+
+    base = os.path.join(tempfile.gettempdir(), "graft_dedup_drops")
+    shutil.rmtree(base, ignore_errors=True)
+    handoff = os.path.join(base, uuid.uuid4().hex)
+
+    def drops_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["cluster_rep"] < df["doc_id"], ["doc_id"]]
+
+    (
+        doc_dedup_clusters(sf_dir)
+        .map_batches(drops_only, batch_format="pandas")
+        .map_batches(
+            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .write_parquet(handoff)
+    )
+
+    if not any(f.endswith(".parquet") for f in os.listdir(handoff)):
+        return _tbl(sf_dir, "documents", columns=["doc_id"])  # nothing to drop
+
+    with hash_shuffle():
+        docs = _strip_meta(_tbl(sf_dir, "documents", columns=["doc_id"]))
+        drops = rd.read_parquet(handoff)
+        return docs.join(
+            drops,
+            join_type="left_anti",
+            num_partitions=8,
+            on=("doc_id",),
+        )
+
+
 def segment_year_revenue(sf_dir: str):
     """Distributed SHUFFLE hash join (native Dataset.join) — the
     non-broadcast path for when both sides are large: orders ⋈ customer

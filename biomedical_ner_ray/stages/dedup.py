@@ -377,6 +377,54 @@ def jaccard_pairs(docs_ds):
 
 
 # ---------------------------------------------------------------------------
+# Near-dup cluster canonicalization (pairs -> connected components)
+# ---------------------------------------------------------------------------
+
+# Doc ids ride the string-typed bipartite components machinery as
+# zero-padded fixed-width strings (string min == int min at fixed
+# width); each near-dup pair contributes one bipartite "alias" node.
+_CLUSTER_PAD = 12
+
+
+def minhash_clusters(docs_ds_factory, rounds: int = 8, num_partitions: int = 8):
+    """documents → (doc_id, cluster_rep) for every doc in a near-dup
+    cluster, cluster_rep = component-min doc_id. MinHash+LSH pairs feed
+    ``connected_components_ds`` (keyed-exchange min-label propagation;
+    adaptive driver path when the pair graph is broadcast-small)."""
+    from .canonicalize import connected_components_ds
+
+    pairs = minhash_pairs(docs_ds_factory, num_partitions)
+
+    def to_bipartite(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_id_a"].astype("int64")
+        b = df["doc_id_b"].astype("int64")
+        key = "p" + a.astype(str) + ":" + b.astype(str)
+        return pd.DataFrame(
+            {
+                "cui": pd.concat(
+                    [a.astype(str).str.zfill(_CLUSTER_PAD),
+                     b.astype(str).str.zfill(_CLUSTER_PAD)],
+                    ignore_index=True,
+                ),
+                "alias_key": pd.concat([key, key], ignore_index=True),
+            }
+        )
+
+    bip = pairs.map_batches(to_bipartite, batch_format="pandas")
+    comp = connected_components_ds(bip, rounds=rounds, num_partitions=num_partitions)
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["cui"].astype("int64"),
+                "cluster_rep": df["label"].astype("int64"),
+            }
+        )
+
+    return comp.map_batches(decode, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup against a persisted LSH index (ingest-time shape)
 # ---------------------------------------------------------------------------
 
