@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_incremental": Q.doc_dedup_incremental,
         "doc_dedup_clusters": Q.doc_dedup_clusters,
         "doc_dedup_keep": Q.doc_dedup_keep,
+        "doc_pii_scrub": Q.doc_pii_scrub,
         "segment_year_revenue": Q.segment_year_revenue,
         "doc_dedup_simhash": Q.doc_dedup_simhash,
         "doc_dedup_jaccard": Q.doc_dedup_jaccard,
@@ -364,6 +365,50 @@ reach(src, dst) AS (
 cl AS (SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src)
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE rep < doc_id)"""
+
+
+def _pii_scrub_sql() -> str:
+    from biomedical_ner_ray.kernels.pii import (
+        EMAIL_PAT,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_PAT,
+        PHONE_PAT,
+        PHONE_TOKEN,
+    )
+    from biomedical_ner_ray.queries import PII_PLANT_MOD
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_PLANT_MOD} = 0 THEN
+           'contact u' || doc_id || '@ex' || (doc_id % 5) || '.com from 10.0.' ||
+           (doc_id % 256) || '.' || (doc_id % 100) || ' call 555-' ||
+           (100 + doc_id % 900) || '-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text
+         ELSE text END AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, len(regexp_extract_all(t0, '{EMAIL_PAT}')) AS n_emails,
+         regexp_replace(t0, '{EMAIL_PAT}', '{EMAIL_TOKEN}', 'g') AS t1
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_emails, len(regexp_extract_all(t1, '{IPV4_PAT}')) AS n_ips,
+         regexp_replace(t1, '{IPV4_PAT}', '{IP_TOKEN}', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '{PHONE_PAT}')) AS n_phones,
+         regexp_replace(t2, '{PHONE_PAT}', '{PHONE_TOKEN}', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips, CAST(n_phones AS BIGINT) AS n_phones,
+       md5(t3) AS scrub_md5
+FROM s3"""
 
 
 _SIMHASH_SQL = rf"""
@@ -837,6 +882,7 @@ WHERE media_type = 'video' AND octet_length(payload) > 0""",
         "doc_dedup_incremental": _minhash_incr_sql(),
         "doc_dedup_clusters": _clusters_sql(),
         "doc_dedup_keep": _dedup_keep_sql(),
+        "doc_pii_scrub": _pii_scrub_sql(),
         "segment_year_revenue": """
 SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(count(*) AS BIGINT) AS n_orders,

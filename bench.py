@@ -123,6 +123,7 @@ QUERY_NAMES = [
     "doc_dedup_incremental",
     "doc_dedup_clusters",
     "doc_dedup_keep",
+    "doc_pii_scrub",
     "kg_conv_turn_gaps",
     "customers_without_orders",
     "conll_token_table",

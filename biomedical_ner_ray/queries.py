@@ -823,6 +823,52 @@ def doc_dedup_keep(sf_dir: str):
         )
 
 
+# PII scrub: the testdata corpus contains no PII-shaped strings, so the
+# operator plants deterministic doc_id-derived PII on every 7th doc —
+# the planting rule is PART of the operator definition and replicated
+# verbatim in the SQL oracle, so extraction, sequential redaction, and
+# the scrubbed-text md5 are all value-checked, not vacuously zero.
+PII_PLANT_MOD = 7
+
+
+def _plant_pii(doc_id: int, text: str) -> str:
+    if doc_id % PII_PLANT_MOD:
+        return text
+    d = doc_id
+    return (
+        f"contact u{d}@ex{d % 5}.com from 10.0.{d % 256}.{d % 100} "
+        f"call 555-{100 + d % 900}-{d % 10000:04d} " + text
+    )
+
+
+def doc_pii_scrub(sf_dir: str):
+    """PII detection + redaction over documents (kernels/pii.py):
+    per-doc email/IPv4/phone counts plus the md5 of the sequentially
+    scrubbed text. Row-local map — no shuffle at any scale; regexes are
+    RE2-compatible so DuckDB reproduces the scrub byte-for-byte."""
+    from .kernels.pii import md5_hex, scrub_text
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        rows = [
+            scrub_text(_plant_pii(i, t))
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_emails": pa.array([r[1] for r in rows], pa.int64()),
+                "n_ips": pa.array([r[2] for r in rows], pa.int64()),
+                "n_phones": pa.array([r[3] for r in rows], pa.int64()),
+                "scrub_md5": pa.array([md5_hex(r[0]) for r in rows], pa.string()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def segment_year_revenue(sf_dir: str):
     """Distributed SHUFFLE hash join (native Dataset.join) — the
     non-broadcast path for when both sides are large: orders ⋈ customer
