@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_clusters": Q.doc_dedup_clusters,
         "doc_dedup_keep": Q.doc_dedup_keep,
         "doc_pii_scrub": Q.doc_pii_scrub,
+        "doc_pack_chunks": Q.doc_pack_chunks,
+        "doc_training_order": Q.doc_training_order,
         "segment_year_revenue": Q.segment_year_revenue,
         "doc_dedup_simhash": Q.doc_dedup_simhash,
         "doc_dedup_jaccard": Q.doc_dedup_jaccard,
@@ -409,6 +411,50 @@ SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
        CAST(n_ips AS BIGINT) AS n_ips, CAST(n_phones AS BIGINT) AS n_phones,
        md5(t3) AS scrub_md5
 FROM s3"""
+
+
+def _pack_chunks_sql() -> str:
+    from biomedical_ner_ray.queries import PACK_CHUNK
+
+    n = PACK_CHUNK
+    return rf"""
+WITH f AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, ws, g.c AS chunk_idx
+  FROM f, unnest(generate_series(0, (len(ws) + {n} - 1) // {n} - 1)) AS g(c)
+  WHERE len(ws) > 0
+)
+SELECT doc_id, chunk_idx,
+       CAST(least({n}, len(ws) - chunk_idx * {n}) AS BIGINT) AS n_tokens,
+       ws[chunk_idx * {n} + 1] AS first_tok,
+       ws[least(len(ws), (chunk_idx + 1) * {n})] AS last_tok
+FROM c"""
+
+
+def _training_order_sql() -> str:
+    from biomedical_ner_ray.queries import TRAIN_ORDER_HEAD, TRAIN_ORDER_SEED
+
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         md5_number_lower('shuf:{TRAIN_ORDER_SEED}:' || doc_id) AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST((h >> 63) AS BIGINT) AS order_hi,
+         CAST((h & 9223372036854775807) AS BIGINT) AS order_key
+  FROM k
+),
+r AS (
+  SELECT doc_id, order_hi, order_key,
+         row_number() OVER (ORDER BY order_hi, order_key, doc_id) - 1 AS order_idx
+  FROM s
+)
+SELECT CAST(order_idx AS BIGINT) AS order_idx, doc_id, order_hi, order_key
+FROM r WHERE order_idx < {TRAIN_ORDER_HEAD}"""
 
 
 _SIMHASH_SQL = rf"""
@@ -883,6 +929,8 @@ WHERE media_type = 'video' AND octet_length(payload) > 0""",
         "doc_dedup_clusters": _clusters_sql(),
         "doc_dedup_keep": _dedup_keep_sql(),
         "doc_pii_scrub": _pii_scrub_sql(),
+        "doc_pack_chunks": _pack_chunks_sql(),
+        "doc_training_order": _training_order_sql(),
         "segment_year_revenue": """
 SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(count(*) AS BIGINT) AS n_orders,

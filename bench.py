@@ -124,6 +124,8 @@ QUERY_NAMES = [
     "doc_dedup_clusters",
     "doc_dedup_keep",
     "doc_pii_scrub",
+    "doc_pack_chunks",
+    "doc_training_order",
     "kg_conv_turn_gaps",
     "customers_without_orders",
     "conll_token_table",

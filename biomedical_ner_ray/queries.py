@@ -869,6 +869,95 @@ def doc_pii_scrub(sf_dir: str):
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
+# Training-sequence packing: fixed-size token chunks per document.
+PACK_CHUNK = 64
+
+
+def doc_pack_chunks(sf_dir: str):
+    """Sequence packing for training: split each document's token
+    stream into fixed PACK_CHUNK-token chunks, emitting one row per
+    chunk with boundary metadata (doc_id, chunk_idx, n_tokens,
+    first_tok, last_tok). Row-local flat map (explode) — no shuffle;
+    chunk rows are what a downstream pack-into-2048-token-rows stage
+    would consume. Reference analog: the MAX_SEQ_LEN truncation
+    semantics (app.py / kernels/tagger.py) generalized from
+    truncate-to-one to chunk-to-many."""
+    from .kernels.textstats import WORD_RE
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids, cidx, ntok, first, last = [], [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = WORD_RE.findall(text)
+            for c in range((len(ws) + PACK_CHUNK - 1) // PACK_CHUNK):
+                seg = ws[c * PACK_CHUNK : (c + 1) * PACK_CHUNK]
+                ids.append(doc_id)
+                cidx.append(c)
+                ntok.append(len(seg))
+                first.append(seg[0])
+                last.append(seg[-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "first_tok": pa.array(first, pa.string()),
+                "last_tok": pa.array(last, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+# Deterministic seeded global training order (shuffle-as-sort).
+TRAIN_ORDER_SEED = 41
+TRAIN_ORDER_HEAD = 100
+
+
+def doc_training_order(sf_dir: str):
+    """Deterministic 'global shuffle' for training order: every doc
+    gets an md5-derived order key (seeded, process/retry-stable —
+    Ray's random_shuffle is not deterministic), a DISTRIBUTED sort
+    range-partitions by the key, and the first TRAIN_ORDER_HEAD rows
+    come back with their global positions. The head is driver-bounded;
+    the order key + sort define the full training order at any scale
+    (a full run would write_parquet the sorted stream instead of
+    limiting)."""
+    from .kernels.hashing import stable_u64_md5
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ks = [
+            stable_u64_md5(f"shuf:{TRAIN_ORDER_SEED}:{i}".encode("utf-8"))
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                # int64 bit view of the u64 key: sign-agnostic ORDER
+                # parity with SQL needs unsigned order, so shift into
+                # the positive range instead of reinterpreting bits
+                "order_key": pa.array([k % (1 << 63) for k in ks], pa.int64()),
+                "order_hi": pa.array([k >> 63 for k in ks], pa.int64()),
+            }
+        )
+
+    head = (
+        ds.map_batches(key, batch_format="pyarrow")
+        .sort(["order_hi", "order_key", "doc_id"])
+        .limit(TRAIN_ORDER_HEAD)
+        .to_pandas()
+    )
+    head = head.reset_index(drop=True)
+    head["order_idx"] = head.index.astype("int64")
+    return head[["order_idx", "doc_id", "order_hi", "order_key"]]
+
+
 def segment_year_revenue(sf_dir: str):
     """Distributed SHUFFLE hash join (native Dataset.join) — the
     non-broadcast path for when both sides are large: orders ⋈ customer
