@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": Q.doc_pii_scrub,
         "doc_pack_chunks": Q.doc_pack_chunks,
         "doc_training_order": Q.doc_training_order,
+        "part_copurchase_pagerank": Q.part_copurchase_pagerank,
         "segment_year_revenue": Q.segment_year_revenue,
         "doc_dedup_simhash": Q.doc_dedup_simhash,
         "doc_dedup_jaccard": Q.doc_dedup_jaccard,
@@ -455,6 +456,38 @@ r AS (
 )
 SELECT CAST(order_idx AS BIGINT) AS order_idx, doc_id, order_hi, order_key
 FROM r WHERE order_idx < {TRAIN_ORDER_HEAD}"""
+
+
+def _pagerank_sql() -> str:
+    """Generated N-iteration integer PageRank — same floor arithmetic
+    as stages/pagerank.py (integer sums are order-independent, so the
+    comparison is bit-exact, not tolerance-based)."""
+    from biomedical_ner_ray.queries import PAGERANK_ITERS
+    from biomedical_ner_ray.stages.pagerank import BASE, DAMP_DEN, DAMP_NUM, SCALE
+
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)""",
+        "deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY src)",
+    ]
+    prev = None
+    for i in range(1, PAGERANK_ITERS + 1):
+        rank_expr = f"{SCALE} // g.d" if prev is None else f"{prev}.r // g.d"
+        join_prev = "" if prev is None else f" JOIN {prev} ON {prev}.node = e.src"
+        ctes.append(
+            f"r{i} AS (SELECT e.dst AS node, "
+            f"CAST({BASE} + ({DAMP_NUM} * sum({rank_expr})) // {DAMP_DEN} AS BIGINT) AS r "
+            f"FROM e0 e JOIN deg g ON g.src = e.src{join_prev} GROUP BY e.dst)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS part_id, r AS pr_score FROM {prev}"
+    )
 
 
 _SIMHASH_SQL = rf"""
@@ -931,6 +964,7 @@ WHERE media_type = 'video' AND octet_length(payload) > 0""",
         "doc_pii_scrub": _pii_scrub_sql(),
         "doc_pack_chunks": _pack_chunks_sql(),
         "doc_training_order": _training_order_sql(),
+        "part_copurchase_pagerank": _pagerank_sql(),
         "segment_year_revenue": """
 SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(count(*) AS BIGINT) AS n_orders,

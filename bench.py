@@ -126,6 +126,7 @@ QUERY_NAMES = [
     "doc_pii_scrub",
     "doc_pack_chunks",
     "doc_training_order",
+    "part_copurchase_pagerank",
     "kg_conv_turn_gaps",
     "customers_without_orders",
     "conll_token_table",

@@ -958,6 +958,47 @@ def doc_training_order(sf_dir: str):
     return head[["order_idx", "doc_id", "order_hi", "order_key"]]
 
 
+PAGERANK_ITERS = 3
+
+
+def part_copurchase_pagerank(sf_dir: str):
+    """Iterative graph algorithm: integer fixed-point PageRank
+    (stages/pagerank.py) over the part co-purchase graph — directed
+    edges between distinct parts sharing an order. Edge build is two
+    keyed exchanges (per-order vectorized self-merge for pairs, then a
+    global (src, dst) distinct); the rank iterations are all-integer
+    floor arithmetic, so the result is bit-identical across
+    partitionings and to the SQL oracle."""
+    from .stages.exchange import keyed_exchange
+    from .stages.pagerank import pagerank_int
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        return pd.DataFrame(
+            {"src": m["l_partkey_x"], "dst": m["l_partkey_y"]}
+        ).drop_duplicates()
+
+    # pairs are per-order distinct; the global (src, dst) distinct is
+    # folded into pagerank's own pin exchange (duplicates of a pair
+    # share the src key), saving a dedicated dedup exchange. P = 32:
+    # the two edge exchanges dominate this query, and map_groups runs
+    # one task per partition — match the node width (8 → 18.4s,
+    # 16 → 11.9s, 32 → 8.5s measured at sf0.1).
+    edges = keyed_exchange(li, ["l_orderkey"], order_pairs, 32)
+    pr = pagerank_int(edges, iterations=PAGERANK_ITERS, num_partitions=32)
+    return pr.map_batches(
+        lambda df: pd.DataFrame(
+            {"part_id": df["node"].astype("int64"),
+             "pr_score": df["pr_score"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def segment_year_revenue(sf_dir: str):
     """Distributed SHUFFLE hash join (native Dataset.join) — the
     non-broadcast path for when both sides are large: orders ⋈ customer

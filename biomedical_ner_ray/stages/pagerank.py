@@ -1,0 +1,129 @@
+"""Bounded-iteration PageRank over a co-occurrence graph — the
+iterative-graph-algorithm slot of the engine (alongside the
+connected-components propagation in ``canonicalize.py``).
+
+ALL-INTEGER fixed-point arithmetic: ranks live in millionths
+(``SCALE`` = 10^6), per-edge contributions are floor divisions
+(``rank // out_degree``), and the damping update is
+``150000 + (85 * incoming) // 100``. Integer sums are associative and
+commutative REGARDLESS of partitioning or summation order, so the
+distributed result is bit-identical to the driver path and to the SQL
+oracle — no float-reduction nondeterminism anywhere.
+
+Distributed shape — PIN EDGES, MOVE RANKS:
+- setup (once): a src-keyed exchange co-locates and globally dedups
+  each src's edge rows (duplicates of a pair share the src key, so the
+  per-partition drop_duplicates IS the global distinct), attaches the
+  out-degree per row, and MATERIALIZES the partitions. The edge set —
+  the O(E) payload — never moves again.
+- per iteration: the rank table (O(N) rows, N = nodes ≪ E) is
+  broadcast via ``ray.put``; a LOCAL ``map_batches`` over the pinned
+  edge blocks computes floor contributions and pre-sums them per dst
+  WITHIN the block; the ≤ P·N partial rows combine on the driver into
+  the next rank table. Zero per-iteration shuffle.
+
+An earlier formulation re-exchanged the edge stream twice per
+iteration (label-union pattern as in canonicalize._half_round) — 2–3×
+slower at sf0.1 and O(E·iterations) shuffle at scale. Bounds of this
+one: the rank broadcast holds to ~10⁷ nodes (the engine's
+broadcast-small standard, SCALE.md §7) and the driver combine to
+P·N partial rows; beyond that, swap the combine onto
+``exchange.grouped_aggregate`` and the broadcast for the label-union
+exchange — the integer arithmetic guarantees identical results either
+way.
+
+Adaptive: a graph at or under ``small_graph_threshold`` edges runs on
+the driver (same integers, same result), matching the engine's
+broadcast-small standard (stages/canonicalize.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .exchange import keyed_exchange
+
+SCALE = 1_000_000
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # 150000
+
+
+def _pin_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Per complete src partition: global dedup (duplicates of a pair
+    share the src key) + out-degree attached per row, so downstream
+    batch splitting can never miscount degrees."""
+    e = df.drop_duplicates()
+    deg = e.groupby("src", sort=False)["src"].transform("size").astype("int64")
+    return e.assign(deg=deg)
+
+
+def pagerank_int(
+    edges_ds,
+    iterations: int = 3,
+    num_partitions: int = 8,
+    small_graph_threshold: int = 200_000,
+):
+    """edges_ds: Dataset with int64 (src, dst) columns — directed
+    pairs, duplicates allowed (deduped inside the src-keyed exchange);
+    every node must have out-degree ≥ 1 (a symmetric co-occurrence
+    graph satisfies this). Returns a Dataset of (node, pr_score) in
+    millionths."""
+    import ray.data as rd
+
+    edges = edges_ds.select_columns(["src", "dst"]).materialize()
+
+    if edges.count() <= small_graph_threshold:
+        e = edges.to_pandas().drop_duplicates()
+        deg = e.groupby("src")["src"].transform("size").astype("int64")
+        r = pd.Series(SCALE, index=pd.unique(e["src"]), dtype="int64")
+        for _ in range(iterations):
+            contrib = (r.loc[e["src"]].to_numpy() // deg.to_numpy())
+            s = pd.Series(contrib).groupby(e["dst"].to_numpy()).sum()
+            r = (BASE + (DAMP_NUM * s) // DAMP_DEN).astype("int64")
+        out = pd.DataFrame(
+            {"node": r.index.astype("int64"), "pr_score": r.to_numpy()}
+        ).sort_values("node", ignore_index=True)
+        return rd.from_pandas(out)
+
+    import ray
+
+    from ..state.broadcast import resolve
+
+    pinned = keyed_exchange(
+        edges, ["src"], _pin_partition, num_partitions
+    ).materialize()
+
+    ranks: pd.DataFrame | None = None  # None => every node at SCALE
+    for _ in range(iterations):
+        rref = ray.put(ranks) if ranks is not None else None
+
+        def partial(e: pd.DataFrame, _r=rref) -> pd.DataFrame:
+            if _r is None:
+                rank = pd.Series(
+                    np.full(len(e), SCALE, dtype=np.int64), index=e.index
+                )
+            else:
+                r = resolve(_r)
+                m = e[["src"]].merge(r, left_on="src", right_on="node", how="left")
+                rank = m["r"].fillna(SCALE).astype("int64")
+            contrib = rank.to_numpy() // e["deg"].to_numpy()
+            return (
+                pd.DataFrame({"node": e["dst"].to_numpy(), "contrib": contrib})
+                .groupby("node", as_index=False)["contrib"]
+                .sum()
+            )
+
+        partials = pinned.map_batches(partial, batch_format="pandas").to_pandas()
+        s = partials.groupby("node", as_index=False)["contrib"].sum()
+        ranks = pd.DataFrame(
+            {
+                "node": s["node"].astype("int64"),
+                "r": (BASE + (DAMP_NUM * s["contrib"]) // DAMP_DEN).astype("int64"),
+            }
+        )
+
+    out = ranks.rename(columns={"r": "pr_score"}).sort_values(
+        "node", ignore_index=True
+    )
+    return rd.from_pandas(out)
