@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_chunks": Q.doc_pack_chunks,
         "doc_training_order": Q.doc_training_order,
         "part_copurchase_pagerank": Q.part_copurchase_pagerank,
+        "building_year_revenue_bloom": Q.building_year_revenue_bloom,
         "segment_year_revenue": Q.segment_year_revenue,
         "doc_dedup_simhash": Q.doc_dedup_simhash,
         "doc_dedup_jaccard": Q.doc_dedup_jaccard,
@@ -488,6 +489,18 @@ def _pagerank_sql() -> str:
         + ",\n".join(ctes)
         + f"\nSELECT node AS part_id, r AS pr_score FROM {prev}"
     )
+
+
+def _bloom_revenue_sql() -> str:
+    from biomedical_ner_ray.queries import BLOOM_SEGMENT
+
+    return f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+GROUP BY 1"""
 
 
 _SIMHASH_SQL = rf"""
@@ -965,6 +978,7 @@ WHERE media_type = 'video' AND octet_length(payload) > 0""",
         "doc_pack_chunks": _pack_chunks_sql(),
         "doc_training_order": _training_order_sql(),
         "part_copurchase_pagerank": _pagerank_sql(),
+        "building_year_revenue_bloom": _bloom_revenue_sql(),
         "segment_year_revenue": """
 SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(count(*) AS BIGINT) AS n_orders,

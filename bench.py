@@ -127,6 +127,7 @@ QUERY_NAMES = [
     "doc_pack_chunks",
     "doc_training_order",
     "part_copurchase_pagerank",
+    "building_year_revenue_bloom",
     "kg_conv_turn_gaps",
     "customers_without_orders",
     "conll_token_table",

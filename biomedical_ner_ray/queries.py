@@ -1040,6 +1040,86 @@ def segment_year_revenue(sf_dir: str):
         return partials.repartition(1).map_batches(combine, batch_format="pandas")
 
 
+BLOOM_SEGMENT = "BUILDING"
+
+
+def building_year_revenue_bloom(sf_dir: str):
+    """Shuffle join with BLOOM-FILTER sideways information passing
+    (kernels/bloom.py): revenue per year for one customer segment.
+
+    The selective side (segment customers, ~1/5 of the table) builds
+    per-block partial blooms (mergeable 128 KiB bit arrays) that the
+    driver ORs and broadcasts; the orders scan drops rows whose custkey
+    cannot match BEFORE the join exchange — ~80% of the big side never
+    shuffles. Bloom false positives merely ride into the exact inner
+    join, so the result is identical to the unfiltered join (same SQL
+    oracle shape as segment_year_revenue restricted to the segment)."""
+    import pyarrow.compute as pc
+
+    from .kernels.bloom import bloom_build, bloom_merge, bloom_probe
+    from .state.broadcast import resolve
+    from .stages.exchange import hash_shuffle
+
+    seg = BLOOM_SEGMENT
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["c_mktsegment"], seg)
+        return pa.table({"c_custkey": batch["c_custkey"].filter(mask)})
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        bits = bloom_build(batch["c_custkey"].to_pylist())
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = (
+        _tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(seg_keys, batch_format="pyarrow")
+        .map_batches(block_bloom, batch_format="pyarrow")
+        .to_pandas()  # one 128 KiB row per block — bounded by block count
+    )
+    bloom = bloom_merge([np.frombuffer(b, dtype=np.uint8) for b in parts["bloom"]])
+    bref = ray.put(bloom)
+
+    with hash_shuffle():
+        cust = _strip_meta(
+            _tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        ).map_batches(seg_keys, batch_format="pyarrow")
+
+        def probe(batch: pa.Table) -> pa.Table:
+            bits = resolve(bref)
+            keep = bloom_probe(bits, batch["o_custkey"].to_pylist())
+            return batch.filter(pa.array(keep))
+
+        orders = _strip_meta(
+            _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+        ).map_batches(probe, batch_format="pyarrow")
+
+        joined = orders.join(
+            cust, join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.assign(
+                o_year=df["o_orderdate"].dt.year.astype("int64"),
+                cents=(df["o_totalprice"] * 100).round().astype("int64"),
+            )
+            return (
+                df.groupby("o_year", sort=False)
+                .agg(n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+                .reset_index()
+            )
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.groupby("o_year", sort=False)
+                .agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+                .reset_index()
+            )
+
+        partials = joined.map_batches(partial, batch_format="pandas")
+        return partials.repartition(1).map_batches(combine, batch_format="pandas")
+
+
 def doc_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs (64-bit md5 simhash → 4×16-bit chunk
     bucket exchange → hamming ≤ 3 verify)."""
