@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": Q.events_range_join,
         "events_user_activity": Q.events_user_activity,
         "events_hll_users": Q.events_hll_users,
+        "doc_heavy_hitters_cms": Q.doc_heavy_hitters_cms,
         "lineitem_price_quantiles": Q.lineitem_price_quantiles,
         "segment_year_rollup": Q.segment_year_rollup,
         "user_day_purchase_click_outer": Q.user_day_purchase_click_outer,

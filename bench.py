@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "events_hll_users",
     "lineitem_price_quantiles",
     "lineitem_price_quantiles_sketch",
+    "doc_heavy_hitters_cms",
     "doc_stratified_sample",
     "doc_decontaminate",
     "events_running_total",

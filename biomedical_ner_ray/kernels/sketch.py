@@ -146,3 +146,59 @@ def dd_quantile(counts: dict, q: float, alpha: float = DD_ALPHA) -> float:
         if seen >= rank:
             return 2.0 * gamma**i / (gamma + 1.0)
     return float("nan")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (heavy hitters / approximate frequencies)
+# ---------------------------------------------------------------------------
+
+# d independent rows × w counters: overestimate-only frequency sketch
+# (Cormode & Muthukrishnan 2005). ε ≈ e/w of the total mass, failure
+# probability ≈ e^-d. 4×4096 int64 = 128 KiB — fixed size at any corpus
+# scale; merge is elementwise addition, so per-block partials combine
+# associatively with no key shuffle.
+CMS_D = 4
+CMS_W = 4096
+
+
+def cms_empty(d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    return np.zeros((d, w), dtype=np.int64)
+
+
+def _cms_cols(keys, d: int, w: int) -> np.ndarray:
+    """(d, n) column indices — md5-derived per row, process-stable."""
+    return np.stack(
+        [
+            np.fromiter(
+                (stable_u64_md5(f"cms{j}:{k}".encode("utf-8")) % w for k in keys),
+                dtype=np.int64,
+                count=len(keys),
+            )
+            for j in range(d)
+        ]
+    )
+
+
+def cms_add(sketch: np.ndarray, keys, counts) -> np.ndarray:
+    """Fold (key, count) pairs into the sketch in place."""
+    if len(keys) == 0:
+        return sketch
+    d, w = sketch.shape
+    cols = _cms_cols(keys, d, w)
+    cnts = np.asarray(counts, dtype=np.int64)
+    for j in range(d):
+        np.add.at(sketch[j], cols[j], cnts)
+    return sketch
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query(sketch: np.ndarray, keys) -> np.ndarray:
+    """Estimated counts (min over rows) — never below the true count."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    d, w = sketch.shape
+    cols = _cms_cols(keys, d, w)
+    return np.stack([sketch[j][cols[j]] for j in range(d)]).min(axis=0)

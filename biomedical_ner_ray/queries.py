@@ -1858,6 +1858,60 @@ def events_user_activity(sf_dir: str):
     return out
 
 
+CMS_TOP_K = 20
+CMS_BLOCK_CANDS = 64
+
+
+def doc_heavy_hitters_cms(sf_dir: str):
+    """Approximate heavy hitters (top words) via Count-Min Sketch
+    (kernels/sketch.py): each block folds its exact local word counts
+    into a fixed 128 KiB sketch and nominates its local top
+    CMS_BLOCK_CANDS words; the driver sums the sketches (elementwise —
+    associative, no key shuffle), estimates the candidate union, and
+    keeps the top CMS_TOP_K. A global heavy hitter is a local heavy
+    hitter in at least one block (count ≥ total/blocks somewhere), so
+    the candidate union contains every true top-k at any scale.
+    Estimates only ever OVERCOUNT; pytest pins the envelope vs the
+    exact word count (rows-only driver check — the sketch itself is
+    the point, not a SQL re-derivation)."""
+    from .kernels.sketch import CMS_D, CMS_W, cms_add, cms_empty, cms_query
+    from .kernels.textstats import WORD_RE
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def block_sketch(df: pd.DataFrame) -> pd.DataFrame:
+        words: dict[str, int] = {}
+        for t in df["text"]:
+            for w in WORD_RE.findall(t.lower()):
+                words[w] = words.get(w, 0) + 1
+        sk = cms_empty()
+        cms_add(sk, list(words.keys()), list(words.values()))
+        cands = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :CMS_BLOCK_CANDS
+        ]
+        return pd.DataFrame(
+            {
+                "cms": [sk.tobytes()],
+                "cands": [[w for w, _ in cands]],
+            }
+        )
+
+    parts = ds.map_batches(block_sketch, batch_format="pandas").to_pandas()
+    sketch = cms_empty()
+    cand_union: set[str] = set()
+    for blob, cands in zip(parts["cms"], parts["cands"]):
+        sketch += np.frombuffer(blob, dtype=np.int64).reshape(CMS_D, CMS_W)
+        cand_union.update(cands)
+    cands = sorted(cand_union)
+    est = cms_query(sketch, cands)
+    out = (
+        pd.DataFrame({"word": cands, "est_count": est.astype("int64")})
+        .sort_values(["est_count", "word"], ascending=[False, True], ignore_index=True)
+        .head(CMS_TOP_K)
+    )
+    return out
+
+
 def events_hll_users(sf_dir: str):
     """Approximate distinct users per event type via the HyperLogLog
     sketch (kernels/sketch.py): each block folds its user ids into a

@@ -91,3 +91,68 @@ def test_price_quantiles_sketch_vs_exact(ray_session):
             est = float(approx.loc[flag, qa])
             true = float(exact.loc[flag, qe]) / 100.0  # cents -> currency
             assert abs(est - true) / true <= 0.0101, (flag, qa, est, true)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_merge_associative():
+    import numpy as np
+
+    from biomedical_ner_ray.kernels.sketch import (
+        cms_add,
+        cms_empty,
+        cms_merge,
+        cms_query,
+    )
+
+    rng = np.random.RandomState(11)
+    # zipf-ish stream over 30k distinct keys
+    keys = [f"k{int(v)}" for v in rng.zipf(1.3, 120_000) % 30_000]
+    from collections import Counter
+
+    true = Counter(keys)
+    # three "blocks" folded separately then merged
+    thirds = [keys[i::3] for i in range(3)]
+    parts = []
+    for t in thirds:
+        c = Counter(t)
+        sk = cms_empty()
+        cms_add(sk, list(c.keys()), list(c.values()))
+        parts.append(sk)
+    merged = cms_merge(cms_merge(parts[0], parts[1]), parts[2])
+    probe = [k for k, _ in true.most_common(50)]
+    est = cms_query(merged, probe)
+    exact = np.array([true[k] for k in probe])
+    assert (est >= exact).all()  # CMS only overcounts
+    # ε ≈ e/w of total mass per the CM guarantee; generous 3× slack
+    assert (est - exact).max() <= 3 * 2.7182818 / 4096 * len(keys)
+
+
+def test_cms_heavy_hitters_query_envelope(ray_session):
+    import duckdb
+
+    from biomedical_ner_ray.queries import CMS_TOP_K, doc_heavy_hitters_cms
+
+    sf = "/root/testdata/sf0.01"
+    got = doc_heavy_hitters_cms(sf)
+    assert len(got) == CMS_TOP_K
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            rf"""
+            SELECT w, count(*) FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM read_parquet('{sf}/documents.parquet')
+            ) GROUP BY w
+            """
+        ).fetchall()
+    )
+    top_true = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOP_K]
+    # overcount-only, and the sketch's top set == the exact top set at
+    # this vocabulary size (no collisions expected in 4×4096 counters)
+    for w, est in zip(got["word"], got["est_count"]):
+        assert est >= exact.get(w, 0)
+    assert set(got["word"]) == {w for w, _ in top_true}
