@@ -2359,12 +2359,15 @@ def balance_augmented(sf_dir: str):
 
     paths = _fixture(sf_dir)
     arts = ensure_embedding_artifacts(paths, os.path.join(paths["dir"], "emb_sgns"))
-    path, _ = _conll_sentences(sf_dir)
-    from .sources.conll import read_conll_sentences
+    # run_balance_pipeline consumes its factory four times (counts,
+    # classify, quota-attach, originals); parse the TSV once and hand
+    # back the materialized blocks (at corpus scale the materialize
+    # becomes an object-store-resident parse the four passes share —
+    # still strictly cheaper than four source re-reads)
+    _, sents = _conll_sentences(sf_dir)
+    sents = sents.materialize()
 
-    final, _report = run_balance_pipeline(
-        lambda: read_conll_sentences(path), arts["kv"]
-    )
+    final, _report = run_balance_pipeline(lambda: sents, arts["kv"])
 
     def explode(batch: pa.Table) -> pd.DataFrame:
         sids, copies, tis, toks, tags = [], [], [], [], []

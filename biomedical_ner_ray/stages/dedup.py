@@ -240,14 +240,54 @@ def minhash_pairs_join(docs_ds_factory, num_partitions: int = 8):
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     ).write_parquet(handoff)
 
+    # The handoff is small (deduped id pairs, no payload), so the driver
+    # can cheaply learn the candidate id set and pair count from its
+    # parquet footers + two int64 columns. Two scale wins fall out:
+    #   1. shingle ONLY candidate docs in phase 2 (candidates are a tiny
+    #      fraction of the corpus; re-shingling everything made the join
+    #      path slower than the payload path at sf0.1);
+    #   2. size the join partition count to the measured candidate
+    #      volume instead of a fixed 8 (253 rows over 8 partitions is
+    #      all fixed overhead).
+    # At 100TB the candidate ID SET still fits comfortably (bounded by
+    # pairs, orders of magnitude below corpus size; 10^8 ids = 800MB
+    # would instead ride a semi-join, noted in SCALE.md) — broadcast it
+    # once via ray.put, filter inside each shingle task.
+    import pyarrow.parquet as _pq
+
+    cand_tbl = _pq.read_table(handoff, columns=["doc_id_a", "doc_id_b"])
+    n_pairs = cand_tbl.num_rows
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                cand_tbl["doc_id_a"].to_numpy(zero_copy_only=False),
+                cand_tbl["doc_id_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        if n_pairs
+        else [np.empty(0, np.int64)]
+    )
+    # ~64k pair rows per partition keeps per-partition work meaningful;
+    # never below 1, never above the configured ceiling.
+    join_parts = max(1, min(num_partitions, (n_pairs + 65535) // 65536))
+
+    import ray
+
+    ids_ref = ray.put(cand_ids)
+
+    def _shingle_candidates(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, ray.get(ids_ref))
+        return _shingle_table(batch.filter(pa.array(mask)))
+
     # phase 2 (hash context): shingle fetch for candidates via two joins
     import ray.data as rd
 
     with hash_shuffle():
         cands = rd.read_parquet(handoff)
         docs = docs_ds_factory()
-        sh = docs.map_batches(_shingle_table, batch_format="pyarrow")
-        return _join_verify(cands, sh, num_partitions)
+        sh = docs.map_batches(_shingle_candidates, batch_format="pyarrow")
+        return _join_verify(cands, sh, join_parts)
 
 
 def _join_verify(cands, sh, num_partitions: int):
