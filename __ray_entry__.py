@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_topk_ivf": Q.ann_topk_ivf,
+        # semantic clustering (SemDeDup-style): integer fixed-point Lloyd
+        "emb_kmeans": Q.emb_kmeans,
         # embedding training (A8/A10): trained-KV pass-through + exact
         # md5-replicated OOV/special init
         "kg_embedding_matrix": Q.kg_embedding_matrix,
@@ -547,6 +549,12 @@ SELECT da AS doc_id_a, db AS doc_id_b,
        CAST(nc AS BIGINT) AS n_common, CAST(nu AS BIGINT) AS n_union
 FROM p WHERE nc > 0 AND {JACCARD_BLOCK_DEN} * nc >= {JACCARD_BLOCK_NUM} * nu"""
 )
+
+
+def _kmeans_oracle() -> str:
+    from biomedical_ner_ray.stages.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql("embeddings", k=Q.KMEANS_K, iterations=Q.KMEANS_ITERS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1033,6 +1041,7 @@ sc AS (
 r AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk FROM sc)
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "emb_kmeans": _kmeans_oracle(),
         "ann_topk": f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {Q.ANN_N_QUERIES}

@@ -134,6 +134,7 @@ QUERY_NAMES = [
     "conll_token_table",
     "balance_targets",
     "balance_assign",
+    "emb_kmeans",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -1300,6 +1300,26 @@ def ann_topk_ivf(sf_dir: str):
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def emb_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding table — integer
+    fixed-point, so the assignment after KMEANS_ITERS rounds is
+    bit-identical to the DuckDB unrolled-CTE oracle (stages/kmeans.py:
+    pin quantized vectors once, broadcast k·d centroids per round,
+    per-block partial sums, zero per-iteration shuffle). The clustering
+    primitive behind SemDeDup-style curation and IVF centroid training."""
+    from .stages.kmeans import kmeans_int
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return kmeans_int(ds, k=KMEANS_K, iterations=KMEANS_ITERS)
+
+
 def doc_winnowing(sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. SIGMOD'03):
     distinct minimal 8-gram md5 hashes per 4-hash window — the

@@ -1,0 +1,210 @@
+"""Distributed Lloyd k-means over an embedding column — the semantic
+clustering slot of the engine (SemDeDup-style curation: cluster, then
+keep/inspect per cluster; also the centroid builder behind ann_topk_ivf
+at scale).
+
+ALL-INTEGER fixed-point arithmetic, like ``pagerank.py``: vectors are
+quantized once to millionths (``qv = floor(float64(e) · 10^6)`` —
+float32→float64 widening and the multiply are exact IEEE on both sides,
+floor is exact), distances are int64 sums of squared differences, and
+centroid updates are truncated integer divisions (toward zero, matching
+DuckDB ``//``). Integer math is associative/commutative regardless of
+partitioning or summation order, so the distributed result is
+bit-identical to the driver path and to the SQL oracle — no
+float-reduction nondeterminism anywhere.
+
+Distributed shape — PIN VECTORS, MOVE CENTROIDS (the k-means analog of
+pagerank's "pin edges, move ranks"):
+- setup (once): one streaming pass quantizes the embedding column; the
+  quantized table — the O(N·d) payload — is materialized and never
+  moves again. Assignment is row-local, so no exchange exists anywhere
+  in the algorithm.
+- seeds: the k vectors with the smallest vec_ids, found with a partial
+  top-k per block + driver combine (bounded aggregate, no sort).
+- per iteration: centroids (k·d int64, tiny) broadcast via ``ray.put``;
+  a local ``map_batches`` over the pinned blocks computes the argmin
+  assignment VECTORIZED (N×k×d numpy) and pre-sums member vectors per
+  cluster WITHIN the block; the ≤ P·k partial rows combine on the
+  driver into the next centroid table. Zero per-iteration shuffle.
+- ties go to the smallest cluster id (np.argmin first-hit == SQL
+  ``ORDER BY dist, cid``); a cluster that loses every member keeps its
+  previous centroid on both paths.
+
+Bounds: per-dim block sums reach N_block · 5·10^6 ≈ 10^13 for
+10^7-row blocks — int64-safe; at extreme block sizes split blocks
+before widening to two-limb sums. The driver combine holds to P·k
+rows. Iterations are a fixed small constant (the oracle unrolls them).
+
+Reference anchor: the engine's IVF path (queries.ann_topk_ivf) uses
+ad-hoc centroids; this is the principled trainer for them. Extends the
+dedup family (SURVEY.md §2.7) with embedding-space clustering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+QSCALE = 1_000_000
+
+
+def _quantize_df(df: pd.DataFrame) -> pd.DataFrame:
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(mat * QSCALE).astype(np.int64)
+    return pd.DataFrame(
+        {"vec_id": df["vec_id"].astype("int64"), "q": list(q)}
+    )
+
+
+def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Integer division truncating toward zero (DuckDB ``//``)."""
+    return np.sign(s) * (np.abs(s) // n)
+
+
+def _assign(qmat: np.ndarray, cents: np.ndarray):
+    """argmin_c Σ_d (q-c)² with first-hit (= smallest cid) tie-break.
+    Returns (cid[N], dist[N]) int64."""
+    # (N,1,D)-(1,K,D) -> (N,K,D); int64 squares stay exact
+    diff = qmat[:, None, :] - cents[None, :, :]
+    d = np.einsum("nkd,nkd->nk", diff, diff)
+    cid = np.argmin(d, axis=1)
+    return cid.astype(np.int64), d[np.arange(len(cid)), cid]
+
+
+def kmeans_int(
+    emb_ds,
+    k: int = 8,
+    iterations: int = 3,
+):
+    """emb_ds: Dataset with (vec_id int64, embedding list<float>).
+    Returns a Dataset of (vec_id, cluster_id, dist) — the assignment
+    after ``iterations`` Lloyd rounds from the k-smallest-vec_id seeds;
+    dist is the exact int64 squared distance in quantized units."""
+    import ray
+    import ray.data as rd
+
+    pinned = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _quantize_df, batch_format="pandas"
+    ).materialize()
+
+    # seeds: k smallest vec_ids — partial top-k per block, driver combine
+    def smallest_k(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, "vec_id")
+
+    seed_df = (
+        pinned.map_batches(smallest_k, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(k, "vec_id")
+        .sort_values("vec_id", ignore_index=True)
+    )
+    cents = np.stack(seed_df["q"].to_numpy()).astype(np.int64)  # (k, d)
+
+    for _ in range(iterations):
+        cref = ray.put(cents)
+
+        def partial(df: pd.DataFrame, _c=cref) -> pd.DataFrame:
+            c = ray.get(_c)
+            qmat = np.stack(df["q"].to_numpy()).astype(np.int64)
+            cid, _ = _assign(qmat, c)
+            out = []
+            for ci in np.unique(cid):
+                m = qmat[cid == ci]
+                out.append((int(ci), len(m), m.sum(axis=0, dtype=np.int64)))
+            return pd.DataFrame(
+                {
+                    "cid": [o[0] for o in out],
+                    "n": [o[1] for o in out],
+                    "s": [o[2] for o in out],
+                }
+            )
+
+        parts = pinned.map_batches(partial, batch_format="pandas").to_pandas()
+        nxt = cents.copy()
+        for ci, g in parts.groupby("cid"):
+            n = int(g["n"].sum())
+            s = np.sum(np.stack(g["s"].to_numpy()), axis=0, dtype=np.int64)
+            nxt[int(ci)] = _trunc_div(s, np.int64(n))
+        cents = nxt
+
+    cref = ray.put(cents)
+
+    def final(df: pd.DataFrame, _c=cref) -> pa.Table:
+        c = ray.get(_c)
+        qmat = np.stack(df["q"].to_numpy()).astype(np.int64)
+        cid, dist = _assign(qmat, c)
+        return pa.table(
+            {
+                "vec_id": pa.array(df["vec_id"].to_numpy(), pa.int64()),
+                "cluster_id": pa.array(cid, pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(final, batch_format="pandas")
+
+
+def kmeans_oracle_sql(table: str = "embeddings", k: int = 8, iterations: int = 3) -> str:
+    """The unrolled-iteration DuckDB twin of ``kmeans_int`` — bit-exact
+    because every step is integer arithmetic with identical semantics
+    (floor quantize, int64 squared distances, ``ORDER BY dist, cid``
+    tie-break, toward-zero centroid division, empty-cluster carry)."""
+    trunc = (
+        "CASE WHEN SUM(q.qv) < 0 THEN -((-SUM(q.qv)) // COUNT(*)) "
+        "ELSE SUM(q.qv) // COUNT(*) END"
+    )
+    sql = f"""
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM {table}
+),
+seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM {table} ORDER BY vec_id LIMIT {k})
+),
+c0 AS (
+  SELECT s.cid, q.dim, q.qv AS qc FROM seeds s JOIN q USING (vec_id)
+)"""
+    prev = "c0"
+    for i in range(iterations):
+        sql += f""",
+d{i} AS (
+  SELECT q.vec_id, c.cid,
+         SUM((q.qv - c.qc) * (q.qv - c.qc)) AS dist
+  FROM q JOIN {prev} c USING (dim)
+  GROUP BY q.vec_id, c.cid
+),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT a.cid, q.dim, {trunc} AS qc
+  FROM a{i} a JOIN q USING (vec_id)
+  GROUP BY a.cid, q.dim
+),
+c{i + 1} AS (
+  SELECT p.cid, p.dim, COALESCE(u.qc, p.qc) AS qc
+  FROM {prev} p LEFT JOIN u{i} u ON u.cid = p.cid AND u.dim = p.dim
+)"""
+        prev = f"c{i + 1}"
+    sql += f"""
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, CAST(dist AS BIGINT) AS dist
+FROM (
+  SELECT q.vec_id, c.cid,
+         SUM((q.qv - c.qc) * (q.qv - c.qc)) AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY SUM((q.qv - c.qc) * (q.qv - c.qc)), c.cid
+         ) AS rn
+  FROM q JOIN {prev} c USING (dim)
+  GROUP BY q.vec_id, c.cid
+) WHERE rn = 1
+ORDER BY vec_id
+"""
+    return sql
