@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": Q.ann_topk_ivf,
         # semantic clustering (SemDeDup-style): integer fixed-point Lloyd
         "emb_kmeans": Q.emb_kmeans,
+        # IR / statistical-LM text analysis
+        "doc_tfidf_top_terms": Q.doc_tfidf_top_terms,
+        "doc_rare_bigram_score": Q.doc_rare_bigram_score,
         # embedding training (A8/A10): trained-KV pass-through + exact
         # md5-replicated OOV/special init
         "kg_embedding_matrix": Q.kg_embedding_matrix,
@@ -1042,6 +1045,42 @@ r AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vi
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
         "emb_kmeans": _kmeans_oracle(),
+        "doc_tfidf_top_terms": f"""
+WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM f),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+r AS (
+  SELECT t.doc_id, t.w, t.tf, d.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, t.w ASC
+         ) AS rn
+  FROM tf t JOIN dfq d USING (w)
+)
+SELECT doc_id, w AS word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= {Q.TFIDF_TOP_K}""",
+        "doc_rare_bigram_score": f"""
+WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
+b AS (
+  SELECT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS bigram
+  FROM f, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+),
+cnt AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram),
+j AS (SELECT b.doc_id, c.n FROM b JOIN cnt c USING (bigram)),
+per AS (
+  SELECT d.doc_id,
+         CAST(COUNT(j.n) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(SUM(CASE WHEN j.n <= {Q.RARE_BIGRAM_MAX} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rare
+  FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_bigrams, n_rare,
+       CAST(CASE WHEN n_bigrams = 0 THEN 0
+                 ELSE (1000 * n_rare) // n_bigrams END AS BIGINT) AS rare_permille
+FROM per""",
         "ann_topk": f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {Q.ANN_N_QUERIES}

@@ -135,6 +135,8 @@ QUERY_NAMES = [
     "balance_targets",
     "balance_assign",
     "emb_kmeans",
+    "doc_tfidf_top_terms",
+    "doc_rare_bigram_score",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

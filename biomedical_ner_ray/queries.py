@@ -600,6 +600,212 @@ def doc_bigram_counts(sf_dir: str):
     return keyed_exchange(parts, ["bigram"], combine)
 
 
+TFIDF_TOP_K = 5
+
+
+def doc_tfidf_top_terms(sf_dir: str):
+    """Rarity-weighted top terms per document — the log-free TF-IDF
+    variant (score = tf/df, monotone in tf·(1/df)), chosen so both
+    engines score in IEEE doubles computed from exact integers and the
+    output columns stay integer-exact (doc_id, word, tf, df, rank).
+
+    Shape: document frequency needs ONE keyed exchange (each doc is a
+    single row, so per-block distinct-word doc counts are exact
+    partials); the df table is then broadcast once via ``ray.put`` as a
+    sorted word array + int64 df array (binary-search lookup per batch),
+    and term frequency + top-k are ROW-LOCAL — no second shuffle. The
+    broadcast holds to the engine's broadcast-small standard (~10⁷
+    words); past that, swap the lookup for a ``Dataset.join`` on word
+    (the doc_rare_bigram_score operator exercises exactly that shape)."""
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+
+        c: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in set(WORD_RE.findall(t.lower())):
+                c[w] = c.get(w, 0) + 1
+        return pd.DataFrame({"word": list(c.keys()), "df": list(c.values())})
+
+    def df_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", sort=False, as_index=False)["df"].sum()
+
+    parts = ds.map_batches(df_partial, batch_format="pyarrow")
+    dft = keyed_exchange(parts, ["word"], df_combine).to_pandas()
+    dft = dft.sort_values("word", ignore_index=True)
+    ref = ray.put(
+        (dft["word"].to_numpy(), dft["df"].to_numpy().astype(np.int64))
+    )
+
+    def topk(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        from .kernels.textstats import WORD_RE
+        from .state.broadcast import resolve
+
+        words_sorted, dfs = resolve(ref)
+        out_doc, out_w, out_tf, out_df, out_rank = [], [], [], [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = Counter(WORD_RE.findall(t.lower()))
+            if not c:
+                continue
+            ws = np.array(list(c.keys()))
+            tf = np.array(list(c.values()), dtype=np.int64)
+            df_ = dfs[np.searchsorted(words_sorted, ws)]
+            score = tf.astype(np.float64) / df_.astype(np.float64)
+            order = np.lexsort((ws, -score))[:TFIDF_TOP_K]
+            for r, j in enumerate(order, start=1):
+                out_doc.append(doc_id)
+                out_w.append(ws[j])
+                out_tf.append(int(tf[j]))
+                out_df.append(int(df_[j]))
+                out_rank.append(r)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(out_doc, dtype="int64"),
+                "word": out_w,
+                "tf": pd.array(out_tf, dtype="int64"),
+                "df": pd.array(out_df, dtype="int64"),
+                "rank": pd.array(out_rank, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
+RARE_BIGRAM_MAX = 1  # corpus count ≤ this ⇒ the bigram is "rare" (hapax)
+
+
+def doc_rare_bigram_score(sf_dir: str):
+    """Statistical-LM quality scoring in exact integer form (the CCNet
+    perplexity-filter idea with hapax-bigram rate standing in for
+    perplexity): per document, how many of its word bigrams occur ≤
+    RARE_BIGRAM_MAX times in the whole corpus. High rare-rate ⇒ likely
+    gibberish/boilerplate-noise; output (doc_id, n_bigrams,
+    n_rare, rare_permille) is all-integer (permille is a truncating
+    division, matching DuckDB ``//``), so the oracle is value-exact.
+
+    Skew-safe shape (the hapax set is the LARGEST slice of the bigram
+    vocabulary, so broadcasting it would break the broadcast-small
+    standard): each block pre-reduces its instances to per-(doc,bigram)
+    counts k (docs are block-whole, so k is final), splits the stream
+    into per-block PARTIAL COUNT rows (bigram, Σk — ≤ #blocks rows per
+    bigram, so a mega-hot bigram costs nothing) and CANDIDATE rows
+    (k ≤ RARE_BIGRAM_MAX only — a doc-bigram pair exceeding the
+    threshold locally can never be globally rare); one bigram-keyed
+    exchange then computes exact global counts and keeps candidates
+    whose global count qualifies, pre-summing per doc; one doc-keyed
+    exchange folds those tallies into the row-local (doc_id, n_bigrams)
+    base. No joins, no broadcast of an unbounded set. Residual skew —
+    one bigram appearing exactly once in each of 10⁹ docs — would need
+    a (bigram, hash(doc)%S) salt on the candidate stream; noted, not
+    built."""
+    from .stages.exchange import keyed_exchange
+
+    def doc_bigram_k(batch: pa.Table) -> pd.DataFrame:
+        """Per-(doc, bigram) occurrence counts k (docs are block-whole,
+        so k is final), already SPLIT into per-block partial count rows
+        (doc_id = -1) and rare-candidate rows (k ≤ RARE_BIGRAM_MAX)."""
+        from collections import Counter
+
+        from .kernels.textstats import WORD_RE
+
+        docs, bgs, ks = [], [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = WORD_RE.findall(t.lower())
+            c = Counter(
+                ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)
+            )
+            for bg, k in c.items():
+                docs.append(doc_id)
+                bgs.append(bg)
+                ks.append(k)
+        inst = pd.DataFrame(
+            {
+                "doc_id": pd.array(docs, dtype="int64"),
+                "bigram": bgs,
+                "k": pd.array(ks, dtype="int64"),
+            }
+        )
+        partials = (
+            inst.groupby("bigram", sort=False, as_index=False)["k"]
+            .sum()
+            .assign(doc_id=np.int64(-1))
+        )
+        cands = inst[inst["k"] <= RARE_BIGRAM_MAX]
+        return pd.concat(
+            [partials[["doc_id", "bigram", "k"]], cands], ignore_index=True
+        )
+
+    def rare_per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """Complete-by-bigram partition: global count per bigram from
+        the partial rows; candidates whose global count qualifies are
+        pre-summed per doc. Output rows reuse the (doc_id, n) shape."""
+        is_partial = df["doc_id"] == -1
+        totals = df[is_partial].groupby("bigram", sort=False)["k"].sum()
+        cands = df[~is_partial]
+        ok = cands["bigram"].map(totals).le(RARE_BIGRAM_MAX)
+        out = (
+            cands[ok]
+            .groupby("doc_id", sort=False, as_index=False)["k"]
+            .sum()  # rare INSTANCES (= Σk), matching the oracle's join
+            .rename(columns={"k": "n"})
+        )
+        return out.assign(kind=np.int64(0)).astype({"n": "int64"})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        nb = df[df["kind"] == 1].set_index("doc_id")["n"]
+        nr = df[df["kind"] == 0].groupby("doc_id")["n"].sum()
+        nr = nr.reindex(nb.index, fill_value=0)
+        nb_v = nb.to_numpy(dtype=np.int64)
+        nr_v = nr.to_numpy(dtype=np.int64)
+        permille = np.where(nb_v > 0, (1000 * nr_v) // np.maximum(nb_v, 1), 0)
+        return pd.DataFrame(
+            {
+                "doc_id": nb.index.to_numpy(dtype=np.int64),
+                "n_bigrams": nb_v,
+                "n_rare": nr_v,
+                "rare_permille": permille.astype(np.int64),
+            }
+        )
+
+    def base_rows(batch: pa.Table) -> pd.DataFrame:
+        """Second (cheap) corpus pass: total bigrams per doc — regex
+        findall only, no per-bigram dict. Keeps the heavy bigram stream
+        single-consumption without a mid-pipeline materialize."""
+        from .kernels.textstats import WORD_RE
+
+        docs, nb = [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            docs.append(doc_id)
+            nb.append(max(len(WORD_RE.findall(t.lower())) - 1, 0))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(docs, dtype="int64"),
+                "n": pd.array(nb, dtype="int64"),
+                "kind": pd.array([1] * len(docs), dtype="int64"),
+            }
+        )
+
+    bigram_stream = _tbl(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).map_batches(doc_bigram_k, batch_format="pyarrow")
+    rare = keyed_exchange(bigram_stream, ["bigram"], rare_per_partition)
+    base = _tbl(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        base_rows, batch_format="pyarrow"
+    )
+    return keyed_exchange(base.union(rare), ["doc_id"], finalize)
+
+
 ANTI_JOIN_CUTOFF = "2000-01-01"
 
 
