@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IR / statistical-LM text analysis
         "doc_tfidf_top_terms": Q.doc_tfidf_top_terms,
         "doc_rare_bigram_score": Q.doc_rare_bigram_score,
+        # tokenizer training (BPE merge rules; rows-only — greedy
+        # within-word remerge isn't SQL-expressible, see tests/test_bpe.py)
+        "doc_bpe_merges": Q.doc_bpe_merges,
         # embedding training (A8/A10): trained-KV pass-through + exact
         # md5-replicated OOV/special init
         "kg_embedding_matrix": Q.kg_embedding_matrix,

@@ -137,6 +137,7 @@ QUERY_NAMES = [
     "emb_kmeans",
     "doc_tfidf_top_terms",
     "doc_rare_bigram_score",
+    "doc_bpe_merges",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -678,6 +678,40 @@ def doc_tfidf_top_terms(sf_dir: str):
     return ds.map_batches(topk, batch_format="pyarrow")
 
 
+BPE_MERGES = 8
+
+
+def doc_bpe_merges(sf_dir: str):
+    """BPE tokenizer training over the document corpus: one wordcount
+    exchange, then BPE_MERGES rounds over the compact symbol table
+    (stages/bpe.py — pair partials per block, driver top-1 combine with
+    a total tie-break, broadcast merge rule, linear re-materialization).
+    Output: the rank-ordered merge-rule table. No SQL oracle (greedy
+    within-word remerge isn't SQL-expressible); tests/test_bpe.py pins
+    the result against an independent single-process reference."""
+    from .stages.bpe import bpe_train
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+
+        c: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in WORD_RE.findall(t.lower()):
+                c[w] = c.get(w, 0) + 1
+        return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", sort=False, as_index=False)["n"].sum()
+
+    wc = keyed_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), ["word"], combine
+    )
+    return bpe_train(wc, merges=BPE_MERGES)
+
+
 RARE_BIGRAM_MAX = 1  # corpus count ≤ this ⇒ the bigram is "rare" (hapax)
 
 
