@@ -103,8 +103,14 @@ def _pair_partial(df: pd.DataFrame) -> pd.DataFrame:
     for syms, n in zip(df["syms"], df["n"]):
         _pair_counts_of(syms, int(n), acc)
     if not acc:
-        return pd.DataFrame({"left": [], "right": [], "c": []}).astype(
-            {"left": "object", "right": "object", "c": "int64"}
+        # typed empty block: Ray's block-size accounting np.vectorize's
+        # object columns and logs errors on size-0 object arrays
+        return pd.DataFrame(
+            {
+                "left": np.array([], dtype=str),
+                "right": np.array([], dtype=str),
+                "c": np.array([], dtype=np.int64),
+            }
         )
     ks = list(acc.keys())
     return pd.DataFrame(
