@@ -12,7 +12,8 @@ previous one; that is unparallelizable and non-reproducible under any
 partitioning. The engine keeps the DATA-SIZED work distributed and the
 TINY work on the driver:
 
-1. **Counts (G4)** — per-tag (≠O) totals via the keyed hash exchange.
+1. **Counts (G4)** — per-tag (≠O) totals as per-block partial counts
+   combined on the driver (the BIO tag domain is bounded).
 2. **Targets/deficits (G8)** — driver arithmetic over the ≤#tags-row
    count table. The reference's ``int(median*1.2)`` / ``int(max*0.8)``
    float expressions are replaced by the exact integer forms
@@ -72,25 +73,25 @@ def is_plausible(word: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def tag_counts(sent_ds):
+def tag_counts(sent_ds) -> pd.DataFrame:
     """Per-BIO-tag (≠O) counts over a (tokens, tags) sentence Dataset —
-    G4 via partial counts + keyed exchange."""
-    from ..stages.exchange import keyed_exchange
+    G4 as distributed per-block partial counts combined on the driver.
+
+    The BIO tag domain is BOUNDED (2×#entity-types + 1), so each block's
+    partial is ≤ |tags| rows and the driver combine sees ≤ blocks×|tags|
+    rows — scale-safe without a shuffle execution. An unbounded key
+    domain would instead ride ``stages.exchange.grouped_aggregate``."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        c: dict[str, int] = {}
-        for tags in batch["tags"].to_pylist():
-            for t in tags:
-                if t != "O":
-                    c[t] = c.get(t, 0) + 1
-        return pd.DataFrame({"tag": list(c.keys()), "n": list(c.values())})
+        flat = pa.compute.list_flatten(batch["tags"])
+        vc = flat.to_pandas().value_counts()
+        vc = vc[vc.index != "O"]
+        return pd.DataFrame({"tag": vc.index, "n": vc.to_numpy()})
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("tag", sort=False, as_index=False)["n"].sum()
-
-    return keyed_exchange(
-        sent_ds.map_batches(partial, batch_format="pyarrow"), ["tag"], combine
-    )
+    partials = sent_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(partials):
+        return pd.DataFrame({"tag": pd.Series([], dtype="object"), "n": []})
+    return partials.groupby("tag", sort=False, as_index=False)["n"].sum()
 
 
 def compute_targets(counts: dict[str, int]) -> pd.DataFrame:
@@ -150,9 +151,13 @@ def assign_copies(sent_ds, targets: pd.DataFrame):
     # materialized: consumed twice (class count + quota attach); rows
     # are (sent_id, cls) only — object-store spill covers huge corpora
     classified = sent_ds.map_batches(classify, batch_format="pyarrow").materialize()
-    # tiny: 2-row class counts
-    cnt = classified.groupby("cls").count().to_pandas()
-    n_by_cls = dict(zip(cnt["cls"], cnt["count()"]))
+    # 2-value class domain: per-block partial counts + driver combine
+    # (no shuffle execution for a bounded-cardinality count)
+    cnt = classified.map_batches(
+        lambda df: df["cls"].value_counts().rename_axis("cls").reset_index(name="n"),
+        batch_format="pandas",
+    ).to_pandas()
+    n_by_cls = dict(cnt.groupby("cls", sort=False)["n"].sum()) if len(cnt) else {}
     # integer ceil-div keeps the rule exactly replicable in SQL
     def ceil_div(a: int, b: int) -> int:
         return -(-a // max(b, 1))
@@ -307,7 +312,7 @@ def run_balance_pipeline(sent_ds_factory, kv_path: str, *, concurrency: int = 2)
     Returns (final_ds, report): final_ds has (sent_id, copy_idx, tokens,
     tags) with copy_idx -1 for originals; report carries counts/targets/
     deficits before and after."""
-    counts_df = tag_counts(sent_ds_factory()).to_pandas()
+    counts_df = tag_counts(sent_ds_factory())
     counts = dict(zip(counts_df["tag"], counts_df["n"].astype(int)))
     targets = compute_targets(counts)
 
@@ -363,7 +368,7 @@ def run_balance_pipeline(sent_ds_factory, kv_path: str, *, concurrency: int = 2)
         union.map_batches(
             lambda b: pa.table({"tags": b["tags"]}), batch_format="pyarrow"
         )
-    ).to_pandas()
+    )
     final_counts = dict(
         zip(final_counts_df["tag"], final_counts_df["n"].astype(int))
     )

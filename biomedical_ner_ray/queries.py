@@ -2588,7 +2588,7 @@ def balance_targets(sf_dir: str):
     from .pipelines.balance import compute_targets, tag_counts
 
     _, sents = _conll_sentences(sf_dir)
-    cdf = tag_counts(sents).to_pandas()
+    cdf = tag_counts(sents)
     out = compute_targets(dict(zip(cdf["tag"], cdf["n"].astype(int))))
     return out.astype({"n": "int64", "target": "int64", "deficit": "int64"})
 
@@ -2604,7 +2604,7 @@ def balance_assign(sf_dir: str):
     # re-parsing the TSV for each of the two passes (at corpus scale
     # keep a re-read factory and let the exchanges stream)
     sents = sents.materialize()
-    cdf = tag_counts(sents).to_pandas()
+    cdf = tag_counts(sents)
     targets = compute_targets(dict(zip(cdf["tag"], cdf["n"].astype(int))))
     return assign_copies(sents, targets)
 

@@ -150,6 +150,6 @@ def test_downsample_only_drops_all_overrepresented(ray_session):
 
 def test_tag_counts_distributed(ray_session):
     ds = rd.from_items(_sentence_ds())
-    out = tag_counts(ds).to_pandas()
+    out = tag_counts(ds)
     got = dict(zip(out["tag"], out["n"]))
     assert got == {"B-protein": 30, "B-RNA": 4}
