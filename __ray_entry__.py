@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_clusters": Q.doc_dedup_clusters,
         "doc_dedup_keep": Q.doc_dedup_keep,
         "doc_pii_scrub": Q.doc_pii_scrub,
+        # line-level boilerplate dedup + corpus-quantile quality gate
+        "doc_boilerplate_scrub": Q.doc_boilerplate_scrub,
+        "doc_quantile_filter": Q.doc_quantile_filter,
         "doc_pack_chunks": Q.doc_pack_chunks,
         "doc_training_order": Q.doc_training_order,
         "part_copurchase_pagerank": Q.part_copurchase_pagerank,
@@ -990,6 +993,46 @@ WHERE media_type = 'video' AND octet_length(payload) > 0""",
         "doc_dedup_clusters": _clusters_sql(),
         "doc_dedup_keep": _dedup_keep_sql(),
         "doc_pii_scrub": _pii_scrub_sql(),
+        "doc_boilerplate_scrub": f"""
+WITH pages AS (
+  SELECT doc_id,
+         'site header ' || (doc_id % 7) || chr(10) || text || chr(10) ||
+         'copyright footer ' || (doc_id % 3) AS page
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(page, chr(10))) AS line,
+         generate_subscripts(string_split(page, chr(10)), 1) AS ord
+  FROM pages
+), freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+  ) WHERE nd >= {Q.BOILERPLATE_MIN_DOCS}
+), tagged AS (
+  SELECT l.doc_id, l.line, l.ord, (f.line IS NOT NULL) AS is_freq
+  FROM lines l LEFT JOIN freq f ON l.line = f.line
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE is_freq) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY ord)
+                    FILTER (WHERE NOT is_freq), '')) AS clean_md5
+FROM tagged GROUP BY doc_id""",
+        "doc_quantile_filter": f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+    CAST(floor((CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(ws, w -> list_contains({en}, w))) AS DOUBLE)
+                     / len(ws) END) * 1000) AS BIGINT) AS swr_milli
+  FROM (SELECT doc_id, text,
+               regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+        FROM documents)
+), t AS (
+  SELECT quantile_disc(n_tokens, {Q.QFILTER_Q}) AS lo_tok,
+         quantile_disc(swr_milli, {Q.QFILTER_Q}) AS lo_swr
+  FROM m
+)
+SELECT doc_id, n_tokens, swr_milli FROM m, t
+WHERE n_tokens >= lo_tok AND swr_milli >= lo_swr""",
         "doc_pack_chunks": _pack_chunks_sql(),
         "doc_training_order": _training_order_sql(),
         "part_copurchase_pagerank": _pagerank_sql(),

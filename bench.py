@@ -125,6 +125,8 @@ QUERY_NAMES = [
     "doc_dedup_clusters",
     "doc_dedup_keep",
     "doc_pii_scrub",
+    "doc_boilerplate_scrub",
+    "doc_quantile_filter",
     "doc_pack_chunks",
     "doc_training_order",
     "part_copurchase_pagerank",

@@ -967,7 +967,7 @@ def _ensure_minhash_index(sf_dir: str) -> dict:
     doc_path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc_path)
     key = hashlib.md5(
-        f"incr-v1:{os.path.abspath(doc_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"incr-v2:{os.path.abspath(doc_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(tempfile.gettempdir(), "graft_minhash_index", key)
     if os.path.isdir(index_dir):
@@ -2962,3 +2962,161 @@ def ann_topk(sf_dir: str):
     return _combine(partials, 4).groupby("query_id").map_groups(
         final_topk, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate scrub + corpus-quantile quality gate
+# ---------------------------------------------------------------------------
+
+# A line is boilerplate when it appears in >= this many DISTINCT docs
+# (CCNet/RefinedWeb line-dedup rule). The synthetic corpus has no
+# newlines, so template header/footer lines are PLANTED deterministically
+# (same device as doc_pii_scrub) and the oracle replicates the planting.
+BOILERPLATE_MIN_DOCS = 10
+
+
+def _plant_page(doc_id: int, text: str) -> str:
+    return f"site header {doc_id % 7}\n{text}\ncopyright footer {doc_id % 3}"
+
+
+def doc_boilerplate_scrub(sf_dir: str):
+    """Line-level boilerplate removal (CCNet-style): drop every line
+    that occurs in >= BOILERPLATE_MIN_DOCS distinct documents.
+
+    Shape: (1) per-block partials emit DISTINCT (line, ndocs-in-block)
+    counts — a document's lines are block-local, so per-block
+    distinct-per-doc counts sum exactly to COUNT(DISTINCT doc_id);
+    (2) grouped_aggregate on the line combines partials (line domain is
+    unbounded — this is the keyed-exchange case, unlike tag_counts);
+    (3) the frequent set is driver-collected + broadcast — bounded by
+    total_line_occurrences / threshold, i.e. the threshold itself caps
+    it (at 100TB with T=1000 that is <=0.1% of line volume, and those
+    are short template strings); (4) a row-local scrub rewrites each
+    page. Emits (doc_id, n_removed, clean_md5)."""
+    from .kernels.pii import md5_hex
+    from .stages.exchange import grouped_aggregate
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pages = [
+            _plant_page(i, t) for i, t in zip(df["doc_id"], df["text"])
+        ]
+        tmp = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "line": [p.split("\n") for p in pages]}
+        ).explode("line")
+        dd = tmp.drop_duplicates()
+        return (
+            dd.groupby("line", sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("line", sort=False, as_index=False)["n_docs"].sum()
+
+    freq_ds = grouped_aggregate(ds, ["line"], line_partial, combine)
+    frequent: set[str] = set()
+    for b in freq_ds.iter_batches(batch_format="pandas"):
+        frequent.update(b.loc[b["n_docs"] >= BOILERPLATE_MIN_DOCS, "line"])
+    ref = ray.put(frequent)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        from .state.broadcast import resolve
+
+        fl = resolve(ref)
+        ids = batch["doc_id"].to_pylist()
+        n_rem, md5s = [], []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            lines = _plant_page(i, t).split("\n")
+            kept = [l for l in lines if l not in fl]
+            n_rem.append(len(lines) - len(kept))
+            md5s.append(md5_hex("\n".join(kept)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_removed": pa.array(n_rem, pa.int64()),
+                "clean_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# Corpus-relative quality gate: keep docs at/above the corpus p25 in
+# BOTH metrics. q must be an exact binary fraction (rank = ceil(q*n)
+# with no float error — same contract as lineitem_price_quantiles).
+QFILTER_Q = 0.25
+
+
+def doc_quantile_filter(sf_dir: str):
+    """Quantile-threshold quality filter (Gopher-style corpus-relative
+    gate): keep documents with n_tokens >= p25(n_tokens) AND
+    milli-quantized stopword ratio >= p25(swr_milli).
+
+    Thresholds are EXACT order statistics from bounded value-count
+    histograms: per-block value counts (domain = distinct token counts
+    / 0..1000 milli-ratios, not rows) -> driver combine -> quantile_disc
+    rank (1-based ceil(q*n)) -> broadcast thresholds -> row-local
+    filter. No shuffle at any scale; the second corpus pass reuses the
+    materialized metric table, never re-reads text."""
+    import math
+
+    from .kernels.textstats import quality_features
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        ids, ntok, swr = [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            f = quality_features(t)
+            ids.append(i)
+            ntok.append(f["n_tokens"])
+            swr.append(int(math.floor(f["stopword_ratio"] * 1000)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "swr_milli": pa.array(swr, pa.int64()),
+            }
+        )
+
+    mds = ds.map_batches(metrics, batch_format="pyarrow").materialize()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in ("n_tokens", "swr_milli"):
+            vc = df[col].value_counts()
+            frames.append(
+                pd.DataFrame(
+                    {"metric": col, "value": vc.index.to_numpy(), "n": vc.to_numpy()}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    hist = (
+        mds.map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["metric", "value"], as_index=False)["n"]
+        .sum()
+    )
+
+    def q_disc(h: pd.DataFrame, q: float) -> int:
+        h = h.sort_values("value")
+        cum = h["n"].cumsum().to_numpy()
+        rank = math.ceil(q * int(cum[-1]))  # q is a binary fraction: exact
+        return int(h["value"].to_numpy()[np.searchsorted(cum, rank)])
+
+    lo_tok = q_disc(hist[hist["metric"] == "n_tokens"], QFILTER_Q)
+    lo_swr = q_disc(hist[hist["metric"] == "swr_milli"], QFILTER_Q)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater_equal(batch["n_tokens"], pa.scalar(lo_tok, pa.int64())),
+            pc.greater_equal(batch["swr_milli"], pa.scalar(lo_swr, pa.int64())),
+        )
+        return batch.filter(m)
+
+    return mds.map_batches(keep, batch_format="pyarrow")

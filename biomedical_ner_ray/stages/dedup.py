@@ -164,6 +164,21 @@ def _minhash_band_rows_lite(batch: pa.Table) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": doc_ids, "band_key": keys})
 
 
+def _band_rows_from_shingles(batch: pa.Table) -> pd.DataFrame:
+    """Band rows recomputed from a persisted shingle blob table — lets
+    an ingest pipeline scan the raw text ONCE (shingle handoff), then
+    derive signatures from the blobs instead of re-tokenizing."""
+    doc_ids, keys = [], []
+    for doc_id, blob in zip(
+        batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()
+    ):
+        sig = minhash_signature(np.frombuffer(blob, dtype=np.uint64))
+        for band in range(NUM_BANDS):
+            doc_ids.append(doc_id)
+            keys.append(band_key(sig, band))
+    return pd.DataFrame({"doc_id": doc_ids, "band_key": keys})
+
+
 def _shingle_table(batch: pa.Table) -> pa.Table:
     """(doc_id, shingles as one binary blob) — Arrow's hash join rejects
     list<> payload columns, and a packed u64 buffer is smaller anyway."""
@@ -482,29 +497,42 @@ def _with_band_bucket(df: pd.DataFrame) -> pd.DataFrame:
 def build_minhash_index(docs_ds_factory, index_dir: str) -> dict:
     """Persist the corpus LSH index for incremental ingest-time dedup.
 
-    Two streaming (shuffle-free) artifacts:
+    Two artifacts, laid out for the INGEST-TIME read pattern:
     - ``bands/``    — (doc_id, band_key) hive-partitioned by
-      ``band_bucket = stable_hash(band_key) % INDEX_BAND_BUCKETS`` so an
-      ingest batch prunes the read to its touched buckets;
+      ``band_bucket = stable_hash(band_key) % INDEX_BAND_BUCKETS``, with
+      one band-bucket exchange before the write so each bucket is ONE
+      contiguous file (a naive partitioned write of B blocks × K buckets
+      sprays B·K tiny files — measured 2048 files at sf0.1, and every
+      ingest paid the per-file open cost to read its touched buckets);
     - ``shingles/`` — (doc_id, packed u64 shingle blob) for exact
-      candidate verification, fetched per-candidate with a pushed-down
-      ``doc_id`` row filter (row-group stats prune at 100TB).
+      candidate verification, SORTED by doc_id into a few files so the
+      pushed-down ``doc_id`` row filter prunes whole files/row-groups
+      at 100TB.
 
-    Both writes are pure maps over the corpus scan — index maintenance
-    costs one pass, no exchange. Extends the batch dedup family
+    Index build costs one corpus scan + one band exchange + one shingle
+    sort — a one-off; every subsequent ingest reads only touched
+    buckets and candidate row groups. Extends the batch dedup family
     (reference exact-dedup shape, SURVEY.md §2.7) with the corpus-
     maintenance story a training-data pipeline needs: new crawl slices
     are deduped against the standing corpus without re-processing it."""
     import os
 
+    from .exchange import keyed_exchange
+
     bands_dir = os.path.join(index_dir, "bands")
     sh_dir = os.path.join(index_dir, "shingles")
     os.makedirs(bands_dir, exist_ok=True)
     os.makedirs(sh_dir, exist_ok=True)
-    (
+    band_rows = (
         docs_ds_factory()
         .map_batches(_minhash_band_rows_lite, batch_format="pyarrow")
         .map_batches(_with_band_bucket, batch_format="pandas")
+    )
+    (
+        # co-locate each band_bucket in one partition (pid is a pure
+        # function of the bucket) -> exactly one file per bucket
+        keyed_exchange(band_rows, ["band_bucket"], lambda df: df,
+                       INDEX_BAND_BUCKETS)
         # strip pandas schema metadata: hash-shuffle aggregators can't
         # hash dict-bearing schemas and log noise on every block
         .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
@@ -513,6 +541,8 @@ def build_minhash_index(docs_ds_factory, index_dir: str) -> dict:
     (
         docs_ds_factory()
         .map_batches(_shingle_table, batch_format="pyarrow")
+        .sort("doc_id")
+        .repartition(8)
         .write_parquet(sh_dir)
     )
     return {"bands": bands_dir, "shingles": sh_dir}
@@ -583,20 +613,21 @@ def incremental_minhash_pairs(
     for d in (nb_dir, ns_dir, cands_dir):
         os.makedirs(d, exist_ok=True)
 
-    # phase 1a: one streaming pass each over the ingest batch -> handoff
-    # artifacts (band rows reused twice below; shingles consumed in
-    # phase 2 — recomputing either would re-scan the batch).
-    (
-        new_docs_factory()
-        .map_batches(_minhash_band_rows_lite, batch_format="pyarrow")
-        .map_batches(_with_band_bucket, batch_format="pandas")
-        .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
-        .write_parquet(nb_dir)
-    )
+    # phase 1a: the raw ingest text is scanned ONCE, into the shingle
+    # handoff (coalesced to a few files — it's re-read twice below);
+    # band rows are then derived from the blobs, not a second text scan.
     (
         new_docs_factory()
         .map_batches(_shingle_table, batch_format="pyarrow")
+        .repartition(4)
         .write_parquet(ns_dir)
+    )
+    (
+        rd.read_parquet(ns_dir)
+        .map_batches(_band_rows_from_shingles, batch_format="pyarrow")
+        .map_batches(_with_band_bucket, batch_format="pandas")
+        .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+        .write_parquet(nb_dir)
     )
 
     def _empty_pairs():

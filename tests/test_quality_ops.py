@@ -1,0 +1,62 @@
+"""Boilerplate line scrub + corpus-quantile filter: controlled-corpus
+semantics tests (the sf0.01 value-exact oracle comparison runs in
+test_driver_contract.py like every other query)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from biomedical_ner_ray import queries as Q
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(tmp_path_factory):
+    """30 docs: header variants (doc_id % 7) appear in <=5 docs each
+    (below the 10-doc threshold), footer variants (doc_id % 3) in 10
+    docs each (exactly at it) — so exactly the footer line is scrubbed."""
+    d = tmp_path_factory.mktemp("qsf")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(
+                [f"unique body line number {i} with the and of words" for i in range(30)],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_boilerplate_scrub_removes_exactly_footer(ray_session, tiny_sf):
+    out = Q.doc_boilerplate_scrub(tiny_sf).to_pandas()
+    assert len(out) == 30
+    # footer (10 distinct docs, == threshold) removed; header (<=5) kept
+    assert (out["n_removed"] == 1).all()
+    # clean text = header + body, reproducible
+    import hashlib
+
+    row = out[out["doc_id"] == 4].iloc[0]
+    expect = "site header 4\nunique body line number 4 with the and of words"
+    assert row["clean_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_quantile_filter_matches_duckdb_rank(ray_session, tiny_sf):
+    got = Q.doc_quantile_filter(tiny_sf).to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tiny_sf}/documents.parquet')"
+    )
+    import __ray_entry__ as E
+
+    want = con.execute(E.oracle_sql()["doc_quantile_filter"]).df().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"n_tokens": "int64", "swr_milli": "int64"}),
+        want.reset_index(drop=True).astype(
+            {"n_tokens": "int64", "swr_milli": "int64"}
+        ),
+    )
