@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # line-level boilerplate dedup + corpus-quantile quality gate
         "doc_boilerplate_scrub": Q.doc_boilerplate_scrub,
         "doc_quantile_filter": Q.doc_quantile_filter,
+        "doc_source_mix": Q.doc_source_mix,
         "doc_pack_chunks": Q.doc_pack_chunks,
         "doc_training_order": Q.doc_training_order,
         "part_copurchase_pagerank": Q.part_copurchase_pagerank,
@@ -136,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer training (BPE merge rules; rows-only — greedy
         # within-word remerge isn't SQL-expressible, see tests/test_bpe.py)
         "doc_bpe_merges": Q.doc_bpe_merges,
+        "doc_bpe_encode": Q.doc_bpe_encode,
         # embedding training (A8/A10): trained-KV pass-through + exact
         # md5-replicated OOV/special init
         "kg_embedding_matrix": Q.kg_embedding_matrix,
@@ -1033,6 +1035,23 @@ WITH m AS (
 )
 SELECT doc_id, n_tokens, swr_milli FROM m, t
 WHERE n_tokens >= lo_tok AND swr_milli >= lo_swr""",
+        "doc_source_mix": f"""
+WITH c AS (
+  SELECT source, count(*) AS n,
+         (coalesce(TRY_CAST(regexp_extract(source, '[0-9]+') AS BIGINT), 0) % 4) + 1 AS w
+  FROM documents GROUP BY source
+), t AS (
+  SELECT sum(n) AS tot, sum(w) AS wsum FROM c
+), r AS (
+  SELECT source,
+         least({Q.MIX_COIN_MOD},
+               ({Q.MIX_COIN_MOD} * (tot // 2) * w) // (wsum * n)) AS permyriad
+  FROM c, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':mix')
+      % {Q.MIX_COIN_MOD} < permyriad""",
         "doc_pack_chunks": _pack_chunks_sql(),
         "doc_training_order": _training_order_sql(),
         "part_copurchase_pagerank": _pagerank_sql(),

@@ -127,6 +127,7 @@ QUERY_NAMES = [
     "doc_pii_scrub",
     "doc_boilerplate_scrub",
     "doc_quantile_filter",
+    "doc_source_mix",
     "doc_pack_chunks",
     "doc_training_order",
     "part_copurchase_pagerank",
@@ -140,6 +141,7 @@ QUERY_NAMES = [
     "doc_tfidf_top_terms",
     "doc_rare_bigram_score",
     "doc_bpe_merges",
+    "doc_bpe_encode",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

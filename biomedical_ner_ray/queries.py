@@ -709,7 +709,60 @@ def doc_bpe_merges(sf_dir: str):
     wc = keyed_exchange(
         ds.map_batches(partial, batch_format="pyarrow"), ["word"], combine
     )
-    return bpe_train(wc, merges=BPE_MERGES)
+    out = bpe_train(wc, merges=BPE_MERGES)
+    _bpe_cache_store(sf_dir, out)
+    return out
+
+
+def _bpe_cache_store(sf_dir: str, merges: pd.DataFrame) -> None:
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        pa.Table.from_pandas(merges, preserve_index=False),
+        _bpe_cache_path(sf_dir) + ".tmp",
+    )
+    os.replace(_bpe_cache_path(sf_dir) + ".tmp", _bpe_cache_path(sf_dir))
+
+
+def _bpe_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    key = hashlib.md5(
+        f"bpe-v1:{os.path.abspath(doc_path)}:{st.st_size}:{st.st_mtime_ns}:{BPE_MERGES}".encode()
+    ).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), "graft_bpe_merges")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, key + ".parquet")
+
+
+def _ensure_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Merge-rule table for the corpus — trained once, cached as the
+    tokenizer ARTIFACT (keyed to the corpus file identity, like the
+    minhash index); the encode pass consumes the artifact, it never
+    retrains."""
+    p = _bpe_cache_path(sf_dir)
+    if os.path.exists(p):
+        return pq.read_table(p).to_pandas()
+    return doc_bpe_merges(sf_dir)
+
+
+def doc_bpe_encode(sf_dir: str):
+    """Corpus tokenization under the trained BPE artifact: per-document
+    (n_words, n_bpe_tokens) — the token-budget accounting a training-
+    data pipeline runs after tokenizer training. Merge rules broadcast
+    once; per-batch distinct-word cache collapses the Zipf head; pure
+    row-local map (stages/bpe.bpe_encode_stage). No SQL oracle (greedy
+    rank-ordered remerge isn't SQL-expressible — rows-only driver
+    check); tests/test_bpe.py pins block results against the
+    single-process reference encode."""
+    from .stages.bpe import bpe_encode_stage
+
+    merges = _ensure_bpe_merges(sf_dir)
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_encode_stage(ds, merges)
 
 
 RARE_BIGRAM_MAX = 1  # corpus count ≤ this ⇒ the bigram is "rare" (hapax)
@@ -3120,3 +3173,79 @@ def doc_quantile_filter(sf_dir: str):
         return batch.filter(m)
 
     return mds.map_batches(keep, batch_format="pyarrow")
+
+
+# Source-proportional mixing: resample so per-source volumes follow the
+# recipe weights (The Pile / SlimPajama-style data mixing). Weight rule
+# is a deterministic function of the source name so the oracle can
+# replicate it; budget = half the corpus.
+MIX_COIN_MOD = 10000
+
+
+def _mix_weight(source: str) -> int:
+    import re
+
+    m = re.search(r"[0-9]+", source)
+    return (int(m.group()) if m else 0) % 4 + 1
+
+
+def doc_source_mix(sf_dir: str):
+    """Training-mix resampling: per-source md5-coin keep rates sized so
+    kept volumes are proportional to recipe weights within a half-corpus
+    budget (rate_i = min(1, B·w_i / (W·n_i)) in exact integer permyriad
+    form).
+
+    Shape: per-block source value counts (bounded domain — driver
+    combine, same contract as balance.tag_counts) -> driver integer
+    rate table -> broadcast -> row-local seeded coin filter. One corpus
+    scan for counts, one for the filter; no shuffle at any scale, and
+    the coin makes the sample deterministic under any partitioning or
+    retry."""
+    from .kernels.hashing import stable_u64_md5
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "source"])
+
+    counts = (
+        ds.map_batches(
+            lambda df: df["source"]
+            .value_counts()
+            .rename_axis("source")
+            .reset_index(name="n"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)["n"]
+        .sum()
+    )
+    n_by_src = dict(zip(counts["source"], counts["n"].astype(int)))
+    tot = sum(n_by_src.values())
+    budget = tot // 2
+    weights = {s: _mix_weight(s) for s in n_by_src}
+    wsum = sum(weights.values())
+    rate = {
+        s: min(
+            MIX_COIN_MOD,
+            (MIX_COIN_MOD * budget * weights[s]) // (wsum * n_by_src[s]),
+        )
+        for s in n_by_src
+    }
+    ref = ray.put(rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from .state.broadcast import resolve
+
+        r = resolve(ref)
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        mask = [
+            stable_u64_md5(f"{i}:mix".encode()) % MIX_COIN_MOD < r[s]
+            for i, s in zip(ids, srcs)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        ).filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

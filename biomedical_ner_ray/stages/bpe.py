@@ -167,3 +167,64 @@ def bpe_train(wordcount_ds, merges: int = 8) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["rank", "left", "right", "pair_count"]).astype(
         {"rank": "int64", "pair_count": "int64"}
     )
+
+
+def encode_word(word: str, ranked_merges) -> tuple:
+    """Apply trained merges in RANK ORDER to one word (the classic BPE
+    encode: each rule greedily rewrites left-to-right before the next
+    rank applies)."""
+    syms = tuple(word)
+    for left, right in ranked_merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_word(syms, left, right, left + right)
+    return syms
+
+
+def bpe_encode_stage(docs_ds, merge_table: pd.DataFrame):
+    """Distributed corpus encode under a trained merge table: emits
+    (doc_id, n_words, n_bpe_tokens) per document.
+
+    The merge table is broadcast once (it is rank×2 strings — artifact-
+    sized); each block encodes its DISTINCT words only, then sums per
+    doc — the per-batch word cache turns the Zipf head into O(1) work.
+    Row-local map: no shuffle at any scale."""
+    import ray
+
+    from ..kernels.textstats import WORD_RE
+
+    ranked = list(
+        zip(
+            merge_table.sort_values("rank")["left"],
+            merge_table.sort_values("rank")["right"],
+        )
+    )
+    rules = ray.put(ranked)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        rl = ray.get(rules)
+        cache: dict[str, int] = {}
+        ids, nw, nt = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = WORD_RE.findall(text.lower())
+            total = 0
+            for w in ws:
+                n = cache.get(w)
+                if n is None:
+                    n = len(encode_word(w, rl))
+                    cache[w] = n
+                total += n
+            ids.append(doc_id)
+            nw.append(len(ws))
+            nt.append(total)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_bpe_tokens": pa.array(nt, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(enc, batch_format="pyarrow")

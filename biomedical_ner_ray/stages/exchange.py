@@ -43,7 +43,16 @@ PID_COL = "_pid"
 def keyed_exchange(ds, keys, fn, num_partitions: int = 8):
     """Co-locate rows by ``keys`` and apply ``fn`` once per complete
     partition (a pandas DataFrame containing EVERY row of each key that
-    hashes into that partition)."""
+    hashes into that partition).
+
+    The input is coalesced to ``max(num_partitions, 8)`` blocks first:
+    the sort-based shuffle behind ``groupby`` pays O(blocks²) tiny
+    inter-block objects, so inheriting a wide scan's block count (64
+    blocks at 32 CPUs) costs ~12s of pure overhead where 8 blocks cost
+    <1s (measured; see queries.py:53). Callers size ``num_partitions``
+    to the data volume (one partition's rows must fit a worker's pandas
+    heap), so tying the input block count to it keeps blocks ~partition-
+    sized at any scale."""
     import pandas as pd
 
     keys = list(keys)
@@ -56,7 +65,8 @@ def keyed_exchange(ds, keys, fn, num_partitions: int = 8):
         return fn(g.drop(columns=[PID_COL]))
 
     return (
-        ds.map_batches(add_pid, batch_format="pandas")
+        ds.repartition(max(num_partitions, 8))
+        .map_batches(add_pid, batch_format="pandas")
         .groupby(PID_COL)
         .map_groups(run, batch_format="pandas")
     )

@@ -72,3 +72,41 @@ def test_early_stop_no_pairs(ray_session):
     got = bpe_train(_wc_ds(wc, blocks=2), merges=4)
     assert got.empty
     assert bpe_reference(wc, merges=4).empty
+
+
+def test_encode_word_matches_reference_vocab_evolution():
+    """encode_word under the trained rules reproduces the reference's
+    final symbolization of every training word."""
+    from biomedical_ner_ray.stages.bpe import _pair_counts_of, encode_word
+
+    merges = bpe_reference(WC, merges=6)
+    ranked = list(zip(merges["left"], merges["right"]))
+    # replay the reference vocab evolution to get final symbol forms
+    vocab = {tuple(w): n for w, n in WC.items()}
+    for left, right in ranked:
+        joined = left + right
+        vocab = {_merge_word(s, left, right, joined): n for s, n in vocab.items()}
+    final_forms = {("".join(s)): s for s in vocab}
+    for w in WC:
+        assert encode_word(w, ranked) == final_forms[w]
+
+
+def test_encode_stage_counts(ray_session):
+    from biomedical_ner_ray.stages.bpe import bpe_encode_stage, encode_word
+
+    merges = bpe_reference(WC, merges=6)
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "low lower newest"},
+            {"doc_id": 1, "text": "widest west a a"},
+            {"doc_id": 2, "text": ""},
+        ]
+    )
+    out = (
+        bpe_encode_stage(docs, merges).to_pandas().sort_values("doc_id")
+    )
+    ranked = list(zip(merges["left"], merges["right"]))
+    exp0 = sum(len(encode_word(w, ranked)) for w in ["low", "lower", "newest"])
+    exp1 = sum(len(encode_word(w, ranked)) for w in ["widest", "west", "a", "a"])
+    assert out["n_words"].tolist() == [3, 4, 0]
+    assert out["n_bpe_tokens"].tolist() == [exp0, exp1, 0]
