@@ -187,6 +187,14 @@ def bench_once(
 
     DataContext.get_current().enable_progress_bars = False
     try:
+        # warm the Ray worker pool before the first timed pipeline —
+        # cold worker-process startup is cluster bring-up, not pipeline
+        # cost (measured ~6s charged to the first query at 32 CPUs)
+        import ray.data as _rd
+
+        _rd.range(num_cpus * 100, override_num_blocks=num_cpus).map_batches(
+            lambda b: b
+        ).count()
         log(f"[bench] KG pipeline ({scorer}) over fixture {sf_name or sf_dir} (num_cpus={num_cpus})")
         kg = run_kg(sf_dir, f"/tmp/graft_bench_out/cpus{num_cpus}", scorer=scorer, sf_name=sf_name)
         log(
@@ -215,6 +223,18 @@ def bench_once(
         ray.shutdown()
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the sandbox VM has
+    co-tenant CPU-steal storms (observed 10-50%) that silently corrupt
+    a scaling leg; each leg records its own steal so a polluted run is
+    self-documenting (BASELINE.md accepts legs with mean steal <= 5%)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def bench_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int) -> dict:
     """Same KG job at two parallelism levels in fresh processes.
 
@@ -226,8 +246,10 @@ def bench_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int) -> dict:
 
     ensure_fixture(sf_name)  # generate once, outside both timed children
     results = {}
+    steal_pct = {}
     for n in (cpus_lo, cpus_hi):
         log(f"[scaling] fresh process, num_cpus={n}, fixture={sf_name}, scorer=crf")
+        s0, t0 = _cpu_stat()
         proc = subprocess.run(
             [sys.executable, __file__, "--cpus", str(n), "--kg-only", "--sf-dir", sf_dir,
              "--scorer", "crf", "--fixture-sf", sf_name],
@@ -235,10 +257,13 @@ def bench_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int) -> dict:
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        s1, t1 = _cpu_stat()
+        steal_pct[f"cpus{n}"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
         sys.stderr.write(proc.stderr)
         if proc.returncode != 0:
             raise RuntimeError(f"scaling child (cpus={n}) failed: {proc.stdout[-500:]}")
         results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+        log(f"[scaling] cpus={n} mean steal {steal_pct[f'cpus{n}']}%")
     lo, hi = results[cpus_lo], results[cpus_hi]
     t_lo, t_hi = lo["queries"]["kg_pipeline"], hi["queries"]["kg_pipeline"]
     ratio = cpus_hi / cpus_lo
@@ -259,6 +284,7 @@ def bench_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int) -> dict:
             "speedup": round(t_lo / t_hi, 2),
             "cpu_ratio": ratio,
         },
+        "mean_steal_pct": steal_pct,
         "sf": _sf_value(sf_dir),
         "num_cpus": cpus_hi,
     }
