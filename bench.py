@@ -186,6 +186,7 @@ def bench_once(
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _s0, _t0 = _cpu_stat()
     try:
         # warm the Ray worker pool before the first timed pipeline —
         # cold worker-process startup is cluster bring-up, not pipeline
@@ -205,7 +206,9 @@ def bench_once(
         if not kg_only:
             queries.update(run_queries(sf_dir))
         total = sum(queries.values())
+        _s1, _t1 = _cpu_stat()
         return {
+            "mean_steal_pct": round(100.0 * (_s1 - _s0) / max(_t1 - _t0, 1), 1),
             "metric": "bench_total_sec",
             "value": round(total, 3),
             "unit": "sec",
