@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # group-wise top-k / n-gram vocab / semi+anti joins
         "kg_top_entities_per_type": Q.kg_top_entities_per_type,
         "doc_bigram_counts": Q.doc_bigram_counts,
+        "doc_collocations": Q.doc_collocations,
+        "events_funnel": Q.events_funnel,
         "customers_without_orders": Q.customers_without_orders,
         "suppliers_in_region": Q.suppliers_in_region,
         # fingerprinting / markup / relational joins
@@ -891,6 +893,54 @@ GROUP BY c_mktsegment""",
 )
 SELECT type, CAST(rank AS BIGINT) AS rank, cui, n_mentions
 FROM rk WHERE rank <= 3""",
+        "doc_collocations": f"""
+WITH f AS (
+  SELECT regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
+), n AS (
+  SELECT sum(len(ws)) AS total FROM f
+), b AS (
+  SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2,
+         ws[g.i] || ' ' || ws[g.i + 1] AS bigram
+  FROM f, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+), bc AS (
+  SELECT bigram, min(w1) AS w1, min(w2) AS w2, count(*) AS c12
+  FROM b GROUP BY bigram HAVING count(*) >= {Q.COLLOC_MIN_COUNT}
+), uc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(ws) AS w FROM f) GROUP BY w
+)
+SELECT bc.bigram, CAST(bc.c12 AS BIGINT) AS c12,
+       CAST((1000000 * bc.c12 * n.total) // (u1.c * u2.c) AS BIGINT) AS pmi_micro
+FROM bc CROSS JOIN n
+JOIN uc u1 ON bc.w1 = u1.w
+JOIN uc u2 ON bc.w2 = u2.w
+ORDER BY pmi_micro DESC, bigram ASC LIMIT {Q.COLLOC_K}""",
+        "events_funnel": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), u AS (
+  SELECT DISTINCT user_id FROM e
+), v AS (
+  SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts_us) AS t2
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts_us) AS t3
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > c.t2 GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                 WHEN c.t2 IS NOT NULL THEN 2
+                 WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+       CAST(v.t1 AS BIGINT) AS t_view_us,
+       CAST(c.t2 AS BIGINT) AS t_click_us,
+       CAST(p.t3 AS BIGINT) AS t_purchase_us
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)""",
         "doc_bigram_counts": r"""
 WITH f AS (
   SELECT regexp_extract_all(lower(text), '\w+') AS ws FROM documents

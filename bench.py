@@ -142,6 +142,8 @@ QUERY_NAMES = [
     "doc_rare_bigram_score",
     "doc_bpe_merges",
     "doc_bpe_encode",
+    "doc_collocations",
+    "events_funnel",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -3249,3 +3249,156 @@ def doc_source_mix(sf_dir: str):
         ).filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# PMI collocation mining: the phrase-discovery pass a tokenizer/phrase
+# model runs before merging multiword units. Score is the exact integer
+# form floor(1e6 · c12 · N / (c1 · c2)) — a monotone transform of the
+# (unsmoothed) PMI ratio — so ordering needs no IEEE logs.
+COLLOC_MIN_COUNT = 5
+COLLOC_K = 20
+
+
+def doc_collocations(sf_dir: str):
+    """Top-K collocations by integer PMI score over document bigrams.
+
+    Shape: the G1 bigram exchange (threshold c12 ≥ COLLOC_MIN_COUNT
+    bounds the survivor set to ≤ N/threshold), unigram counts via the
+    wordcount exchange, corpus total N as a driver sum of block
+    partials; unigram counts broadcast for the score join (fixture
+    vocab is small — at 10⁸-word vocab replace the broadcast with two
+    Dataset.joins on w1/w2, same rows); per-partition partial top-K +
+    driver merge. Output (bigram, c12, pmi_micro)."""
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def bigram_partial(batch: pa.Table) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+
+        c: dict[str, int] = {}
+        total = 0
+        for t in batch["text"].to_pylist():
+            ws = WORD_RE.findall(t.lower())
+            total += len(ws)
+            for i in range(len(ws) - 1):
+                bg = ws[i] + " " + ws[i + 1]
+                c[bg] = c.get(bg, 0) + 1
+        out = pd.DataFrame({"bigram": list(c.keys()), "n": list(c.values())})
+        # one N-carrier row per block (empty-string bigram can't occur:
+        # \w+ tokens are non-empty)
+        return pd.concat(
+            [out, pd.DataFrame({"bigram": [""], "n": [total]})], ignore_index=True
+        )
+
+    def bigram_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", sort=False, as_index=False)["n"].sum()
+        return g[(g["bigram"] == "") | (g["n"] >= COLLOC_MIN_COUNT)]
+
+    bg = keyed_exchange(
+        ds.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["bigram"],
+        bigram_combine,
+    ).to_pandas()
+    n_total = int(bg.loc[bg["bigram"] == "", "n"].sum())
+    bg = bg[bg["bigram"] != ""].reset_index(drop=True)
+
+    def uni_partial(batch: pa.Table) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+
+        c: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in WORD_RE.findall(t.lower()):
+                c[w] = c.get(w, 0) + 1
+        return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
+
+    uni = keyed_exchange(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        ["word"],
+        lambda df: df.groupby("word", sort=False, as_index=False)["n"].sum(),
+    ).to_pandas()
+    cnt = dict(zip(uni["word"], uni["n"].astype(int)))
+
+    parts = bg["bigram"].str.split(" ", n=1, expand=True)
+    c12 = bg["n"].astype(int)
+    c1 = parts[0].map(cnt).astype("int64")
+    c2 = parts[1].map(cnt).astype("int64")
+    pmi = [
+        (1_000_000 * int(a) * n_total) // (int(b) * int(d))
+        for a, b, d in zip(c12, c1, c2)
+    ]
+    out = pd.DataFrame(
+        {"bigram": bg["bigram"], "c12": c12.astype("int64"),
+         "pmi_micro": pd.array(pmi, dtype="int64")}
+    )
+    out = out.sort_values(
+        ["pmi_micro", "bigram"], ascending=[False, True], kind="mergesort"
+    ).head(COLLOC_K)
+    return out.reset_index(drop=True)
+
+
+def events_funnel(sf_dir: str):
+    """Per-user funnel sequence matching (view → click → purchase,
+    each stage strictly after the previous stage's first hit) — the
+    session-analytics pattern where ORDER within a key matters, not
+    just aggregates.
+
+    One user-keyed exchange of the pruned (user_id, ts_us, event_type)
+    stream; per-partition computation is three vectorized
+    filter-map-groupby-min passes (no per-user Python loop for the
+    matching itself). Output (user_id, stage, t_view_us, t_click_us,
+    t_purchase_us) with Arrow int64 nulls (the kg_conv_turn_gaps
+    representation contract)."""
+    from .stages.exchange import keyed_exchange
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["ts"].values.astype("datetime64[us]").astype("int64"),
+                "event_type": df["event_type"],
+            }
+        )
+
+    def funnel_part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.loc[df["event_type"] == "view"].groupby("user_id")["ts_us"].min()
+        c_rows = df.loc[df["event_type"] == "click", ["user_id", "ts_us"]].copy()
+        c_rows["t1"] = c_rows["user_id"].map(v)
+        c_rows = c_rows[c_rows["t1"].notna() & (c_rows["ts_us"] > c_rows["t1"])]
+        c = c_rows.groupby("user_id")["ts_us"].min()
+        p_rows = df.loc[df["event_type"] == "purchase", ["user_id", "ts_us"]].copy()
+        p_rows["t2"] = p_rows["user_id"].map(c)
+        p_rows = p_rows[p_rows["t2"].notna() & (p_rows["ts_us"] > p_rows["t2"])]
+        p = p_rows.groupby("user_id")["ts_us"].min()
+
+        out = pd.DataFrame({"user_id": np.sort(df["user_id"].unique())})
+        t1 = out["user_id"].map(v)
+        t2 = out["user_id"].map(c)
+        t3 = out["user_id"].map(p)
+        stage = np.where(
+            t3.notna(), 3, np.where(t2.notna(), 2, np.where(t1.notna(), 1, 0))
+        )
+
+        def as_i64(s: pd.Series) -> pa.Array:
+            return pa.array(
+                [None if pd.isna(x) else int(x) for x in s], pa.int64()
+            )
+
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"], pa.int64()),
+                "stage": pa.array(stage, pa.int64()),
+                "t_view_us": as_i64(t1),
+                "t_click_us": as_i64(t2),
+                "t_purchase_us": as_i64(t3),
+            }
+        )
+
+    return keyed_exchange(
+        ds.map_batches(prep, batch_format="pandas"), ["user_id"], funnel_part
+    )

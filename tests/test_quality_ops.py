@@ -60,3 +60,36 @@ def test_quantile_filter_matches_duckdb_rank(ray_session, tiny_sf):
             {"n_tokens": "int64", "swr_milli": "int64"}
         ),
     )
+
+
+def test_events_funnel_stages(ray_session, tmp_path):
+    """Controlled users at every funnel stage, incl. the strict-after
+    rule: a click BEFORE the first view must not count."""
+    import ray.data as rd
+
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(uid, typ, minutes):
+        rows.append(
+            {"event_id": len(rows), "user_id": uid, "event_type": typ,
+             "ts": t0 + pd.Timedelta(minutes=minutes)}
+        )
+
+    ev(1, "error", 0)                      # stage 0
+    ev(2, "view", 0)                       # stage 1
+    ev(3, "view", 0); ev(3, "click", 5)    # stage 2
+    ev(4, "view", 0); ev(4, "click", 5); ev(4, "purchase", 9)  # stage 3
+    # click strictly BEFORE first view -> does not advance
+    ev(5, "click", 0); ev(5, "view", 5)
+    # purchase before the qualifying click -> stage stays 2
+    ev(6, "purchase", 0); ev(6, "view", 1); ev(6, "click", 2)
+
+    df = pd.DataFrame(rows)
+    p = str(tmp_path / "events.parquet")
+    df.to_parquet(p, index=False)
+
+    from biomedical_ner_ray.queries import events_funnel
+
+    out = events_funnel(str(tmp_path)).to_pandas().sort_values("user_id")
+    assert out["stage"].tolist() == [0, 1, 2, 3, 1, 2]
