@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_simhash": Q.doc_dedup_simhash,
         "doc_dedup_jaccard": Q.doc_dedup_jaccard,
         "emb_neardup_pairs": Q.emb_neardup_pairs,
+        "emb_semantic_keep": Q.emb_semantic_keep,
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_topk_ivf": Q.ann_topk_ivf,
@@ -385,6 +386,42 @@ reach(src, dst) AS (
 cl AS (SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src)
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE rep < doc_id)"""
+
+
+def _emb_neardup_sql() -> str:
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {Q.IVF_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c) t WHERE rn <= {Q.EMB_ASSIGN}
+)
+SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM assign aa JOIN assign ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+JOIN embeddings a ON a.vec_id = aa.vec_id
+JOIN embeddings b ON b.vec_id = ab.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {Q.EMB_COS_THRESHOLD}"""
+
+
+def _semantic_keep_sql() -> str:
+    return f"""
+WITH RECURSIVE
+mp AS ({_emb_neardup_sql()}),
+ed AS (
+  SELECT vec_id_a AS a, vec_id_b AS b FROM mp
+  UNION
+  SELECT vec_id_b AS a, vec_id_a AS b FROM mp
+),
+reach(src, dst) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
+),
+cl AS (SELECT src AS vec_id, min(dst) AS rep FROM reach GROUP BY src)
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM cl WHERE rep < vec_id)"""
 
 
 def _pii_scrub_sql() -> str:
@@ -1117,20 +1154,8 @@ GROUP BY c_mktsegment, year(o_orderdate)""",
         # replicates the IVF bucket rule: top-EMB_ASSIGN centroid
         # multi-assignment (cos DESC, cid ASC), pairs within shared
         # buckets only, then the exact cosine threshold
-        "emb_neardup_pairs": f"""
-WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {Q.IVF_N_CENTROIDS}),
-assign AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid ASC) AS rn
-    FROM embeddings e CROSS JOIN c) t WHERE rn <= {Q.EMB_ASSIGN}
-)
-SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-FROM assign aa JOIN assign ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
-JOIN embeddings a ON a.vec_id = aa.vec_id
-JOIN embeddings b ON b.vec_id = ab.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {Q.EMB_COS_THRESHOLD}""",
+        "emb_neardup_pairs": _emb_neardup_sql(),
+        "emb_semantic_keep": _semantic_keep_sql(),
         "ann_topk_ivf": f"""
 WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {Q.IVF_N_CENTROIDS}),
 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {Q.ANN_N_QUERIES}),

@@ -144,6 +144,7 @@ QUERY_NAMES = [
     "doc_bpe_encode",
     "doc_collocations",
     "events_funnel",
+    "emb_semantic_keep",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -3402,3 +3402,54 @@ def events_funnel(sf_dir: str):
     return keyed_exchange(
         ds.map_batches(prep, batch_format="pandas"), ["user_id"], funnel_part
     )
+
+
+def emb_semantic_keep(sf_dir: str):
+    """SemDeDup-style semantic dedup, end to end: IVF-bucketed cosine
+    near-dup pairs (emb_neardup_pairs) → connected components
+    (stages/dedup.pairs_components, keyed-exchange min-label) → keep
+    one representative (component-min vec_id) per semantic cluster
+    plus every unclustered vector. Same drop-handoff + NATIVE
+    left_anti shape as doc_dedup_keep — no driver-side key set, both
+    sides streamed; the oracle is the exact recursive-CTE transitive
+    closure over the SQL-replicated pair rule."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .stages.dedup import pairs_components
+    from .stages.exchange import hash_shuffle
+
+    base = os.path.join(tempfile.gettempdir(), "graft_semdedup_drops")
+    shutil.rmtree(base, ignore_errors=True)
+    handoff = os.path.join(base, uuid.uuid4().hex)
+
+    clusters = pairs_components(
+        emb_neardup_pairs(sf_dir), "vec_id_a", "vec_id_b", rounds=_CLUSTER_ROUNDS
+    )
+    (
+        clusters.map_batches(
+            lambda df: df.loc[df["cluster_rep"] < df["node_id"], ["node_id"]]
+            .rename(columns={"node_id": "vec_id"}),
+            batch_format="pandas",
+        )
+        .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+        .write_parquet(handoff)
+    )
+
+    vecs = _strip_meta(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"])
+    )
+    if not any(f.endswith(".parquet") for f in os.listdir(handoff)):
+        return vecs  # no semantic clusters at all
+
+    with hash_shuffle():
+        kept = _strip_meta(
+            rd.read_parquet(
+                os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+            )
+        )
+        drops = rd.read_parquet(handoff)
+        return kept.join(
+            drops, join_type="left_anti", num_partitions=8, on=("vec_id",)
+        )

@@ -441,18 +441,19 @@ def jaccard_pairs(docs_ds):
 _CLUSTER_PAD = 12
 
 
-def minhash_clusters(docs_ds_factory, rounds: int = 8, num_partitions: int = 8):
-    """documents → (doc_id, cluster_rep) for every doc in a near-dup
-    cluster, cluster_rep = component-min doc_id. MinHash+LSH pairs feed
-    ``connected_components_ds`` (keyed-exchange min-label propagation;
-    adaptive driver path when the pair graph is broadcast-small)."""
+def pairs_components(
+    pairs_ds, col_a: str, col_b: str, rounds: int = 8, num_partitions: int = 8
+):
+    """Generic near-dup pair graph → (node_id, cluster_rep =
+    component-min id) via ``connected_components_ds`` (keyed-exchange
+    min-label propagation; adaptive driver path when the pair graph is
+    broadcast-small). Shared by the MinHash and embedding-cosine
+    cluster paths — any (int64 a, int64 b) pair Dataset works."""
     from .canonicalize import connected_components_ds
 
-    pairs = minhash_pairs(docs_ds_factory, num_partitions)
-
     def to_bipartite(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["doc_id_a"].astype("int64")
-        b = df["doc_id_b"].astype("int64")
+        a = df[col_a].astype("int64")
+        b = df[col_b].astype("int64")
         key = "p" + a.astype(str) + ":" + b.astype(str)
         return pd.DataFrame(
             {
@@ -465,18 +466,30 @@ def minhash_clusters(docs_ds_factory, rounds: int = 8, num_partitions: int = 8):
             }
         )
 
-    bip = pairs.map_batches(to_bipartite, batch_format="pandas")
+    bip = pairs_ds.map_batches(to_bipartite, batch_format="pandas")
     comp = connected_components_ds(bip, rounds=rounds, num_partitions=num_partitions)
 
     def decode(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "doc_id": df["cui"].astype("int64"),
+                "node_id": df["cui"].astype("int64"),
                 "cluster_rep": df["label"].astype("int64"),
             }
         )
 
     return comp.map_batches(decode, batch_format="pandas")
+
+
+def minhash_clusters(docs_ds_factory, rounds: int = 8, num_partitions: int = 8):
+    """documents → (doc_id, cluster_rep) for every doc in a near-dup
+    cluster, cluster_rep = component-min doc_id."""
+    pairs = minhash_pairs(docs_ds_factory, num_partitions)
+    comp = pairs_components(
+        pairs, "doc_id_a", "doc_id_b", rounds=rounds, num_partitions=num_partitions
+    )
+    return comp.map_batches(
+        lambda df: df.rename(columns={"node_id": "doc_id"}), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
