@@ -132,14 +132,22 @@ def winnowing_fingerprint(
     s = text.lower()
     if len(s) < k:
         return [hash_fn(s.encode("utf-8"))] if s else []
-    hs = [hash_fn(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)]
-    picks: list[int] = []
-    prev = -1
-    for w in range(0, len(hs) - window + 1):
-        window_slice = hs[w : w + window]
-        m = min(window_slice)
-        idx = w + window_slice.index(m)
-        if idx != prev:
-            picks.append(m)
-            prev = idx
-    return picks
+    hs = np.fromiter(
+        (hash_fn(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)),
+        dtype=np.uint64,
+        count=len(s) - k + 1,
+    )
+    if len(hs) < window:
+        # shorter than one window: the loop below never runs; keep the
+        # historical behavior (no picks)
+        return []
+    # vectorized window-min selection: first-min index per sliding
+    # window is non-decreasing (a smaller-or-equal earlier value would
+    # have been the previous window's first min), so dropping runs of
+    # equal indices reproduces the sequential `idx != prev` rule exactly
+    sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+    idx = sw.argmin(axis=1) + np.arange(len(sw))
+    keep = np.empty(len(idx), dtype=bool)
+    keep[0] = True
+    np.not_equal(idx[1:], idx[:-1], out=keep[1:])
+    return hs[idx[keep]].tolist()

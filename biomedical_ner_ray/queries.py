@@ -1623,15 +1623,25 @@ def doc_winnowing(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(batch: pa.Table) -> pd.DataFrame:
+        # per-batch gram→md5 cache: 8-char grams are Zipf-distributed,
+        # so the cache collapses the dominant cost (one hashlib.md5 call
+        # per gram OCCURRENCE becomes one per DISTINCT gram per batch)
+        cache: dict[bytes, int] = {}
+
+        def h(b: bytes) -> int:
+            v = cache.get(b)
+            if v is None:
+                v = stable_u64_md5(b)
+                cache[b] = v
+            return v
+
         ids, fps = [], []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
             if len(text.lower()) < 8:
                 continue
-            for fp in set(
-                winnowing_fingerprint(text, hash_fn=stable_u64_md5)
-            ):
+            for fp in set(winnowing_fingerprint(text, hash_fn=h)):
                 ids.append(doc_id)
                 fps.append(fp)
         return pd.DataFrame(
