@@ -75,18 +75,29 @@ class MinHasher:
         return keys
 
 
-def simhash64_md5(ws: list[str]) -> int:
+def simhash64_md5(ws: list[str], cache: dict | None = None) -> int:
     """64-bit SimHash with md5 word hashes and plain LSB-first bit order
     so the DuckDB oracle can reproduce it bit-for-bit:
     bit p of the result is set iff sum over word occurrences of
-    ±1[(md5_number_lower(w) >> p) & 1] is positive."""
+    ±1[(md5_number_lower(w) >> p) & 1] is positive.
+
+    ``cache`` (word → u64, typically per batch) collapses the md5 cost
+    of the Zipf head — one hashlib call per DISTINCT word, not per
+    occurrence."""
     if not ws:
         return 0
-    hs = np.fromiter(
-        (stable_u64_md5(w.encode("utf-8")) for w in ws),
-        dtype=np.uint64,
-        count=len(ws),
-    )
+    if cache is None:
+        it = (stable_u64_md5(w.encode("utf-8")) for w in ws)
+    else:
+        def _h(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = stable_u64_md5(w.encode("utf-8"))
+                cache[w] = v
+            return v
+
+        it = (_h(w) for w in ws)
+    hs = np.fromiter(it, dtype=np.uint64, count=len(ws))
     bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     acc = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
     return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())

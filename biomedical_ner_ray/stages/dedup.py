@@ -60,9 +60,14 @@ def minhash_params(num_perm: int = NUM_PERM, seed: int = MINHASH_SEED):
 _A, _B = minhash_params()
 
 
-def shingle_hashes(text: str, n: int = SHINGLE_N) -> np.ndarray:
+def shingle_hashes(
+    text: str, n: int = SHINGLE_N, cache: dict | None = None
+) -> np.ndarray:
     """Distinct word n-gram shingles → sorted md5-u64 hashes (sorted so
-    the array is deterministic; jaccard/minhash are set ops anyway)."""
+    the array is deterministic; jaccard/minhash are set ops anyway).
+
+    ``cache`` (shingle → u64, typically held per batch) collapses the
+    md5 cost of shingles repeated across a batch's documents."""
     ws = WORD_RE.findall(text.lower())
     if not ws:
         return np.empty(0, dtype=np.uint64)
@@ -70,9 +75,18 @@ def shingle_hashes(text: str, n: int = SHINGLE_N) -> np.ndarray:
         sh = {" ".join(ws)}
     else:
         sh = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
-    hv = np.fromiter(
-        (stable_u64_md5(s.encode("utf-8")) for s in sh), dtype=np.uint64, count=len(sh)
-    )
+    if cache is None:
+        it = (stable_u64_md5(s.encode("utf-8")) for s in sh)
+    else:
+        def _h(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = stable_u64_md5(s.encode("utf-8"))
+                cache[s] = v
+            return v
+
+        it = (_h(s) for s in sh)
+    hv = np.fromiter(it, dtype=np.uint64, count=len(sh))
     hv.sort()
     return hv
 
@@ -98,8 +112,9 @@ def band_key(sig: np.ndarray, band: int) -> str:
 
 def _minhash_band_rows(batch: pa.Table) -> pd.DataFrame:
     doc_ids, keys, shs = [], [], []
+    cache: dict = {}
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        hv = shingle_hashes(text)
+        hv = shingle_hashes(text, cache=cache)
         sig = minhash_signature(hv)
         # reinterpret u64 bits as int64 so the list column fits Arrow's
         # signed types; jaccard is a set op, representation-agnostic
@@ -156,8 +171,9 @@ def _minhash_band_rows_lite(batch: pa.Table) -> pd.DataFrame:
     """Band rows WITHOUT the shingle payload (scale path): only
     (doc_id, band_key) strings shuffle in the bucket exchange."""
     doc_ids, keys = [], []
+    cache: dict = {}
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        sig = minhash_signature(shingle_hashes(text))
+        sig = minhash_signature(shingle_hashes(text, cache=cache))
         for band in range(NUM_BANDS):
             doc_ids.append(doc_id)
             keys.append(band_key(sig, band))
@@ -183,9 +199,10 @@ def _shingle_table(batch: pa.Table) -> pa.Table:
     """(doc_id, shingles as one binary blob) — Arrow's hash join rejects
     list<> payload columns, and a packed u64 buffer is smaller anyway."""
     ids, shs = [], []
+    cache: dict = {}
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
         ids.append(doc_id)
-        shs.append(shingle_hashes(text).tobytes())
+        shs.append(shingle_hashes(text, cache=cache).tobytes())
     return pa.table(
         {"doc_id": pa.array(ids, pa.int64()), "shingles": pa.array(shs, pa.binary())}
     )
@@ -344,11 +361,12 @@ def _join_verify(cands, sh, num_partitions: int):
 
 def _simhash_rows(batch: pa.Table) -> pd.DataFrame:
     doc_ids, chunk_keys, hashes = [], [], []
+    cache: dict = {}
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
         ws = WORD_RE.findall(text.lower())
         if not ws:  # wordless docs carry no signal (SQL oracle drops them too)
             continue
-        h = simhash64_md5(ws)
+        h = simhash64_md5(ws, cache=cache)
         for c in range(SIMHASH_CHUNKS):
             chunk = (h >> (16 * c)) & 0xFFFF
             doc_ids.append(doc_id)
@@ -407,7 +425,8 @@ JACCARD_BLOCK_NUM, JACCARD_BLOCK_DEN = 3, 5  # J >= 0.6 within blocks
 def _block_jaccard(g: pd.DataFrame) -> pd.DataFrame:
     g = g.sort_values("doc_id")
     ids = g["doc_id"].to_numpy()
-    sets = [set(shingle_hashes(t)) for t in g["text"]]
+    cache: dict = {}
+    sets = [set(shingle_hashes(t, cache=cache)) for t in g["text"]]
     out = []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
