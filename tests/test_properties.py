@@ -116,3 +116,40 @@ def test_markup_roundtrip(entities, filler):
     for (typ, mention), e in zip(entities, ents):
         assert e["type"] == typ and e["text"] == mention
         assert clean[e["start"] : e["end"]] == mention
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from("ab x"),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_winnowing_vectorized_matches_sequential(text):
+    """The numpy window-min winnowing must reproduce the sequential
+    Schleimer et al. loop exactly (picks AND order), including the
+    first-min-in-window and idx != prev dedupe rules."""
+    from biomedical_ner_ray.kernels.hashing import (
+        stable_u64_md5,
+        winnowing_fingerprint,
+    )
+
+    k, window = 8, 4
+
+    def reference(s: str) -> list[int]:
+        s = s.lower()
+        if len(s) < k:
+            return [stable_u64_md5(s.encode())] if s else []
+        hs = [stable_u64_md5(s[i : i + k].encode()) for i in range(len(s) - k + 1)]
+        picks, prev = [], -1
+        for w in range(0, len(hs) - window + 1):
+            sl = hs[w : w + window]
+            m = min(sl)
+            idx = w + sl.index(m)
+            if idx != prev:
+                picks.append(m)
+                prev = idx
+        return picks
+
+    assert winnowing_fingerprint(text, hash_fn=stable_u64_md5) == reference(text)
