@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quantile_filter": Q.doc_quantile_filter,
         "doc_source_mix": Q.doc_source_mix,
         "doc_pack_chunks": Q.doc_pack_chunks,
+        "doc_pack_bins": Q.doc_pack_bins,
         "doc_training_order": Q.doc_training_order,
         "part_copurchase_pagerank": Q.part_copurchase_pagerank,
         "building_year_revenue_bloom": Q.building_year_revenue_bloom,
@@ -1140,6 +1141,34 @@ FROM documents d JOIN r USING (source)
 WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':mix')
       % {Q.MIX_COIN_MOD} < permyriad""",
         "doc_pack_chunks": _pack_chunks_sql(),
+        "doc_pack_bins": f"""
+WITH RECURSIVE
+f AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS ws FROM documents),
+ch AS (
+  SELECT doc_id, g.i - 1 AS chunk_idx,
+         least({Q.PACK_CHUNK}, len(ws) - (g.i - 1) * {Q.PACK_CHUNK}) AS n_tokens,
+         md5_number_lower(doc_id || ':pack') % {Q.PACK_PARTITIONS} AS pack_pid
+  FROM f, unnest(generate_series(1, (len(ws) + {Q.PACK_CHUNK} - 1) // {Q.PACK_CHUNK})) AS g(i)
+  WHERE len(ws) > 0
+),
+ordd AS (
+  SELECT *, row_number() OVER (PARTITION BY pack_pid ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+),
+st(pack_pid, rn, doc_id, chunk_idx, bin_id, fill) AS (
+  SELECT pack_pid, rn, doc_id, chunk_idx, CAST(0 AS BIGINT), n_tokens
+  FROM ordd WHERE rn = 1
+  UNION ALL
+  SELECT o.pack_pid, o.rn, o.doc_id, o.chunk_idx,
+         CASE WHEN s.fill + o.n_tokens > {Q.PACK_BIN_CAP} AND s.fill > 0
+              THEN s.bin_id + 1 ELSE s.bin_id END,
+         CASE WHEN s.fill + o.n_tokens > {Q.PACK_BIN_CAP} AND s.fill > 0
+              THEN o.n_tokens ELSE s.fill + o.n_tokens END
+  FROM st s JOIN ordd o ON o.pack_pid = s.pack_pid AND o.rn = s.rn + 1
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(pack_pid AS BIGINT) AS pack_pid, CAST(bin_id AS BIGINT) AS bin_id
+FROM st""",
         "doc_training_order": _training_order_sql(),
         "part_copurchase_pagerank": _pagerank_sql(),
         "building_year_revenue_bloom": _bloom_revenue_sql(),

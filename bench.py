@@ -129,6 +129,7 @@ QUERY_NAMES = [
     "doc_quantile_filter",
     "doc_source_mix",
     "doc_pack_chunks",
+    "doc_pack_bins",
     "doc_training_order",
     "part_copurchase_pagerank",
     "building_year_revenue_bloom",

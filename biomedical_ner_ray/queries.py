@@ -3463,3 +3463,89 @@ def emb_semantic_keep(sf_dir: str):
         return kept.join(
             drops, join_type="left_anti", num_partitions=8, on=("vec_id",)
         )
+
+
+# Training-row bin packing: fold the PACK_CHUNK-token chunk stream into
+# fixed-capacity rows. Packing is inherently sequential, so the engine
+# partitions chunks by an md5 hash of the doc (SQL-replicable, unlike
+# pandas' hash), packs NEXT-FIT within each partition in (doc_id,
+# chunk_idx) order, and the oracle replays the same fold with a
+# recursive CTE — bin ids are deterministic under any block layout or
+# retry because they depend only on partition membership + total order.
+PACK_BIN_CAP = 256
+PACK_PARTITIONS = 8
+
+
+def doc_pack_bins(sf_dir: str):
+    """Sequence packing, completed: chunks → fixed-capacity training
+    rows (bins). Emits (doc_id, chunk_idx, pack_pid, bin_id) where
+    bin_id is the partition-local next-fit bin index.
+
+    Scale shape: ONE keyed exchange on the md5 partition id; the
+    per-partition fold is a vectorized-setup linear pass (rows sorted
+    once, then an O(rows) fill loop over int64s). A hot partition holds
+    ~1/PACK_PARTITIONS of the chunk stream — raise PACK_PARTITIONS with
+    corpus size like every other exchange."""
+    from .kernels.hashing import stable_u64_md5
+    from .stages.exchange import keyed_exchange
+
+    from .kernels.textstats import WORD_RE
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids, cidx, ntok, pids = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = WORD_RE.findall(text)
+            pid = stable_u64_md5(f"{doc_id}:pack".encode()) % PACK_PARTITIONS
+            for c in range((len(ws) + PACK_CHUNK - 1) // PACK_CHUNK):
+                ids.append(doc_id)
+                cidx.append(c)
+                ntok.append(min(PACK_CHUNK, len(ws) - c * PACK_CHUNK))
+                pids.append(pid)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "pack_pid": pa.array(pids, pa.int64()),
+            }
+        )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        # the exchange may co-locate several pack_pids in one physical
+        # partition — the next-fit fold is per pack_pid
+        frames = []
+        for _, g in df.groupby("pack_pid", sort=True):
+            g = g.sort_values(["doc_id", "chunk_idx"], kind="mergesort").reset_index(
+                drop=True
+            )
+            toks = g["n_tokens"].to_numpy(dtype="int64")
+            bins = np.empty(len(g), dtype="int64")
+            b, fill = 0, 0
+            for i, t in enumerate(toks):
+                if fill + t > PACK_BIN_CAP and fill > 0:
+                    b += 1
+                    fill = 0
+                bins[i] = b
+                fill += t
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": g["doc_id"].astype("int64"),
+                        "chunk_idx": g["chunk_idx"].astype("int64"),
+                        "pack_pid": g["pack_pid"].astype("int64"),
+                        "bin_id": bins,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return keyed_exchange(
+        ds.map_batches(chunks, batch_format="pyarrow"),
+        ["pack_pid"],
+        pack,
+        PACK_PARTITIONS,
+    )

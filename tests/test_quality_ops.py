@@ -93,3 +93,30 @@ def test_events_funnel_stages(ray_session, tmp_path):
 
     out = events_funnel(str(tmp_path)).to_pandas().sort_values("user_id")
     assert out["stage"].tolist() == [0, 1, 2, 3, 1, 2]
+
+
+def test_pack_bins_capacity_invariants(ray_session):
+    """Every bin's token total fits the capacity and bin ids are a
+    contiguous 0..max sequence per partition."""
+    import duckdb
+
+    from biomedical_ner_ray.queries import PACK_BIN_CAP, doc_pack_bins
+
+    out = doc_pack_bins("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    toks = con.execute(
+        r"""SELECT doc_id, g.i - 1 AS chunk_idx,
+              least(64, len(ws) - (g.i - 1) * 64) AS n_tokens
+            FROM (SELECT doc_id, regexp_extract_all(text, '\w+') AS ws FROM documents),
+                 unnest(generate_series(1, (len(ws) + 63) // 64)) AS g(i)"""
+    ).df()
+    m = out.merge(toks, on=["doc_id", "chunk_idx"])
+    fills = m.groupby(["pack_pid", "bin_id"])["n_tokens"].sum()
+    assert (fills <= PACK_BIN_CAP).all()
+    for _, g in out.groupby("pack_pid"):
+        bids = sorted(g["bin_id"].unique())
+        assert bids == list(range(len(bids)))
