@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_counts": Q.doc_bigram_counts,
         "doc_collocations": Q.doc_collocations,
         "events_funnel": Q.events_funnel,
+        "events_retention": Q.events_retention,
         "customers_without_orders": Q.customers_without_orders,
         "suppliers_in_region": Q.suppliers_in_region,
         # fingerprinting / markup / relational joins
@@ -954,6 +955,19 @@ FROM bc CROSS JOIN n
 JOIN uc u1 ON bc.w1 = u1.w
 JOIN uc u2 ON bc.w2 = u2.w
 ORDER BY pmi_micro DESC, bigram ASC LIMIT {Q.COLLOC_K}""",
+        "events_retention": f"""
+WITH d AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+), a AS (
+  SELECT DISTINCT d.user_id, f.cohort_day, d.day - f.cohort_day AS "offset"
+  FROM d JOIN f USING (user_id)
+  WHERE d.day - f.cohort_day BETWEEN 0 AND {Q.RETENTION_MAX_OFFSET}
+)
+SELECT cohort_day, "offset", CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort_day, "offset"
+""",
         "events_funnel": """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events

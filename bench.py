@@ -145,6 +145,7 @@ QUERY_NAMES = [
     "doc_bpe_encode",
     "doc_collocations",
     "events_funnel",
+    "events_retention",
     "emb_semantic_keep",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via

@@ -3549,3 +3549,58 @@ def doc_pack_bins(sf_dir: str):
         pack,
         PACK_PARTITIONS,
     )
+
+
+RETENTION_MAX_OFFSET = 7
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by their FIRST active day
+    (cohort), counted as retained at day offsets 0..RETENTION_MAX_OFFSET
+    — the standard product-analytics rollup, done skew-safe.
+
+    One user-keyed exchange computes each user's cohort day and the
+    distinct offsets they returned on (vectorized pandas per
+    partition); per-partition partial counts over the bounded
+    (cohort_day, offset) domain combine on the driver — no second
+    shuffle. Output (cohort_day, offset, n_users) with cohort_day as
+    epoch days."""
+    from .stages.exchange import keyed_exchange
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    US_PER_DAY = 86_400_000_000
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": df["ts"].values.astype("datetime64[us]").astype("int64")
+                // US_PER_DAY,
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("user_id")["day"].min().rename("cohort_day")
+        m = df.merge(first, on="user_id")
+        m["offset"] = m["day"] - m["cohort_day"]
+        m = m[
+            (m["offset"] >= 0) & (m["offset"] <= RETENTION_MAX_OFFSET)
+        ].drop_duplicates(["user_id", "offset"])
+        return (
+            m.groupby(["cohort_day", "offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+
+    parts = keyed_exchange(
+        ds.map_batches(prep, batch_format="pandas"), ["user_id"], per_user
+    ).to_pandas()
+    out = (
+        parts.groupby(["cohort_day", "offset"], as_index=False)["n_users"]
+        .sum()
+        .astype({"cohort_day": "int64", "offset": "int64", "n_users": "int64"})
+    )
+    return out
