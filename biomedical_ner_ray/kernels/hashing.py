@@ -133,6 +133,68 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def winnowing_fingerprints_batch(
+    texts: list[str], k: int = 8, window: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch winnowing with ``stable_u64_md5`` gram hashes — the hot-path
+    formulation of ``winnowing_fingerprint(hash_fn=stable_u64_md5)``.
+
+    Per-POSITION work is pure numpy: each text becomes a uint32
+    codepoint array, k-grams are a zero-copy sliding-window view recast
+    to fixed-width void records, and one batch-wide ``np.unique`` +
+    ``searchsorted`` maps every position to its gram id. hashlib.md5
+    then runs once per DISTINCT gram per batch (the only Python loop
+    over data), matching the old per-doc dict cache's call count while
+    deleting its per-position interpreted overhead. Window-min
+    selection and the run-dedupe rule are the proven-vectorized kernel
+    from ``winnowing_fingerprint``.
+
+    Texts shorter than ``k`` chars (after lower()) are skipped, like the
+    query path. Returns (text_index:int64, fingerprint:uint64) arrays —
+    per-text DISTINCT fingerprints, ascending within a text."""
+    rec_dtype = np.dtype((np.void, 4 * k))
+    docs: list[tuple[int, np.ndarray]] = []
+    for i, text in enumerate(texts):
+        s = text.lower()
+        if len(s) < k:
+            continue
+        cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        sw = np.lib.stride_tricks.sliding_window_view(cp, k)
+        docs.append((i, np.ascontiguousarray(sw).view(rec_dtype).ravel()))
+    if not docs:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    uniq = np.unique(np.concatenate([r for _, r in docs]))
+    grams = uniq.view(np.uint32).reshape(-1, k)
+    if grams.size and grams.max() < 128:
+        # pure-ASCII batch: utf-8 == codepoint bytes, one contiguous
+        # buffer sliced per gram (no chr/join per gram)
+        buf = grams.astype(np.uint8).tobytes()
+        it = (stable_u64_md5(buf[o : o + k]) for o in range(0, len(buf), k))
+    else:
+        it = (
+            stable_u64_md5("".join(map(chr, row)).encode("utf-8"))
+            for row in grams
+        )
+    hs_uniq = np.fromiter(it, dtype=np.uint64, count=len(uniq))
+    out_idx: list[np.ndarray] = []
+    out_fp: list[np.ndarray] = []
+    for i, rec in docs:
+        hs = hs_uniq[np.searchsorted(uniq, rec)]
+        if len(hs) < window:
+            continue  # shorter than one window: no picks (see above)
+        sw2 = np.lib.stride_tricks.sliding_window_view(hs, window)
+        idx = sw2.argmin(axis=1) + np.arange(len(sw2))
+        keep = np.empty(len(idx), dtype=bool)
+        keep[0] = True
+        np.not_equal(idx[1:], idx[:-1], out=keep[1:])
+        fps = np.unique(hs[idx[keep]])
+        out_idx.append(np.full(len(fps), i, dtype=np.int64))
+        out_fp.append(fps)
+    if not out_idx:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    return np.concatenate(out_idx), np.concatenate(out_fp)
+
+
 def winnowing_fingerprint(
     text: str, k: int = 8, window: int = 4, hash_fn=None
 ) -> list[int]:

@@ -159,6 +159,33 @@ def kg_mentions_model(sf_dir: str):
     )
 
 
+def kg_mentions_learned(sf_dir: str):
+    """Mention spans decoded by the TRAINED tagger — the only scorer
+    whose output depends on fitted weights (kernels/learned.py +
+    pipelines/train_tagger.py: Adam/patience/dev-F1-checkpoint lifecycle
+    mirroring JNLPBA.ipynb cell 11; served like app.py:254-303 serves
+    the reference checkpoint). Unlike kg_mentions/_model there is NO
+    decode-equivalence: predictions disagree with the dictionary gold
+    on ~3% of mentions (asserted 0.95 ≤ P,R < 1.0 in
+    tests/test_learned_tagger.py), so the oracle is a SQL BIO-span
+    decode over the checkpoint's sequential replay artifact — it checks
+    distributed-serving == sequential-replay AND the span-assembly
+    semantics, not a tautology."""
+    from .pipelines.train_tagger import ensure_tagger_artifacts
+
+    paths = _fixture(sf_dir)
+    arts = ensure_tagger_artifacts()  # canonical checkpoint (sf0.01 corpus)
+    ref = ray.put(AliasDict(_alias_rows(paths)))
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+    ann = annotate_stage(
+        ds, ref, scorer="learned",
+        scorer_kwargs={"checkpoint_path": arts["checkpoint"]},
+    )
+    return mentions_stage(ann).select_columns(
+        ["conv_id", "turn_idx", "mention_id", "text", "type", "start_tok", "end_tok"]
+    )
+
+
 def kg_linked_mentions(sf_dir: str):
     """Mentions + CUI link (broadcast alias dict, J6)."""
     ann, _ = _annotations_ds(sf_dir)
@@ -1020,7 +1047,7 @@ def _ensure_minhash_index(sf_dir: str) -> dict:
     doc_path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc_path)
     key = hashlib.md5(
-        f"incr-v2:{os.path.abspath(doc_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"incr-v3:{os.path.abspath(doc_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(tempfile.gettempdir(), "graft_minhash_index", key)
     if os.path.isdir(index_dir):
@@ -1080,15 +1107,13 @@ def doc_dedup_keep(sf_dir: str):
     written as a parquet handoff (cluster output is a checkpointable
     artifact), then removed from the corpus with a NATIVE left_anti
     hash join — no driver-side key set, both sides streamed."""
-    import shutil
     import tempfile
-    import uuid
 
     from .stages.exchange import hash_shuffle
+    from .state.manifest import sweep_stale_handoffs
 
     base = os.path.join(tempfile.gettempdir(), "graft_dedup_drops")
-    shutil.rmtree(base, ignore_errors=True)
-    handoff = os.path.join(base, uuid.uuid4().hex)
+    handoff = sweep_stale_handoffs(base)  # TTL sweep — never live siblings
 
     def drops_only(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df["cluster_rep"] < df["doc_id"], ["doc_id"]]
@@ -1548,18 +1573,21 @@ def ann_topk_ivf(sf_dir: str):
     qids = qdf["vec_id"].to_numpy()
     # probe sets: 4 nearest centroids per query (cos desc, centroid asc)
     qcos = qmat @ cmat.T
-    probe = {}
-    for qi, qid in enumerate(qids):
+    # [Q, C] bool probe masks: row qi is True at its IVF_NPROBE nearest
+    # centroids — indexing a mask row with the batch's assign vector is
+    # one vectorized gather (no per-element membership tests)
+    probe_mask = np.zeros((len(qids), cmat.shape[0]), dtype=bool)
+    for qi in range(len(qids)):
         order = np.lexsort((np.arange(cmat.shape[0]), -qcos[qi]))
-        probe[int(qid)] = set(order[:IVF_NPROBE].tolist())
-    ref = ray.put((qids, qmat, cmat, probe))
+        probe_mask[qi, order[:IVF_NPROBE]] = True
+    ref = ray.put((qids, qmat, cmat, probe_mask))
 
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         from .state.broadcast import resolve
 
-        qids_, qm, cm, probe_ = resolve(ref)
+        qids_, qm, cm, probe_mask_ = resolve(ref)
         vids = np.asarray(batch["vec_id"].to_pylist())
         mat = np.stack(
             [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
@@ -1570,8 +1598,7 @@ def ann_topk_ivf(sf_dir: str):
         rows = []
         k = ANN_K + 1
         for qi, qid in enumerate(qids_):
-            mask = np.fromiter((assign[j] in probe_[int(qid)] for j in range(len(vids))),
-                               dtype=bool, count=len(vids))
+            mask = probe_mask_[qi][assign]  # vectorized bucket-membership gather
             mask &= vids != qid
             idx = np.nonzero(mask)[0]
             if idx.size == 0:
@@ -1618,34 +1645,18 @@ def doc_winnowing(sf_dir: str):
     distinct minimal 8-gram md5 hashes per 4-hash window — the
     rolling-hash fingerprinting operator for plagiarism/overlap-style
     dedup. Oracle replicates the window-min selection exactly."""
-    from .kernels.hashing import stable_u64_md5, winnowing_fingerprint
+    from .kernels.hashing import winnowing_fingerprints_batch
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(batch: pa.Table) -> pd.DataFrame:
-        # per-batch gram→md5 cache: 8-char grams are Zipf-distributed,
-        # so the cache collapses the dominant cost (one hashlib.md5 call
-        # per gram OCCURRENCE becomes one per DISTINCT gram per batch)
-        cache: dict[bytes, int] = {}
-
-        def h(b: bytes) -> int:
-            v = cache.get(b)
-            if v is None:
-                v = stable_u64_md5(b)
-                cache[b] = v
-            return v
-
-        ids, fps = [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            if len(text.lower()) < 8:
-                continue
-            for fp in set(winnowing_fingerprint(text, hash_fn=h)):
-                ids.append(doc_id)
-                fps.append(fp)
+        # batch-level gram hashing: per-position work is numpy, md5 runs
+        # once per DISTINCT gram per batch (kernels/hashing.py; equality
+        # with the sequential kernel is property-tested)
+        idx, fps = winnowing_fingerprints_batch(batch["text"].to_pylist())
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[idx]
         return pd.DataFrame(
-            {"doc_id": pd.array(ids, dtype="int64"),
+            {"doc_id": pd.array(doc_ids, dtype="int64"),
              "fingerprint": pd.array(fps, dtype="uint64")}
         )
 
@@ -2191,12 +2202,16 @@ def doc_heavy_hitters_cms(sf_dir: str):
     into a fixed 128 KiB sketch and nominates its local top
     CMS_BLOCK_CANDS words; the driver sums the sketches (elementwise —
     associative, no key shuffle), estimates the candidate union, and
-    keeps the top CMS_TOP_K. A global heavy hitter is a local heavy
-    hitter in at least one block (count ≥ total/blocks somewhere), so
-    the candidate union contains every true top-k at any scale.
-    Estimates only ever OVERCOUNT; pytest pins the envelope vs the
-    exact word count (rows-only driver check — the sketch itself is
-    the point, not a SQL re-derivation)."""
+    keeps the top CMS_TOP_K. Candidate recall is a HEURISTIC, not a
+    guarantee: nomination is exact only when the k-th global count is
+    ≥ total_mass / blocks (then a true top-k word is necessarily a
+    local top candidate in at least one block); a uniformly-spread
+    mid-frequency word below every block's local top CMS_BLOCK_CANDS
+    can be missed, so CMS_BLOCK_CANDS must scale with the block count
+    (or the nomination pass be repeated with the summed sketch) when
+    that bound doesn't hold. Estimates only ever OVERCOUNT; pytest pins
+    the envelope vs the exact word count (rows-only driver check — the
+    sketch itself is the point, not a SQL re-derivation)."""
     from .kernels.sketch import CMS_D, CMS_W, cms_add, cms_empty, cms_query
     from .kernels.textstats import WORD_RE
 
@@ -3078,10 +3093,16 @@ def doc_boilerplate_scrub(sf_dir: str):
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("line", sort=False, as_index=False)["n_docs"].sum()
 
-    freq_ds = grouped_aggregate(ds, ["line"], line_partial, combine)
+    freq_ds = grouped_aggregate(ds, ["line"], line_partial, combine).map_batches(
+        # threshold applied IN the cluster: the driver link only ever
+        # carries post-threshold rows (bounded by volume/threshold),
+        # never the corpus-scale distinct-line table
+        lambda df: df[df["n_docs"] >= BOILERPLATE_MIN_DOCS],
+        batch_format="pandas",
+    )
     frequent: set[str] = set()
     for b in freq_ds.iter_batches(batch_format="pandas"):
-        frequent.update(b.loc[b["n_docs"] >= BOILERPLATE_MIN_DOCS, "line"])
+        frequent.update(b["line"])
     ref = ray.put(frequent)
 
     def scrub(batch: pa.Table) -> pa.Table:
@@ -3423,16 +3444,14 @@ def emb_semantic_keep(sf_dir: str):
     left_anti shape as doc_dedup_keep — no driver-side key set, both
     sides streamed; the oracle is the exact recursive-CTE transitive
     closure over the SQL-replicated pair rule."""
-    import shutil
     import tempfile
-    import uuid
 
     from .stages.dedup import pairs_components
     from .stages.exchange import hash_shuffle
+    from .state.manifest import sweep_stale_handoffs
 
     base = os.path.join(tempfile.gettempdir(), "graft_semdedup_drops")
-    shutil.rmtree(base, ignore_errors=True)
-    handoff = os.path.join(base, uuid.uuid4().hex)
+    handoff = sweep_stale_handoffs(base)  # TTL sweep — never live siblings
 
     clusters = pairs_components(
         emb_neardup_pairs(sf_dir), "vec_id_a", "vec_id_b", rounds=_CLUSTER_ROUNDS

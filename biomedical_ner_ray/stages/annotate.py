@@ -99,6 +99,14 @@ class TurnAnnotator:
 
             types = sorted({e.type for e in self.alias_dict.by_key.values()})
             self.crf = CombinatorialScorer(types, **(scorer_kwargs or {}))
+        elif scorer == "learned":
+            # TRAINED tagger (pipelines/train_tagger.py checkpoint):
+            # weights determine output — tags may DISAGREE with the
+            # dictionary, mentions may be unlinked (cui None)
+            from ..kernels.learned import LearnedScorer
+
+            types = sorted({e.type for e in self.alias_dict.by_key.values()})
+            self.crf = LearnedScorer(types, **(scorer_kwargs or {}))
         elif scorer != "dict":
             raise ValueError(f"unknown scorer {scorer!r}")
 
@@ -193,6 +201,48 @@ def _cached_annotator(alias_ref, scorer: str = "dict", scorer_kwargs=None) -> Tu
     return ann
 
 
+def actor_pool_kwargs(
+    alias_ref,
+    concurrency=None,
+    batch_size: int = 1024,
+    scorer: str = "dict",
+    scorer_kwargs: dict | None = None,
+    num_gpus: float = 0.0,
+    max_tokens_per_batch: int | None = None,
+) -> dict:
+    """``map_batches`` kwargs for the actors mode — split out so tests
+    can assert the GPU slot / token-budget plumbing without spinning a
+    pool.
+
+    ``num_gpus`` > 0 reserves a GPU fraction per actor (the reference's
+    CUDA slot, app.py:266-271 / streamlit_utils.py:13) and drops the
+    CPU pin (a GPU scorer blocks on the device, not a core).
+    ``max_tokens_per_batch`` sizes the Arrow batch to a device token
+    budget: every turn decodes ≤ MAX_SEQ_LEN tokens (reference
+    truncation), so ``budget // MAX_SEQ_LEN`` turns per batch is the
+    worst-case-safe batch size (the reference's fixed batch 32 at 100
+    tokens ≡ a 3200-token budget)."""
+    from ..kernels.tokenize import MAX_SEQ_LEN
+
+    if max_tokens_per_batch is not None:
+        batch_size = max(1, max_tokens_per_batch // MAX_SEQ_LEN)
+    kwargs = dict(
+        fn_constructor_kwargs={
+            "alias_ref": alias_ref,
+            "scorer": scorer,
+            "scorer_kwargs": scorer_kwargs,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (2, 8),
+    )
+    if num_gpus:
+        kwargs["num_gpus"] = num_gpus
+    else:
+        kwargs["num_cpus"] = 1
+    return kwargs
+
+
 def annotate_stage(
     ds,
     alias_ref,
@@ -201,28 +251,34 @@ def annotate_stage(
     mode: str = "tasks",
     scorer: str = "dict",
     scorer_kwargs: dict | None = None,
+    num_gpus: float = 0.0,
+    max_tokens_per_batch: int | None = None,
 ):
     """Annotate a turns Dataset.
 
     mode="tasks": stateless map_batches tasks with per-worker cached state —
     elastic, no pool spin-up; the default for CPU-only dictionary tagging.
     mode="actors": explicit actor pool (``concurrency`` required) — the slot
-    a learned GPU scorer uses (reference A1 load-once contract).
-    scorer: "dict" (greedy match) or "crf" (numpy char-feature + Viterbi,
-    identical output, model-like cost — see TurnAnnotator).
+    a learned GPU scorer uses (reference A1 load-once contract);
+    ``num_gpus`` / ``max_tokens_per_batch`` configure the device slot and
+    the token-budget batch size (see ``actor_pool_kwargs``).
+    scorer: "dict" (greedy match), "crf" (numpy char-feature + Viterbi,
+    identical output, model-like cost), "combinatorial" (full A3 forward,
+    identical output), or "learned" (trained checkpoint — output depends
+    on the weights; see kernels/learned.py).
     """
     if mode == "actors":
         return ds.map_batches(
             TurnAnnotator,
-            fn_constructor_kwargs={
-                "alias_ref": alias_ref,
-                "scorer": scorer,
-                "scorer_kwargs": scorer_kwargs,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency or (2, 8),
-            num_cpus=1,
+            **actor_pool_kwargs(
+                alias_ref,
+                concurrency=concurrency,
+                batch_size=batch_size,
+                scorer=scorer,
+                scorer_kwargs=scorer_kwargs,
+                num_gpus=num_gpus,
+                max_tokens_per_batch=max_tokens_per_batch,
+            ),
         )
 
     def annotate(batch: pa.Table) -> pa.Table:

@@ -254,16 +254,17 @@ def minhash_pairs_join(docs_ds_factory, num_partitions: int = 8):
         2,
     )
     import os
-    import shutil
+
+    from ..state.manifest import sweep_stale_handoffs
 
     # The handoff must outlive this function (the returned dataset reads
     # it lazily), so it can't be deleted here. Bound the disk footprint
-    # instead: sweep prior invocations' handoffs at entry (bench/driver
-    # run queries serially; a cluster run would keep these as resumable
+    # instead: TTL-sweep prior invocations' handoffs at entry — never the
+    # whole base dir, which could hold a LIVE handoff of a pipeline built
+    # but not yet consumed (a cluster run would keep these as resumable
     # checkpoints under the job's scratch dir and reap them with the job).
     base = os.path.join(tempfile.gettempdir(), "graft_minhash_cands")
-    shutil.rmtree(base, ignore_errors=True)
-    handoff = os.path.join(base, uuid.uuid4().hex)
+    handoff = sweep_stale_handoffs(base)
     # strip pandas schema metadata before the write: the hash-shuffle
     # aggregators hash block schemas for dedup, and a schema whose
     # metadata carries the pandas dict logs "Failed to hash the schemas"
@@ -519,11 +520,26 @@ def minhash_clusters(docs_ds_factory, rounds: int = 8, num_partitions: int = 8):
 # bucket of the band key, so an ingest batch only READS the buckets its
 # own band keys touch — the corpus index is never re-shuffled per ingest.
 INDEX_BAND_BUCKETS = 32
+# stamp written at index build, checked at ingest: a layout change (like
+# the v1→v2 bucket-hash switch below) must invalidate persisted indexes
+# rather than silently read the wrong buckets
+INDEX_LAYOUT_VERSION = "lsh-index-v2-md5buckets"
 
 
 def _with_band_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    h = pd.util.hash_pandas_object(df["band_key"], index=False)
-    return df.assign(band_bucket=(h % INDEX_BAND_BUCKETS).astype("int64"))
+    # band_bucket must be ENVIRONMENT-INDEPENDENT: the index is a
+    # persisted artifact ingested by later runs, so the bucket hash has
+    # to be the repo's stable_u64_md5 standard — pd.util.hash_pandas_object
+    # (used for in-run exchange pids only) varies with pandas
+    # version/hash key and would silently probe the wrong buckets.
+    h = np.fromiter(
+        (stable_u64_md5(k.encode("utf-8")) for k in df["band_key"]),
+        dtype=np.uint64,
+        count=len(df),
+    )
+    return df.assign(
+        band_bucket=(h % np.uint64(INDEX_BAND_BUCKETS)).astype("int64")
+    )
 
 
 def build_minhash_index(docs_ds_factory, index_dir: str) -> dict:
@@ -577,7 +593,28 @@ def build_minhash_index(docs_ds_factory, index_dir: str) -> dict:
         .repartition(8)
         .write_parquet(sh_dir)
     )
+    with open(os.path.join(index_dir, "_LAYOUT_VERSION"), "w") as f:
+        f.write(INDEX_LAYOUT_VERSION)
     return {"bands": bands_dir, "shingles": sh_dir}
+
+
+def check_index_layout(index: dict) -> None:
+    """Refuse to ingest against an index written under a different
+    bucket-layout version — a mismatched bucket hash would silently
+    probe the wrong hive buckets and DROP duplicate pairs."""
+    import os
+
+    vpath = os.path.join(os.path.dirname(index["bands"]), "_LAYOUT_VERSION")
+    try:
+        with open(vpath) as f:
+            ver = f.read().strip()
+    except OSError:
+        ver = "<missing>"
+    if ver != INDEX_LAYOUT_VERSION:
+        raise ValueError(
+            f"LSH index layout {ver!r} != engine {INDEX_LAYOUT_VERSION!r}; "
+            "rebuild the index (build_minhash_index)"
+        )
 
 
 def _flagged_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -626,19 +663,18 @@ def incremental_minhash_pairs(
       the batch handoff; verification reuses the hash-join + exact-
       Jaccard path of ``minhash_pairs_join``."""
     import os
-    import shutil
     import tempfile
-    import uuid
 
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    from ..state.manifest import sweep_stale_handoffs
     from .exchange import hash_shuffle, keyed_exchange
 
+    check_index_layout(index)
     base = os.path.join(tempfile.gettempdir(), "graft_minhash_incr")
-    shutil.rmtree(base, ignore_errors=True)
-    work = os.path.join(base, uuid.uuid4().hex)
+    work = sweep_stale_handoffs(base)  # TTL sweep — never the live siblings
     nb_dir = os.path.join(work, "new_bands")
     ns_dir = os.path.join(work, "new_shingles")
     cands_dir = os.path.join(work, "cands")

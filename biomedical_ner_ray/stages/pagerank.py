@@ -65,10 +65,19 @@ def pagerank_int(
     small_graph_threshold: int = 200_000,
 ):
     """edges_ds: Dataset with int64 (src, dst) columns — directed
-    pairs, duplicates allowed (deduped inside the src-keyed exchange);
-    every node must have out-degree ≥ 1 (a symmetric co-occurrence
-    graph satisfies this). Returns a Dataset of (node, pr_score) in
-    millionths."""
+    pairs, duplicates allowed (deduped inside the src-keyed exchange).
+
+    HARD PRECONDITION: the edge set must be SYMMETRIC (every (a, b)
+    has its (b, a) — a co-occurrence graph is symmetric by
+    construction). Symmetry implies every source also has in-edges, so
+    all three formulations (this driver path, the distributed path, the
+    unrolled SQL oracle with its inner join on the previous rank table)
+    provably agree. On merely out-degree-≥-1 graphs the oracle would
+    DROP sources with no in-edges while both engine paths rank them at
+    SCALE — the engine paths agree with each other (missing ranks fill
+    with SCALE below), but not with the oracle.
+
+    Returns a Dataset of (node, pr_score) in millionths."""
     import ray.data as rd
 
     edges = edges_ds.select_columns(["src", "dst"]).materialize()
@@ -78,7 +87,14 @@ def pagerank_int(
         deg = e.groupby("src")["src"].transform("size").astype("int64")
         r = pd.Series(SCALE, index=pd.unique(e["src"]), dtype="int64")
         for _ in range(iterations):
-            contrib = (r.loc[e["src"]].to_numpy() // deg.to_numpy())
+            # reindex with fill_value=SCALE: identical to the distributed
+            # path's fillna(SCALE) merge — a source with no in-edges
+            # (absent from r after round 1) contributes at SCALE instead
+            # of raising. On symmetric graphs (the precondition) the fill
+            # never fires; this only keeps the two engine paths aligned.
+            contrib = (
+                r.reindex(e["src"], fill_value=SCALE).to_numpy() // deg.to_numpy()
+            )
             s = pd.Series(contrib).groupby(e["dst"].to_numpy()).sum()
             r = (BASE + (DAMP_NUM * s) // DAMP_DEN).astype("int64")
         out = pd.DataFrame(

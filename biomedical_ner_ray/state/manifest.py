@@ -117,6 +117,34 @@ def update_manifest(out_dir: str, **fields) -> None:
         json.dump(m, f)
 
 
+def sweep_stale_handoffs(base: str, ttl_sec: float = 3600.0) -> str:
+    """Reserve a fresh handoff dir under ``base`` and reap ONLY sibling
+    handoffs older than ``ttl_sec``.
+
+    Handoff parquet is read lazily by the Dataset a builder returned, so
+    an unconditional ``rmtree(base)`` at the next builder's entry would
+    delete a live handoff out from under a still-unconsumed pipeline
+    (exchange.py explicitly supports concurrent pipeline threads). The
+    TTL bound keeps the disk footprint of serial bench/driver runs the
+    same as before (prior runs' handoffs age out) without racing live
+    ones. Returns the new handoff path (not yet created)."""
+    import time as _time
+    import uuid as _uuid
+
+    now = _time.time()
+    try:
+        for name in os.listdir(base):
+            p = os.path.join(base, name)
+            try:
+                if now - os.path.getmtime(p) > ttl_sec:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass  # base doesn't exist yet
+    return os.path.join(base, _uuid.uuid4().hex)
+
+
 def list_parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]

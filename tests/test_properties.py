@@ -153,3 +153,35 @@ def test_winnowing_vectorized_matches_sequential(text):
         return picks
 
     assert winnowing_fingerprint(text, hash_fn=stable_u64_md5) == reference(text)
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab xé"), min_size=0, max_size=40),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_winnowing_batch_matches_per_doc(texts):
+    """The batch kernel (codepoint void-records + batch-wide distinct
+    gram hashing) must emit exactly the per-doc distinct fingerprints of
+    the sequential kernel, skipping texts shorter than k — including
+    non-ASCII texts that take the chr-join gram path."""
+    from biomedical_ner_ray.kernels.hashing import (
+        stable_u64_md5,
+        winnowing_fingerprint,
+        winnowing_fingerprints_batch,
+    )
+
+    idx, fps = winnowing_fingerprints_batch(texts)
+    got: dict[int, set[int]] = {}
+    for i, fp in zip(idx.tolist(), fps.tolist()):
+        got.setdefault(i, set()).add(fp)
+    want = {
+        i: set(winnowing_fingerprint(t, hash_fn=stable_u64_md5))
+        for i, t in enumerate(texts)
+        if len(t.lower()) >= 8
+    }
+    want = {i: s for i, s in want.items() if s}
+    assert got == want
