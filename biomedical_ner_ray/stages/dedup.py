@@ -220,7 +220,22 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b"]).astype("int64")
 
 
-def minhash_pairs_join(docs_ds_factory, num_partitions: int = 8):
+# broadcast the candidate id set only while 2·pairs stays under this;
+# beyond it the semi-join fallback path runs (see minhash_pairs_join)
+BROADCAST_ID_LIMIT = 50_000_000
+
+
+def _list_parquet(path: str) -> list[str]:
+    from ..state.manifest import list_parquet_files
+
+    return list_parquet_files(path)
+
+
+def minhash_pairs_join(
+    docs_ds_factory,
+    num_partitions: int = 8,
+    broadcast_id_limit: int = BROADCAST_ID_LIMIT,
+):
     """MinHash+LSH with JOIN-BASED verification — the 100TB shape.
 
     ``minhash_pairs`` carries each document's shingle array into all 8
@@ -273,53 +288,92 @@ def minhash_pairs_join(docs_ds_factory, num_partitions: int = 8):
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     ).write_parquet(handoff)
 
-    # The handoff is small (deduped id pairs, no payload), so the driver
-    # can cheaply learn the candidate id set and pair count from its
-    # parquet footers + two int64 columns. Two scale wins fall out:
-    #   1. shingle ONLY candidate docs in phase 2 (candidates are a tiny
-    #      fraction of the corpus; re-shingling everything made the join
-    #      path slower than the payload path at sf0.1);
-    #   2. size the join partition count to the measured candidate
-    #      volume instead of a fixed 8 (253 rows over 8 partitions is
-    #      all fixed overhead).
-    # At 100TB the candidate ID SET still fits comfortably (bounded by
-    # pairs, orders of magnitude below corpus size; 10^8 ids = 800MB
-    # would instead ride a semi-join, noted in SCALE.md) — broadcast it
-    # once via ray.put, filter inside each shingle task.
+    # Pair COUNT comes free from the handoff's parquet footers; it
+    # drives both the join-partition sizing and the broadcast-vs-semi-
+    # join decision (distinct candidate ids ≤ 2·pairs, so the count is
+    # a safe proxy without reading any column).
     import pyarrow.parquet as _pq
 
-    cand_tbl = _pq.read_table(handoff, columns=["doc_id_a", "doc_id_b"])
-    n_pairs = cand_tbl.num_rows
-    cand_ids = np.unique(
-        np.concatenate(
-            [
-                cand_tbl["doc_id_a"].to_numpy(zero_copy_only=False),
-                cand_tbl["doc_id_b"].to_numpy(zero_copy_only=False),
-            ]
-        )
-        if n_pairs
-        else [np.empty(0, np.int64)]
+    n_pairs = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _list_parquet(handoff)
     )
     # ~64k pair rows per partition keeps per-partition work meaningful;
     # never below 1, never above the configured ceiling.
     join_parts = max(1, min(num_partitions, (n_pairs + 65535) // 65536))
 
     import ray
-
-    ids_ref = ray.put(cand_ids)
-
-    def _shingle_candidates(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, ray.get(ids_ref))
-        return _shingle_table(batch.filter(pa.array(mask)))
-
-    # phase 2 (hash context): shingle fetch for candidates via two joins
     import ray.data as rd
+
+    if 2 * n_pairs <= broadcast_id_limit:
+        # BROADCAST path (the common case): the candidate id set —
+        # bounded by pairs, orders of magnitude below corpus size — is
+        # ray.put once and each shingle task filters its batch locally,
+        # so only candidate docs are ever shingled or shuffled.
+        cand_tbl = _pq.read_table(handoff, columns=["doc_id_a", "doc_id_b"])
+        cand_ids = np.unique(
+            np.concatenate(
+                [
+                    cand_tbl["doc_id_a"].to_numpy(zero_copy_only=False),
+                    cand_tbl["doc_id_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+            if n_pairs
+            else [np.empty(0, np.int64)]
+        )
+        ids_ref = ray.put(cand_ids)
+
+        def _shingle_candidates(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = np.isin(ids, ray.get(ids_ref))
+            return _shingle_table(batch.filter(pa.array(mask)))
+
+        with hash_shuffle():
+            cands = rd.read_parquet(handoff)
+            docs = docs_ds_factory()
+            sh = docs.map_batches(_shingle_candidates, batch_format="pyarrow")
+            return _join_verify(cands, sh, join_parts)
+
+    # SEMI-JOIN fallback (the SCALE.md promise): when the id set would
+    # blow the broadcast budget (~10^8 ids = 800MB per worker), the
+    # candidate filter becomes a distributed hash SEMI-join instead of a
+    # driver-held set — the ids never materialize in one process. The
+    # distinct-id table is derived with a doc_id-keyed exchange (normal
+    # context) into a handoff, then docs inner-join it (hash context)
+    # BEFORE shingling, so still only candidate docs are shingled; the
+    # price vs broadcast is one extra shuffle of the candidate docs'
+    # raw text.
+    from .exchange import keyed_exchange
+
+    ids_dir = handoff + "_ids"
+
+    def _stack_ids(t: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                t["doc_id_a"].to_numpy(zero_copy_only=False),
+                t["doc_id_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"doc_id": pa.array(np.unique(ids), pa.int64())})
+
+    keyed_exchange(
+        rd.read_parquet(handoff).map_batches(_stack_ids, batch_format="pyarrow"),
+        ["doc_id"],
+        lambda df: df.drop_duplicates(),
+        max(2, join_parts),
+    ).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    ).write_parquet(ids_dir)
 
     with hash_shuffle():
         cands = rd.read_parquet(handoff)
+        ids_ds = rd.read_parquet(ids_dir)
         docs = docs_ds_factory()
-        sh = docs.map_batches(_shingle_candidates, batch_format="pyarrow")
+        cand_docs = docs.join(
+            ids_ds, join_type="inner", num_partitions=max(2, join_parts),
+            on=("doc_id",),
+        )
+        sh = cand_docs.map_batches(_shingle_table, batch_format="pyarrow")
         return _join_verify(cands, sh, join_parts)
 
 

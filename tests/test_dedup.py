@@ -103,3 +103,20 @@ def test_minhash_join_variant_equivalent(ray_session):
         a[cols].sort_values(cols).reset_index(drop=True),
         b[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_minhash_join_semijoin_fallback_equivalent(ray_session):
+    """broadcast_id_limit=0 forces the semi-join candidate-filter path
+    (the SCALE.md fallback for id sets too large to ray.put): pairs must
+    be identical to the broadcast path and to the payload path."""
+    from biomedical_ner_ray.stages.dedup import minhash_pairs_join
+
+    a = minhash_pairs(_docs_ds_factory(), num_partitions=2).to_pandas()
+    b = minhash_pairs_join(
+        _docs_ds_factory(), num_partitions=2, broadcast_id_limit=0
+    ).to_pandas()
+    cols = ["doc_id_a", "doc_id_b", "n_common", "n_union"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
