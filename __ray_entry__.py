@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # output; oracle = SQL span-decode over the replayed checkpoint
         # tag artifact) ---
         "kg_mentions_learned": Q.kg_mentions_learned,
+        # new this round: Gopher repetition gates + corpus-LM scoring
+        "doc_repetition_stats": Q.doc_repetition_stats,
+        "doc_bigram_lm_score": Q.doc_bigram_lm_score,
         # --- green in r1 only (not re-sampled in r2) ---
         "doc_dedup_minhash": Q.doc_dedup_minhash,
         "doc_dedup_minhash_join": Q.doc_dedup_minhash_join,
@@ -1297,6 +1300,68 @@ r AS (
 SELECT doc_id, w AS word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(rn AS BIGINT) AS rank
 FROM r WHERE rn <= {Q.TFIDF_TOP_K}""",
+        "doc_repetition_stats": f"""
+WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w FROM f),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+wstat AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         CAST(max(c) AS BIGINT) AS top_word_count
+  FROM wc GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS bg
+  FROM f, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+),
+bcnt AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+bstat AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_count
+  FROM bcnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(wstat.n_words, 0) AS n_words,
+       coalesce(wstat.n_distinct_words, 0) AS n_distinct_words,
+       coalesce(wstat.top_word_count, 0) AS top_word_count,
+       coalesce(bstat.n_bigrams, 0) AS n_bigrams,
+       coalesce(bstat.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       coalesce(bstat.top_bigram_count, 0) AS top_bigram_count
+FROM documents d LEFT JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)""",
+        "doc_bigram_lm_score": f"""
+WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
+b AS (
+  SELECT doc_id, ws[g.i] AS w1, ws[g.i] || ' ' || ws[g.i + 1] AS bigram
+  FROM f, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+),
+uc AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ws) AS w FROM f) GROUP BY w
+),
+bcm AS (
+  SELECT w1, bigram, count(*) AS c12 FROM b GROUP BY w1, bigram
+  HAVING count(*) >= {Q.LM_MIN_COUNT}
+),
+model AS (
+  SELECT bcm.bigram, ({Q.LM_PROB_SCALE} * bcm.c12) // uc.c1 AS prob_micro
+  FROM bcm JOIN uc ON uc.w = bcm.w1
+),
+per AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(m.prob_micro) AS BIGINT) AS n_scored,
+         CAST(coalesce(sum(m.prob_micro), 0) AS BIGINT) AS lm_score_micro
+  FROM b LEFT JOIN model m ON m.bigram = b.bigram
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_bigrams, 0) AS n_bigrams,
+       coalesce(per.n_scored, 0) AS n_scored,
+       coalesce(per.lm_score_micro, 0) AS lm_score_micro
+FROM documents d LEFT JOIN per USING (doc_id)""",
         "doc_rare_bigram_score": f"""
 WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
 b AS (

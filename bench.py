@@ -158,6 +158,8 @@ QUERY_NAMES = [
     "events_retention",
     "emb_semantic_keep",
     "kg_mentions_learned",
+    "doc_repetition_stats",
+    "doc_bigram_lm_score",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

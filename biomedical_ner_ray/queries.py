@@ -795,6 +795,156 @@ def doc_bpe_encode(sf_dir: str):
 RARE_BIGRAM_MAX = 1  # corpus count ≤ this ⇒ the bigram is "rare" (hapax)
 
 
+def doc_repetition_stats(sf_dir: str):
+    """Within-document repetition signals (the Gopher repetition
+    filters, Rae et al. 2021 §A1.1, in exact-count form): per doc the
+    word and bigram totals, distinct counts, and the most-frequent
+    word/bigram occurrence count. Ratios like top_bigram_count/n_bigrams
+    are the duplicate-n-gram-fraction gates a curation pipeline
+    thresholds on; emitting raw counts keeps the oracle value-exact
+    (no float division anywhere).
+
+    Row-local (a doc never leaves its block); the per-batch kernel is
+    one pandas explode + two grouped reductions — no per-row Python."""
+    from .kernels.textstats import WORD_RE
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        words = [WORD_RE.findall(t.lower()) for t in batch["text"].to_pylist()]
+        tok = pd.DataFrame(
+            {"doc_id": np.repeat(ids, [len(w) for w in words]),
+             "w": np.concatenate([np.asarray(w, dtype=object) for w in words])
+             if any(words) else np.array([], dtype=object)}
+        )
+        wc = tok.groupby(["doc_id", "w"], sort=False).size()
+        wstats = wc.groupby(level=0).agg(["sum", "size", "max"]).rename(
+            columns={"sum": "n_words", "size": "n_distinct_words",
+                     "max": "top_word_count"}
+        )
+        bgs = [
+            [w[i] + " " + w[i + 1] for i in range(len(w) - 1)] for w in words
+        ]
+        big = pd.DataFrame(
+            {"doc_id": np.repeat(ids, [len(b) for b in bgs]),
+             "b": np.concatenate([np.asarray(b, dtype=object) for b in bgs])
+             if any(bgs) else np.array([], dtype=object)}
+        )
+        bc = big.groupby(["doc_id", "b"], sort=False).size()
+        bstats = bc.groupby(level=0).agg(["sum", "size", "max"]).rename(
+            columns={"sum": "n_bigrams", "size": "n_distinct_bigrams",
+                     "max": "top_bigram_count"}
+        )
+        out = (
+            pd.DataFrame({"doc_id": ids})
+            .join(wstats, on="doc_id")
+            .join(bstats, on="doc_id")
+            .fillna(0)
+        )
+        return out.astype({c: "int64" for c in out.columns})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+LM_MIN_COUNT = 3  # bigrams below this corpus count carry no LM signal
+LM_PROB_SCALE = 1_000_000
+
+
+def doc_bigram_lm_score(sf_dir: str):
+    """Corpus-n-gram LM quality scoring (the CCNet/KenLM idea in exact
+    integer form): score each document by the corpus-wide conditional
+    probability of its word bigrams — low scores flag gibberish, high
+    scores flag natural (or boilerplate-typical) text. Per bigram
+    (w1 w2) with corpus count ≥ LM_MIN_COUNT the model stores
+    ``prob_micro = (10⁶ · c(w1 w2)) // c(w1)`` (floor division ⇒ the
+    DuckDB oracle reproduces it bit-exactly); a document's
+    ``lm_score_micro`` sums prob_micro over its bigram OCCURRENCES,
+    with unmodeled bigrams contributing 0 and counted in
+    ``n_bigrams - n_scored``.
+
+    Shape: ONE pass builds per-block partial bigram+unigram counts,
+    one keyed exchange each combines them; the ≥-threshold filter runs
+    IN the cluster so the driver only receives the modeled table
+    (bounded by the thresholded bigram vocabulary — Zipf guarantees
+    this is a sliver of occurrence volume; at a corpus where even that
+    overflows, the scoring join rides the rare-bigram exchange shape
+    instead of a broadcast). Scoring is a per-batch pandas merge
+    against the broadcast model — row-local, no shuffle."""
+    from .stages.exchange import grouped_aggregate
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+
+        w1s, bgs = [], []
+        for t in df["text"]:
+            ws = WORD_RE.findall(t.lower())
+            for i in range(len(ws) - 1):
+                w1s.append(ws[i])
+                bgs.append(ws[i] + " " + ws[i + 1])
+        return (
+            pd.DataFrame({"w1": w1s, "bigram": bgs})
+            .groupby(["w1", "bigram"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "c12"})
+        )
+
+    def unigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+
+        ws = [w for t in df["text"] for w in WORD_RE.findall(t.lower())]
+        return (
+            pd.DataFrame({"w": ws})
+            .groupby("w", sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "c1"})
+        )
+
+    bc = grouped_aggregate(
+        ds, ["bigram"], bigram_partial,
+        lambda df: df.groupby(["w1", "bigram"], sort=False, as_index=False)["c12"].sum(),
+    ).map_batches(
+        lambda df: df[df["c12"] >= LM_MIN_COUNT], batch_format="pandas"
+    )
+    uc = grouped_aggregate(
+        ds, ["w"], unigram_partial,
+        lambda df: df.groupby("w", sort=False, as_index=False)["c1"].sum(),
+    )
+    bdf = bc.to_pandas()
+    udf = uc.to_pandas()
+    model = bdf.merge(udf, left_on="w1", right_on="w")
+    model["prob_micro"] = (LM_PROB_SCALE * model["c12"]) // model["c1"]
+    model_ref = ray.put(model[["bigram", "prob_micro"]])
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+        from .state.broadcast import resolve
+
+        m = resolve(model_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bgs = []
+        for t in batch["text"].to_pylist():
+            ws = WORD_RE.findall(t.lower())
+            bgs.append([ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)])
+        big = pd.DataFrame(
+            {"doc_id": np.repeat(ids, [len(b) for b in bgs]),
+             "bigram": np.concatenate([np.asarray(b, dtype=object) for b in bgs])
+             if any(bgs) else np.array([], dtype=object)}
+        )
+        j = big.merge(m, on="bigram", how="left")
+        agg = j.groupby("doc_id").agg(
+            n_bigrams=("bigram", "size"),
+            n_scored=("prob_micro", "count"),
+            lm_score_micro=("prob_micro", "sum"),
+        )
+        out = pd.DataFrame({"doc_id": ids}).join(agg, on="doc_id").fillna(0)
+        return out.astype({c: "int64" for c in out.columns})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def doc_rare_bigram_score(sf_dir: str):
     """Statistical-LM quality scoring in exact integer form (the CCNet
     perplexity-filter idea with hapax-bigram rate standing in for

@@ -120,3 +120,34 @@ def test_pack_bins_capacity_invariants(ray_session):
     for _, g in out.groupby("pack_pid"):
         bids = sorted(g["bin_id"].unique())
         assert bids == list(range(len(bids)))
+
+
+def test_repetition_stats_envelope(ray_session):
+    """Counts must satisfy the structural envelope: distinct ≤ total,
+    top ≤ total, top ≥ ceil(total/distinct); bigrams = words-1 for
+    non-empty docs (single pass, no truncation)."""
+    from biomedical_ner_ray.queries import doc_repetition_stats
+
+    df = doc_repetition_stats("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    nz = df[df["n_words"] > 0]
+    assert (nz["n_distinct_words"] <= nz["n_words"]).all()
+    assert (nz["top_word_count"] <= nz["n_words"]).all()
+    assert (
+        nz["top_word_count"] * nz["n_distinct_words"] >= nz["n_words"]
+    ).all()
+    multi = df[df["n_words"] >= 2]
+    assert (multi["n_bigrams"] == multi["n_words"] - 1).all()
+
+
+def test_bigram_lm_score_envelope(ray_session):
+    """Scored ≤ total bigrams; every per-bigram contribution ≤ 10⁶
+    (probabilities), so score ≤ 10⁶ · n_scored; repetitive synthetic
+    docs must score > 0 somewhere."""
+    from biomedical_ner_ray.queries import LM_PROB_SCALE, doc_bigram_lm_score
+
+    df = doc_bigram_lm_score("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    assert (df["n_scored"] <= df["n_bigrams"]).all()
+    assert (df["lm_score_micro"] <= LM_PROB_SCALE * df["n_scored"]).all()
+    assert (df["lm_score_micro"] > 0).any()
