@@ -201,3 +201,39 @@ def test_actor_pool_kwargs_gpu_slot():
     }
     cpu = actor_pool_kwargs("ref")
     assert cpu["num_cpus"] == 1 and "num_gpus" not in cpu
+
+
+def test_north_rule_triples_band_end_to_end(ray_session, tagger_artifacts):
+    """The north rule grades TRIPLE P/R ≥ 0.95: run the full
+    annotate→triples path with the trained scorer and compare its
+    (subj, pred, obj, conv, turn) set against the dictionary-gold
+    pipeline. Precision stays ~1.0 (a mispredicted span almost never
+    alias-links, so it cannot emit a triple); recall pays the mention
+    errors — asserted ≥ 0.95 and < 1.0 (genuinely imperfect)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from biomedical_ner_ray.fixtures import ensure_fixture
+    from biomedical_ner_ray.stages.annotate import annotate_stage
+    from biomedical_ner_ray.stages.explode import triples_stage
+    from biomedical_ner_ray.state.manifest import list_parquet_files
+
+    paths = ensure_fixture("sf0.001")
+    rows = pq.read_table(paths["alias_dict"]).to_pylist()
+    ref = ray.put(AliasDict(rows))
+
+    def triples(scorer, kw=None):
+        ds = rd.read_parquet(
+            list_parquet_files(paths["transcripts"]),
+            columns=["conv_id", "turn_idx", "text"],
+        )
+        df = triples_stage(annotate_stage(ds, ref, scorer=scorer, scorer_kwargs=kw)).to_pandas()
+        cols = ["subj_cui", "pred", "obj_cui", "conv_id", "turn_idx"]
+        return set(map(tuple, df[cols].itertuples(index=False)))
+
+    gold = triples("dict")
+    pred = triples("learned", {"checkpoint_path": tagger_artifacts["checkpoint"]})
+    m = set_prf(pred, gold)
+    assert m["precision"] >= 0.95, m
+    assert 0.95 <= m["recall"] < 1.0, m
