@@ -275,6 +275,10 @@ def bench_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int) -> dict:
     sandbox stand-in for the N vs 4N node criterion. Override input
     with GRAFT_SCALING_SF (default sf1), scorer with
     GRAFT_SCALING_SCORER."""
+    # sf1 (1.6M turns) measures 0.873 at 4→16 CPUs with both legs
+    # steal-clean (BASELINE.md round-3 table); GRAFT_SCALING_SF=sf3
+    # (4.8M turns) is available when an even more compute-dominated
+    # job is wanted
     sf_name = os.environ.get("GRAFT_SCALING_SF", "sf1")
     scorer = os.environ.get("GRAFT_SCALING_SCORER", "learned")
     from biomedical_ner_ray.fixtures import ensure_fixture

@@ -38,7 +38,16 @@ SEED = 42
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_ROOT", "/tmp/graft_fixtures")
 
 # sf name -> number of conversations (turn count ≈ 12×convs + hot tail)
-SF_CONVS = {"sf0.001": 120, "sf0.01": 1200, "sf0.1": 12000, "sf1": 120000}
+SF_CONVS = {
+    "sf0.001": 120,
+    "sf0.01": 1200,
+    "sf0.1": 12000,
+    "sf1": 120000,
+    # scaling-bench fixture: sized so per-leg compute dominates cluster
+    # bring-up + the serial stage tail at BOTH widths (strong scaling
+    # needs the job big enough for the wider leg to stay compute-bound)
+    "sf3": 360000,
+}
 
 # ---------------------------------------------------------------------------
 # Alias bank: (cui, canonical_name, type, [alias surfaces])
