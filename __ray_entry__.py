@@ -25,6 +25,29 @@ from biomedical_ner_ray.kernels.tokenize import MAX_SEQ_LEN, TOKEN_PATTERN
 
 WORD_PATTERN = r"\w+"
 
+# Shared CTE stack for the exact-substring-dedup oracles: positional
+# n-grams → cross-doc-duplicated gram hashes → flagged positions →
+# gaps-and-islands groups (grams overlap-or-touch iff Δpos <= N).
+_SUBDUP_SPAN_CTES = f"""
+WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([{{'pos': i,
+                   'h': md5_number_lower(array_to_string(ws[i:i+{Q.SUBDUP_NGRAM - 1}], ' '))}}
+                 for i in generate_series(1, len(ws) - {Q.SUBDUP_NGRAM - 1})],
+                recursive := true)
+  FROM f WHERE len(ws) >= {Q.SUBDUP_NGRAM}
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+fl AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {Q.SUBDUP_NGRAM} THEN 0 ELSE 1 END AS brk
+  FROM fl),
+grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM isl)"""
+
 
 def entry() -> Any:
     """Flagship pipeline at sf0.001: transcripts → sort → annotate →
@@ -95,6 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round: Gopher repetition gates + corpus-LM scoring
         "doc_repetition_stats": Q.doc_repetition_stats,
         "doc_bigram_lm_score": Q.doc_bigram_lm_score,
+        # new this round: exact-substring dedup (Lee et al. ACL'22) —
+        # cross-doc duplicated-span detection + per-doc dup-token gate
+        "doc_substring_dedup": Q.doc_substring_dedup,
+        "doc_substring_dup_stats": Q.doc_substring_dup_stats,
         # --- green in r1 only (not re-sampled in r2) ---
         "doc_dedup_minhash": Q.doc_dedup_minhash,
         "doc_dedup_minhash_join": Q.doc_dedup_minhash_join,
@@ -1330,6 +1357,20 @@ SELECT d.doc_id,
        coalesce(bstat.n_distinct_bigrams, 0) AS n_distinct_bigrams,
        coalesce(bstat.top_bigram_count, 0) AS top_bigram_count
 FROM documents d LEFT JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)""",
+        "doc_substring_dedup": f"""
+{_SUBDUP_SPAN_CTES}
+SELECT doc_id, CAST(min(pos) - 1 AS BIGINT) AS start_tok,
+       CAST(max(pos) - 1 + {Q.SUBDUP_NGRAM} - 1 AS BIGINT) AS end_tok,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, gid""",
+        "doc_substring_dup_stats": f"""
+{_SUBDUP_SPAN_CTES},
+spans AS (SELECT doc_id, min(pos) - 1 AS s,
+                 max(pos) - 1 + {Q.SUBDUP_NGRAM} - 1 AS e
+          FROM grp GROUP BY doc_id, gid)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+FROM spans GROUP BY doc_id""",
         "doc_bigram_lm_score": f"""
 WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
 b AS (

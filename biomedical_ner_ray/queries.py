@@ -2620,6 +2620,119 @@ def doc_decontaminate(sf_dir: str):
     )
 
 
+SUBDUP_NGRAM = 8  # token n-gram length for exact-substring duplication
+
+
+def _subdup_flagged_positions(sf_dir: str):
+    """Shared core of the exact-substring-dedup family (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL'22): flag every token position whose ``SUBDUP_NGRAM``-gram
+    occurs in >= 2 DISTINCT documents.
+
+    Shape: positional-gram explode (one md5 per distinct gram per doc —
+    within-doc repeats reuse the memoized hash) → keyed exchange on the
+    GRAM hash, where cross-doc document frequency is exact inside one
+    partition, emitting only the flagged ``(doc_id, pos)`` rows → keyed
+    exchange on ``doc_id`` so each doc's flagged positions land whole
+    for the islands merge. Work is linear in corpus token count plus
+    flagged-position volume; no all-pairs stage and no driver-side
+    state (the gram table never leaves the cluster)."""
+    from .kernels.hashing import stable_u64_md5
+    from .kernels.textstats import WORD_RE
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_grams(batch: pa.Table) -> pd.DataFrame:
+        hs: list[int] = []
+        ids: list[int] = []
+        pos: list[int] = []
+        memo: dict[str, int] = {}  # batch-scoped gram→hash memo
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ws = WORD_RE.findall((t or "").lower())
+            n = len(ws) - SUBDUP_NGRAM + 1
+            for p in range(max(n, 0)):
+                g = " ".join(ws[p : p + SUBDUP_NGRAM])
+                h = memo.get(g)
+                if h is None:
+                    h = memo[g] = stable_u64_md5(g.encode("utf-8"))
+                hs.append(h)
+                ids.append(i)
+                pos.append(p)
+        return pd.DataFrame(
+            {
+                "h": np.array(hs, dtype=np.uint64),
+                "doc_id": np.array(ids, dtype=np.int64),
+                "pos": np.array(pos, dtype=np.int64),
+            }
+        )
+
+    def flag_cross_doc(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("h")["doc_id"].transform("nunique")
+        return df.loc[nd >= 2, ["doc_id", "pos"]]
+
+    exploded = ds.map_batches(explode_grams, batch_format="pyarrow")
+    return keyed_exchange(exploded, ["h"], flag_cross_doc, num_partitions=8)
+
+
+def _subdup_spans_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized gaps-and-islands merge: a flagged gram at position p
+    covers tokens [p, p+N-1]; grams p, p' overlap-or-touch iff
+    p' - p <= N. One numpy pass, no per-row Python."""
+    df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+    d = df["doc_id"].to_numpy()
+    p = df["pos"].to_numpy()
+    brk = np.ones(len(df), dtype=np.int64)
+    if len(df) > 1:
+        brk[1:][(d[1:] == d[:-1]) & (p[1:] - p[:-1] <= SUBDUP_NGRAM)] = 0
+    gid = np.cumsum(brk)
+    out = (
+        pd.DataFrame({"doc_id": d, "gid": gid, "pos": p})
+        .groupby(["doc_id", "gid"], sort=False, as_index=False)
+        .agg(start_tok=("pos", "min"), end_tok=("pos", "max"), n_grams=("pos", "size"))
+    )
+    out["end_tok"] = out["end_tok"] + SUBDUP_NGRAM - 1
+    return out[["doc_id", "start_tok", "end_tok", "n_grams"]].astype(
+        {"doc_id": "int64", "start_tok": "int64", "end_tok": "int64", "n_grams": "int64"}
+    )
+
+
+def doc_substring_dedup(sf_dir: str):
+    """Exact duplicated-substring spans: every maximal token span
+    covered by ``SUBDUP_NGRAM``-grams that occur in >= 2 distinct
+    documents — the detection half of suffix-array-style substring
+    dedup (Lee et al. ACL'22), which the reference-scale LLM pipelines
+    run before training. Oracle replicates the positional-gram flagging
+    and window-function islands merge exactly."""
+    from .stages.exchange import keyed_exchange
+
+    flagged = _subdup_flagged_positions(sf_dir)
+    return keyed_exchange(flagged, ["doc_id"], _subdup_spans_frame, num_partitions=8)
+
+
+def doc_substring_dup_stats(sf_dir: str):
+    """Per-document cross-corpus duplication gate: token count, tokens
+    covered by cross-doc duplicated spans, and the permille duplicated
+    fraction (integer fixed-point, hash-stable). Complements the
+    WITHIN-doc Gopher gates in doc_repetition_stats — this one measures
+    text shared with OTHER documents, the signal substring dedup
+    removes. Only docs with at least one duplicated span appear."""
+    from .stages.exchange import keyed_exchange
+
+    def doc_stats(df: pd.DataFrame) -> pd.DataFrame:
+        spans = _subdup_spans_frame(df)
+        spans["dup_tokens"] = spans["end_tok"] - spans["start_tok"] + 1
+        out = spans.groupby("doc_id", sort=False, as_index=False).agg(
+            n_spans=("dup_tokens", "size"), dup_tokens=("dup_tokens", "sum")
+        )
+        return out.astype(
+            {"doc_id": "int64", "n_spans": "int64", "dup_tokens": "int64"}
+        )
+
+    flagged = _subdup_flagged_positions(sf_dir)
+    return keyed_exchange(flagged, ["doc_id"], doc_stats, num_partitions=8)
+
+
 def segment_year_rollup(sf_dir: str):
     """Hierarchical ROLLUP aggregate — (segment, year) → (segment) →
     grand total in one pass. The finest grain is a broadcast-join
