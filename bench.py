@@ -160,6 +160,8 @@ QUERY_NAMES = [
     "kg_mentions_learned",
     "doc_repetition_stats",
     "doc_bigram_lm_score",
+    "doc_substring_dedup",
+    "doc_substring_dup_stats",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

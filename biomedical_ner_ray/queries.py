@@ -2629,8 +2629,8 @@ def _subdup_flagged_positions(sf_dir: str):
     ACL'22): flag every token position whose ``SUBDUP_NGRAM``-gram
     occurs in >= 2 DISTINCT documents.
 
-    Shape: positional-gram explode (one md5 per distinct gram per doc —
-    within-doc repeats reuse the memoized hash) → keyed exchange on the
+    Shape: positional-gram explode (vectorized word-id windows; one md5
+    per DISTINCT gram per batch) → keyed exchange on the
     GRAM hash, where cross-doc document frequency is exact inside one
     partition, emitting only the flagged ``(doc_id, pos)`` rows → keyed
     exchange on ``doc_id`` so each doc's flagged positions land whole
@@ -2644,26 +2644,60 @@ def _subdup_flagged_positions(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode_grams(batch: pa.Table) -> pd.DataFrame:
-        hs: list[int] = []
-        ids: list[int] = []
-        pos: list[int] = []
-        memo: dict[str, int] = {}  # batch-scoped gram→hash memo
-        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            ws = WORD_RE.findall((t or "").lower())
-            n = len(ws) - SUBDUP_NGRAM + 1
-            for p in range(max(n, 0)):
-                g = " ".join(ws[p : p + SUBDUP_NGRAM])
-                h = memo.get(g)
-                if h is None:
-                    h = memo[g] = stable_u64_md5(g.encode("utf-8"))
-                hs.append(h)
-                ids.append(i)
-                pos.append(p)
+        # Per-POSITION work is numpy: batch-wide word-id table
+        # (np.unique), per-doc sliding windows over the id array recast
+        # to fixed-width void records, one more np.unique over the
+        # records. The string join + md5 runs once per DISTINCT gram
+        # per batch — the old per-position join/dict-probe loop was the
+        # dominant cost (same fix as winnowing_fingerprints_batch).
+        nw = SUBDUP_NGRAM
+        tok_lists = [
+            WORD_RE.findall((t or "").lower()) for t in batch["text"].to_pylist()
+        ]
+        all_words = [w for ws in tok_lists for w in ws]
+        empty = pd.DataFrame(
+            {
+                "h": np.empty(0, np.uint64),
+                "doc_id": np.empty(0, np.int64),
+                "pos": np.empty(0, np.int64),
+            }
+        )
+        if not all_words:
+            return empty
+        uniq_words, wid = np.unique(
+            np.array(all_words, dtype=object), return_inverse=True
+        )
+        rec_dtype = np.dtype((np.void, 8 * nw))
+        recs: list[np.ndarray] = []
+        ids: list[np.ndarray] = []
+        pos: list[np.ndarray] = []
+        off = 0
+        for i, ws in zip(batch["doc_id"].to_pylist(), tok_lists):
+            n = len(ws) - nw + 1
+            if n > 0:
+                w = np.ascontiguousarray(wid[off : off + len(ws)], dtype=np.int64)
+                sw = np.lib.stride_tricks.sliding_window_view(w, nw)
+                recs.append(np.ascontiguousarray(sw).view(rec_dtype).ravel())
+                ids.append(np.full(n, i, dtype=np.int64))
+                pos.append(np.arange(n, dtype=np.int64))
+            off += len(ws)
+        if not recs:
+            return empty
+        uniq_recs, inv = np.unique(np.concatenate(recs), return_inverse=True)
+        gram_ids = uniq_recs.view(np.int64).reshape(-1, nw)
+        hs_uniq = np.fromiter(
+            (
+                stable_u64_md5(" ".join(uniq_words[row]).encode("utf-8"))
+                for row in gram_ids
+            ),
+            dtype=np.uint64,
+            count=len(uniq_recs),
+        )
         return pd.DataFrame(
             {
-                "h": np.array(hs, dtype=np.uint64),
-                "doc_id": np.array(ids, dtype=np.int64),
-                "pos": np.array(pos, dtype=np.int64),
+                "h": hs_uniq[inv],
+                "doc_id": np.concatenate(ids),
+                "pos": np.concatenate(pos),
             }
         )
 
