@@ -162,6 +162,8 @@ QUERY_NAMES = [
     "doc_bigram_lm_score",
     "doc_substring_dedup",
     "doc_substring_dup_stats",
+    "doc_quality_classifier",
+    "doc_classifier_weights",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

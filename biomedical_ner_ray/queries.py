@@ -2767,6 +2767,65 @@ def doc_substring_dup_stats(sf_dir: str):
     return keyed_exchange(flagged, ["doc_id"], doc_stats, num_partitions=8)
 
 
+def doc_quality_classifier(sf_dir: str):
+    """Score every document with the TRAINED quality classifier
+    (pipelines/quality_classifier.py — fastText-supervised shape:
+    logistic regression over hashed unigram+bigram buckets, integer
+    fixed-point GD, 10% planted label noise). The checkpoint is built
+    once per corpus (sequential reference trainer, cached artifact) and
+    BROADCAST to the row-local scoring stage — the serve-a-checkpoint
+    shape of app.py:254-303. Oracle = the artifact's sequential replay
+    scores with the keep-gate re-derived in SQL, so the driver checks
+    distributed feature-extraction + scoring == sequential replay."""
+    from .pipelines.quality_classifier import (
+        ensure_classifier_artifacts,
+        load_weights,
+        score_frame,
+    )
+
+    arts = ensure_classifier_artifacts(sf_dir)
+    ref = ray.put(load_weights(arts["weights"]))
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        w, b = resolve(ref)
+        return score_frame(
+            w, b, batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_classifier_weights(sf_dir: str):
+    """The DISTRIBUTED classifier training loop itself, driver-checked:
+    row-local feature extraction builds a pinned feature table
+    (materialized object-store blocks — the kmeans/pagerank pattern),
+    then each of the QC_EPOCHS full-batch steps maps the pinned blocks
+    and merges one dense int64 gradient partial per block on the driver
+    (mergeable-sketch combine — no key shuffle; see module docstring
+    for the huge-dim exchange variant). All gradient math is integer
+    and order-independent, so the returned nonzero weights are
+    BIT-EXACT equal to the sequential reference trainer — which is
+    exactly what the oracle (the artifact's weights kv) asserts."""
+    from .pipelines.quality_classifier import (
+        extract_feature_frame,
+        train_distributed,
+        weights_table,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def extract(batch: pa.Table) -> pd.DataFrame:
+        return extract_feature_frame(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        )
+
+    w, b = train_distributed(ds.map_batches(extract, batch_format="pyarrow"))
+    return rd.from_arrow(weights_table(w, b))
+
+
 def segment_year_rollup(sf_dir: str):
     """Hierarchical ROLLUP aggregate — (segment, year) → (segment) →
     grand total in one pass. The finest grain is a broadcast-join
