@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer GD vs the sequential reference trainer)
         "doc_quality_classifier": Q.doc_quality_classifier,
         "doc_classifier_weights": Q.doc_classifier_weights,
+        # M10 highlight_text (app.py:517-538) — last reference operator
+        "kg_highlight": Q.kg_highlight,
         # --- never driver-sampled in r1/r2 (judge-verified only) ---
         # near-duplicate maintenance: persisted-index ingest, clusters,
         # corpus keep-one
@@ -775,6 +777,29 @@ FROM transcripts_fx""",
         + """
 SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts_fx
 WHERE md5_number_lower(conv_id || ':' || CAST(turn_idx AS VARCHAR)) % 10 < 6""",
+        "kg_highlight": pre
+        + """
+, tokq AS (
+  SELECT t.conv_id, t.turn_idx, g.i AS i, t.tk[g.i] AS token
+  FROM toksq t,
+       unnest(generate_series(1, least(len(t.tk), 100))) AS g(i)
+),
+tagq AS (
+  SELECT k.conv_id, k.turn_idx, k.i, k.token,
+         coalesce(max(CASE WHEN k.i - 1 = m.start_tok THEN 'B-' || m.type
+                           ELSE 'I-' || m.type END), 'O') AS tag
+  FROM tokq k LEFT JOIN mentionsq m
+    ON m.conv_id = k.conv_id AND m.turn_idx = k.turn_idx
+   AND k.i - 1 BETWEEN m.start_tok AND m.end_tok
+  GROUP BY k.conv_id, k.turn_idx, k.i, k.token
+)
+SELECT conv_id, turn_idx,
+       string_agg(CASE WHEN tag = 'O' THEN token
+                       ELSE '<span class="entity-badge">' || token ||
+                            '<span class="entity-tag">' || tag ||
+                            '</span></span>'
+                  END, ' ' ORDER BY i) AS html
+FROM tagq GROUP BY conv_id, turn_idx""",
         "kg_bio_tag_counts": pre
         + f"""
 , bi AS (

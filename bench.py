@@ -164,6 +164,7 @@ QUERY_NAMES = [
     "doc_substring_dup_stats",
     "doc_quality_classifier",
     "doc_classifier_weights",
+    "kg_highlight",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

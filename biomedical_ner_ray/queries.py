@@ -186,6 +186,60 @@ def kg_mentions_learned(sf_dir: str):
     )
 
 
+def kg_highlight(sf_dir: str):
+    """Entity-highlighted turn markup — the reference's M10
+    ``highlight_text`` (app.py:517-538): every non-O token is wrapped
+    in the badge span carrying its BIO tag, tokens re-joined by single
+    spaces. The color/name lookup tables (ENTITY_COLORS_*/NAMES_*) are
+    presentation constants and are omitted; the structural markup and
+    tag semantics are exact. Row-local map over transcripts with the
+    broadcast alias dict; only the decode window (first MAX_SEQ_LEN
+    tokens — the region the reference's predictions cover) renders;
+    token-less turns emit no row."""
+    from .kernels.tagger import tag_tokens
+
+    paths = _fixture(sf_dir)
+    ref = ray.put(AliasDict(_alias_rows(paths)))
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+
+    def render(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        alias = resolve(ref)
+        convs, tixs, htmls = [], [], []
+        for c, ti, tx in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            toks = TOKEN_RE.findall(tx or "")[:MAX_SEQ_LEN]
+            if not toks:
+                continue
+            tags = tag_tokens(toks, alias)
+            htmls.append(
+                " ".join(
+                    tok
+                    if tg == "O"
+                    else (
+                        '<span class="entity-badge">'
+                        f'{tok}<span class="entity-tag">{tg}</span></span>'
+                    )
+                    for tok, tg in zip(toks, tags)
+                )
+            )
+            convs.append(c)
+            tixs.append(ti)
+        return pd.DataFrame(
+            {
+                "conv_id": pd.array(convs, dtype="string"),
+                "turn_idx": np.array(tixs, dtype=np.int32),
+                "html": pd.array(htmls, dtype="string"),
+            }
+        )
+
+    return ds.map_batches(render, batch_format="pyarrow")
+
+
 def kg_linked_mentions(sf_dir: str):
     """Mentions + CUI link (broadcast alias dict, J6)."""
     ann, _ = _annotations_ds(sf_dir)
