@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_classifier_weights": Q.doc_classifier_weights,
         # M10 highlight_text (app.py:517-538) — last reference operator
         "kg_highlight": Q.kg_highlight,
+        # embedding compression + quantized ANN scan
+        "emb_quantize": Q.emb_quantize,
+        "ann_topk_quant": Q.ann_topk_quant,
         # --- never driver-sampled in r1/r2 (judge-verified only) ---
         # near-duplicate maintenance: persisted-index ingest, clusters,
         # corpus keep-one
@@ -1468,6 +1471,26 @@ WITH q AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "emb_quantize": _emb_quant_cte()
+        + """
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(code AS BIGINT) AS code
+FROM codes""",
+        "ann_topk_quant": _emb_quant_cte()
+        + f"""
+, qcodes AS (SELECT vec_id, dim, code FROM codes WHERE vec_id < {Q.ANN_N_QUERIES}),
+sc AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         sum((q.code - 127) * (c.code - 127)) AS s
+  FROM qcodes q JOIN codes c ON q.dim = c.dim AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+r AS (
+  SELECT qid, vid,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid ASC) AS rnk
+  FROM sc
+)
+SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= {Q.ANN_K}""",
         "kg_mentions_learned": _mentions_learned_sql(),
         "doc_quality_classifier": _qualclf_scores_sql(),
         "doc_classifier_weights": _qualclf_weights_sql(),
@@ -1599,6 +1622,34 @@ FROM scls c JOIN quota q USING (cls)"""
 
 
 ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _emb_quant_cte() -> str:
+    """Shared CTE recomputing the scalar-quantization codes value-exactly
+    (kernels/quantize.py): float32 → DOUBLE is exact, floor(x*1e6) is
+    the same IEEE op numpy performs (round is avoided on both sides —
+    the two systems disagree on half-rounding), and everything after is
+    int64 floor-division arithmetic."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        ORACLE_SF_DIR + "/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    d = len(t["embedding"][0])
+    return f"""
+WITH x AS (
+  SELECT vec_id, d.j AS dim,
+         CAST(floor(CAST(embedding[d.j + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+  FROM embeddings,
+       (SELECT CAST(unnest(generate_series(0, {d - 1})) AS INTEGER) AS j) d
+),
+mm AS (SELECT dim, min(vm) AS mn, max(vm) AS mx FROM x GROUP BY dim),
+codes AS (
+  SELECT x.vec_id, x.dim,
+         CAST(CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE ((x.vm - mm.mn) * 254) // (mm.mx - mm.mn) END AS BIGINT) AS code
+  FROM x JOIN mm USING (dim)
+)"""
 
 
 def _qualclf_scores_sql() -> str:

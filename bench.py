@@ -165,6 +165,8 @@ QUERY_NAMES = [
     "doc_quality_classifier",
     "doc_classifier_weights",
     "kg_highlight",
+    "emb_quantize",
+    "ann_topk_quant",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

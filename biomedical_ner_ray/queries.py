@@ -3400,6 +3400,116 @@ ANN_N_QUERIES = 8
 ANN_K = 5
 
 
+def _emb_global_minmax(emb_path: str):
+    """Per-dim global (min, max) of the micro-int embedding matrix:
+    per-batch int64 partials (two D-vectors per block — bounded),
+    combined on the driver. Order-free integer aggregates."""
+    from .kernels.quantize import micro_matrix, minmax_partial
+
+    ds = rd.read_parquet(emb_path, columns=["embedding"])
+
+    def mm(batch: pa.Table) -> pd.DataFrame:
+        vm = micro_matrix(batch["embedding"].to_pylist())
+        mn, mx = minmax_partial(vm)
+        return pd.DataFrame({"mn": [mn.tobytes()], "mx": [mx.tobytes()]})
+
+    parts = ds.map_batches(mm, batch_format="pyarrow").take_all()
+    mns = np.stack([np.frombuffer(p["mn"], dtype=np.int64) for p in parts])
+    mxs = np.stack([np.frombuffer(p["mx"], dtype=np.int64) for p in parts])
+    return mns.min(axis=0), mxs.max(axis=0)
+
+
+def emb_quantize(sf_dir: str):
+    """Scalar int8-range quantization of the embedding corpus
+    (kernels/quantize.py — the compression pass a 100 TB vector store
+    runs before ANN): two streaming passes, (1) bounded per-dim int64
+    min/max partials combined on the driver, (2) row-local coding with
+    the broadcast range. Output exploded to (vec_id, dim, code) rows;
+    every step is integer (or exactly-replicable IEEE float64), so the
+    SQL oracle recomputes the codes value-exactly."""
+    from .kernels.quantize import micro_matrix, quantize_codes
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    gmin, gmax = _emb_global_minmax(emb_path)
+    ref = ray.put((gmin, gmax))
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def code(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        mn, mx = resolve(ref)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        codes = quantize_codes(micro_matrix(batch["embedding"].to_pylist()), mn, mx)
+        n, d = codes.shape
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(vids, d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), n),
+                "code": codes.reshape(-1),
+            }
+        )
+
+    return ds.map_batches(code, batch_format="pyarrow")
+
+
+def ann_topk_quant(sf_dir: str):
+    """Brute-force top-k over QUANTIZED vectors: centered integer dot
+    products (code - 127) — the memory-bandwidth-bound formulation a
+    compressed 100 TB store actually scans. Same partial-top-k merge
+    shape as ann_topk; scoring is exact int64 so the SQL oracle
+    replicates the ranking bit-for-bit (score desc, vec_id asc)."""
+    from .kernels.quantize import QUANT_ZERO, micro_matrix, quantize_codes
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    gmin, gmax = _emb_global_minmax(emb_path)
+    qt = pq.read_table(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", ANN_N_QUERIES)],
+    ).to_pandas()
+    qt = qt[qt["vec_id"] < ANN_N_QUERIES].sort_values("vec_id")
+    qids = qt["vec_id"].to_numpy()
+    qc = quantize_codes(micro_matrix(qt["embedding"].to_numpy()), gmin, gmax)
+    q_ref = ray.put((qids, qc - QUANT_ZERO, gmin, gmax))
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        qids_, qcent, mn, mx = resolve(q_ref)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        cent = quantize_codes(micro_matrix(batch["embedding"].to_pylist()), mn, mx)
+        cent -= QUANT_ZERO
+        score = qcent @ cent.T  # int64 matmul — exact
+        rows = []
+        k = min(ANN_K + 1, score.shape[1])
+        for qi, qid in enumerate(qids_):
+            # integer scores tie constantly, so the per-batch partial
+            # must keep the same (score desc, vid asc) order the final
+            # merge and the SQL oracle use — argpartition on score
+            # alone could drop a tied smaller-vid row at the cut
+            idx = np.lexsort((vids, -score[qi]))[:k]
+            for j in idx:
+                if vids[j] == qid:
+                    continue
+                rows.append((int(qid), int(vids[j]), int(score[qi, j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "s"]).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "s": "int64"}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "neighbor_id"], ascending=[False, True]).head(ANN_K)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return _combine(partials, 4).groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
 def ann_topk(sf_dir: str):
     """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
     matmul partial top-k, tiny final per-query merge. Scale path: partials
