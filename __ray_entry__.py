@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding compression + quantized ANN scan
         "emb_quantize": Q.emb_quantize,
         "ann_topk_quant": Q.ann_topk_quant,
+        # sampled triangle counting (degree-oriented wedge closure)
+        "part_triangle_counts": Q.part_triangle_counts,
         # --- never driver-sampled in r1/r2 (judge-verified only) ---
         # near-duplicate maintenance: persisted-index ingest, clusters,
         # corpus keep-one
@@ -1471,6 +1473,21 @@ WITH q AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "part_triangle_counts": f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS (SELECT u, v FROM p
+      WHERE md5_number_lower('tri:' || u || ':' || v)
+            % {Q.TRI_SAMPLE_MOD} = 0),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+n AS (SELECT a AS part_id FROM tri
+      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+SELECT part_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY part_id""",
         "emb_quantize": _emb_quant_cte()
         + """
 SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(code AS BIGINT) AS code

@@ -167,6 +167,7 @@ QUERY_NAMES = [
     "kg_highlight",
     "emb_quantize",
     "ann_topk_quant",
+    "part_triangle_counts",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the
