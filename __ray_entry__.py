@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_quant": Q.ann_topk_quant,
         # sampled triangle counting (degree-oriented wedge closure)
         "part_triangle_counts": Q.part_triangle_counts,
+        # exact systematic PPS weighted sampling
+        "orders_pps_sample": Q.orders_pps_sample,
         # --- never driver-sampled in r1/r2 (judge-verified only) ---
         # near-duplicate maintenance: persisted-index ingest, clusters,
         # corpus keep-one
@@ -1473,6 +1475,23 @@ WITH q AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "orders_pps_sample": f"""
+WITH w AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+c AS (
+  SELECT o_orderkey, cents,
+         sum(cents) OVER (ORDER BY o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM w
+),
+t AS (SELECT sum(cents) AS tot FROM w)
+SELECT o_orderkey, cents AS weight_cents,
+       CAST((cum * {Q.PPS_K}) // tot
+            - ((cum - cents) * {Q.PPS_K}) // tot AS BIGINT) AS n_picks
+FROM c, t
+WHERE (cum * {Q.PPS_K}) // tot > ((cum - cents) * {Q.PPS_K}) // tot""",
         "part_triangle_counts": f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -168,6 +168,7 @@ QUERY_NAMES = [
     "emb_quantize",
     "ann_topk_quant",
     "part_triangle_counts",
+    "orders_pps_sample",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

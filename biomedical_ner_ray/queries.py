@@ -1521,6 +1521,107 @@ def part_copurchase_pagerank(sf_dir: str):
     )
 
 
+PPS_K = 512  # systematic PPS sample size (threshold count)
+PPS_BUCKETS = 32
+
+
+def orders_pps_sample(sf_dir: str):
+    """Weighted sampling proportional-to-size, EXACT and deterministic:
+    systematic (Madow) PPS over the order-key-ordered cumulative weight
+    line — item i is picked ``floor(cum_i·K/T) - floor(cum_{i-1}·K/T)``
+    times (≥1 pick iff its weight interval contains a multiple of T/K).
+    The streaming-weighted-sampling problem class (Streaming Weighted
+    Sampling over Join Queries, EDBT'23) solved with integer arithmetic
+    only, so the sample is bit-identical across partitionings and in
+    SQL (SUM() OVER (ORDER BY o_orderkey) + the same floor gates).
+
+    Distributed shape: contiguous key-range buckets from parquet
+    FOOTER min/max (metadata-only, no scan) → one bucket-keyed
+    exchange does the local ordered cumsum → bucket totals (≤
+    PPS_BUCKETS rows) combine on the driver into exclusive offsets →
+    broadcast back for the row-local gate. One exchange total; the
+    global prefix sum never serializes through a single partition
+    (the events_running_total two-phase pattern on a single global
+    sequence)."""
+    from .stages.exchange import keyed_exchange
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    pf = pq.ParquetFile(path)
+    names = pf.schema_arrow.names
+    ci = names.index("o_orderkey")
+    gmin = min(
+        pf.metadata.row_group(i).column(ci).statistics.min
+        for i in range(pf.metadata.num_row_groups)
+    )
+    gmax = max(
+        pf.metadata.row_group(i).column(ci).statistics.max
+        for i in range(pf.metadata.num_row_groups)
+    )
+    width = (gmax - gmin) // PPS_BUCKETS + 1
+
+    ds = rd.read_parquet(path, columns=["o_orderkey", "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "cents": cents.astype(np.int64),
+                "bucket": ((df["o_orderkey"] - gmin) // width).astype("int64"),
+            }
+        )
+
+    def local_scan(df: pd.DataFrame) -> pd.DataFrame:
+        # a hash partition may hold several buckets — scan each bucket
+        # independently (offsets are per BUCKET, not per partition)
+        df = df.sort_values(["bucket", "o_orderkey"], kind="mergesort").reset_index(
+            drop=True
+        )
+        return df.assign(
+            local_cum=df.groupby("bucket", sort=False)["cents"].cumsum()
+        )
+
+    scanned = keyed_exchange(
+        ds.map_batches(prep, batch_format="pandas"), ["bucket"], local_scan,
+        PPS_BUCKETS,
+    ).materialize()
+
+    totals = (
+        scanned.map_batches(
+            lambda df: df.groupby("bucket", as_index=False)["cents"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("bucket", as_index=False)["cents"]
+        .sum()
+        .sort_values("bucket", ignore_index=True)
+    )
+    tot = int(totals["cents"].sum())
+    offsets = dict(
+        zip(
+            totals["bucket"],
+            np.concatenate([[0], np.cumsum(totals["cents"].to_numpy())[:-1]]),
+        )
+    )
+    ref = ray.put((offsets, tot))
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        offs, t = resolve(ref)
+        cum_end = df["local_cum"].to_numpy() + df["bucket"].map(offs).to_numpy()
+        cum_start = cum_end - df["cents"].to_numpy()
+        picks = (cum_end * PPS_K) // t - (cum_start * PPS_K) // t
+        out = df.loc[picks > 0, ["o_orderkey", "cents"]].rename(
+            columns={"cents": "weight_cents"}
+        )
+        return out.assign(n_picks=picks[picks > 0]).astype(
+            {"o_orderkey": "int64", "weight_cents": "int64", "n_picks": "int64"}
+        )
+
+    return scanned.map_batches(gate, batch_format="pandas")
+
+
 TRI_SAMPLE_MOD = 8  # DOULION edge-keep probability p = 1/MOD
 
 
