@@ -1549,14 +1549,19 @@ def orders_pps_sample(sf_dir: str):
     pf = pq.ParquetFile(path)
     names = pf.schema_arrow.names
     ci = names.index("o_orderkey")
-    gmin = min(
-        pf.metadata.row_group(i).column(ci).statistics.min
+    stats = [
+        pf.metadata.row_group(i).column(ci).statistics
         for i in range(pf.metadata.num_row_groups)
-    )
-    gmax = max(
-        pf.metadata.row_group(i).column(ci).statistics.max
-        for i in range(pf.metadata.num_row_groups)
-    )
+    ]
+    if all(s is not None and s.has_min_max for s in stats):
+        gmin = min(s.min for s in stats)
+        gmax = max(s.max for s in stats)
+    else:  # writer omitted footer stats: one cheap single-column scan
+        import pyarrow.compute as pc
+
+        col = pq.read_table(path, columns=["o_orderkey"])["o_orderkey"]
+        gmin = pc.min(col).as_py()
+        gmax = pc.max(col).as_py()
     width = (gmax - gmin) // PPS_BUCKETS + 1
 
     ds = rd.read_parquet(path, columns=["o_orderkey", "o_totalprice"])
@@ -1673,39 +1678,51 @@ def part_triangle_counts(sf_dir: str):
     pairs = keyed_exchange(li, ["l_orderkey"], order_pairs, 32)
     edges = keyed_exchange(
         pairs, ["u"], lambda df: df.drop_duplicates(), 16
-    )
+    ).materialize()  # consumed twice: degree combine + orientation
 
-    def explode(batch: pa.Table) -> pd.DataFrame:
+    # degree table via map-side COMBINER: each block pre-counts its own
+    # distinct endpoints, so the exchange ships ~distinct-nodes-per-
+    # block rows instead of the 2|E| adjacency explosion
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
         u = np.asarray(batch["u"].to_pylist(), dtype=np.int64)
         v = np.asarray(batch["v"].to_pylist(), dtype=np.int64)
-        return pd.DataFrame(
-            {"node": np.concatenate([u, v]), "other": np.concatenate([v, u])}
+        node, cnt = np.unique(np.concatenate([u, v]), return_counts=True)
+        return pd.DataFrame({"node": node, "n": cnt.astype(np.int64)})
+
+    deg_df = (
+        keyed_exchange(
+            edges.map_batches(deg_partial, batch_format="pyarrow"),
+            ["node"],
+            lambda df: df.groupby("node", as_index=False)["n"].sum(),
+            8,
         )
-
-    adj = edges.map_batches(explode, batch_format="pyarrow")
-
-    def with_deg(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            deg_node=df.groupby("node")["other"].transform("size").astype("int64")
-        )
-
-    adj1 = keyed_exchange(adj, ["node"], with_deg, 16)
+        .to_pandas()
+        .astype({"node": "int64", "n": "int64"})
+    )
+    # one int per node — bounded by the part DIMENSION, not the edge
+    # count; at a scale where even that exceeds a broadcast (billions
+    # of nodes) the orientation reverts to two adjacency-keyed
+    # exchanges attaching each endpoint's degree in turn (the shape
+    # this code used before the combiner: node-keyed transform-size,
+    # then other-keyed orient) — same math, no driver state
+    deg = pd.Series(
+        deg_df["n"].to_numpy(), index=deg_df["node"].to_numpy()
+    )
+    dref = ray.put(deg)
 
     def orient(df: pd.DataFrame) -> pd.DataFrame:
-        do = df.groupby("other")["node"].transform("size").astype("int64")
-        keep = (df["deg_node"] < do) | (
-            (df["deg_node"] == do) & (df["node"] < df["other"])
-        )
-        out = df.loc[keep]
-        return pd.DataFrame(
-            {
-                "src": out["node"].astype("int64"),
-                "dst": out["other"].astype("int64"),
-                "dst_deg": do.loc[keep].astype("int64"),
-            }
-        )
+        from .state.broadcast import resolve
 
-    oriented = keyed_exchange(adj1, ["other"], orient, 16)
+        d = resolve(dref)
+        du = d.reindex(df["u"]).to_numpy()
+        dv = d.reindex(df["v"]).to_numpy()
+        fwd = (du < dv) | ((du == dv) & (df["u"].to_numpy() < df["v"].to_numpy()))
+        src = np.where(fwd, df["u"], df["v"]).astype(np.int64)
+        dst = np.where(fwd, df["v"], df["u"]).astype(np.int64)
+        dst_deg = np.where(fwd, dv, du).astype(np.int64)
+        return pd.DataFrame({"src": src, "dst": dst, "dst_deg": dst_deg})
+
+    oriented = edges.map_batches(orient, batch_format="pandas")
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(df, on="src")
