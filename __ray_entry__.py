@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangle_counts": Q.part_triangle_counts,
         # exact systematic PPS weighted sampling
         "orders_pps_sample": Q.orders_pps_sample,
+        # near-dup (minhash) cross-split decontamination
+        "doc_decontaminate_fuzzy": Q.doc_decontaminate_fuzzy,
         # --- never driver-sampled in r1/r2 (judge-verified only) ---
         # near-duplicate maintenance: persisted-index ingest, clusters,
         # corpus keep-one
@@ -1475,6 +1477,16 @@ WITH q AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "doc_decontaminate_fuzzy": f"""
+WITH mp AS ({_minhash_sql()})
+SELECT CASE WHEN md5_number_lower(CAST(doc_id_a AS VARCHAR)) % 10 >= 8
+            THEN doc_id_a ELSE doc_id_b END AS eval_doc_id,
+       CASE WHEN md5_number_lower(CAST(doc_id_a AS VARCHAR)) % 10 >= 8
+            THEN doc_id_b ELSE doc_id_a END AS train_doc_id,
+       n_common, n_union
+FROM mp
+WHERE (md5_number_lower(CAST(doc_id_a AS VARCHAR)) % 10 >= 8)
+      <> (md5_number_lower(CAST(doc_id_b AS VARCHAR)) % 10 >= 8)""",
         "orders_pps_sample": f"""
 WITH w AS (
   SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents

@@ -169,6 +169,7 @@ QUERY_NAMES = [
     "ann_topk_quant",
     "part_triangle_counts",
     "orders_pps_sample",
+    "doc_decontaminate_fuzzy",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

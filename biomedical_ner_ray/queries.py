@@ -1207,6 +1207,57 @@ def doc_dedup_minhash(sf_dir: str):
     return minhash_pairs(lambda: _tbl(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def doc_decontaminate_fuzzy(sf_dir: str):
+    """FUZZY train/eval decontamination — near-duplicate (not just
+    shingle-overlapping) cross-split pairs: the MinHash+LSH verified
+    pair graph restricted to pairs straddling the md5 80/20 split of
+    ``doc_decontaminate``. Catches eval documents that leak into the
+    training side as paraphrased/trimmed near-copies, which the exact
+    shingle-count gate under-weighs. Same banded bucket exchange as
+    doc_dedup_minhash (no all-pairs, no broadcast); the side filter is
+    a row-local md5 coin applied to the verified pairs."""
+    from .kernels.hashing import stable_u64_md5
+    from .stages.dedup import minhash_pairs
+
+    pairs = minhash_pairs(
+        lambda: _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+    def cross_split(df: pd.DataFrame) -> pd.DataFrame:
+        ea = np.fromiter(
+            (
+                stable_u64_md5(str(i).encode("utf-8")) % 10 >= 8
+                for i in df["doc_id_a"]
+            ),
+            dtype=bool,
+            count=len(df),
+        )
+        eb = np.fromiter(
+            (
+                stable_u64_md5(str(i).encode("utf-8")) % 10 >= 8
+                for i in df["doc_id_b"]
+            ),
+            dtype=bool,
+            count=len(df),
+        )
+        m = df.loc[ea != eb]
+        ea = ea[ea != eb]
+        return pd.DataFrame(
+            {
+                "eval_doc_id": np.where(ea, m["doc_id_a"], m["doc_id_b"]).astype(
+                    np.int64
+                ),
+                "train_doc_id": np.where(ea, m["doc_id_b"], m["doc_id_a"]).astype(
+                    np.int64
+                ),
+                "n_common": m["n_common"].to_numpy().astype(np.int64),
+                "n_union": m["n_union"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return pairs.map_batches(cross_split, batch_format="pandas")
+
+
 def doc_dedup_minhash_join(sf_dir: str):
     """Scale-path MinHash+LSH: signature-only band exchange + join-based
     candidate verification (stages/dedup.minhash_pairs_join) — identical

@@ -120,3 +120,32 @@ def test_minhash_join_semijoin_fallback_equivalent(ray_session):
         a[cols].sort_values(cols).reset_index(drop=True),
         b[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_fuzzy_decontaminate_pairs_straddle_split(ray_session):
+    """doc_decontaminate_fuzzy = minhash pairs restricted to cross-split
+    (eval, train): every output pair must straddle the md5 80/20 split,
+    sides labeled correctly, and the pair set must be exactly the
+    cross-split subset of the full near-dup pair graph."""
+    from biomedical_ner_ray import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    got = Q.doc_decontaminate_fuzzy(sf).to_pandas()
+
+    def is_eval(i):
+        return stable_u64_md5(str(i).encode()) % 10 >= 8
+
+    assert len(got) > 0
+    for e, t in zip(got.eval_doc_id, got.train_doc_id):
+        assert is_eval(e) and not is_eval(t)
+
+    allp = Q.doc_dedup_minhash(sf).to_pandas()
+    cross = allp[
+        [is_eval(a) != is_eval(b) for a, b in zip(allp.doc_id_a, allp.doc_id_b)]
+    ]
+    assert len(cross) == len(got)
+    exp_pairs = {
+        (a if is_eval(a) else b, b if is_eval(a) else a)
+        for a, b in zip(cross.doc_id_a, cross.doc_id_b)
+    }
+    assert set(zip(got.eval_doc_id, got.train_doc_id)) == exp_pairs
