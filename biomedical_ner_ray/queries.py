@@ -1773,7 +1773,8 @@ def part_triangle_counts(sf_dir: str):
         dst_deg = np.where(fwd, dv, du).astype(np.int64)
         return pd.DataFrame({"src": src, "dst": dst, "dst_deg": dst_deg})
 
-    oriented = edges.map_batches(orient, batch_format="pandas")
+    # materialized: consumed twice below (wedge generation + edge marks)
+    oriented = edges.map_batches(orient, batch_format="pandas").materialize()
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(df, on="src")
@@ -3103,12 +3104,13 @@ def doc_substring_dedup(sf_dir: str):
 
 
 def doc_substring_dup_stats(sf_dir: str):
-    """Per-document cross-corpus duplication gate: token count, tokens
-    covered by cross-doc duplicated spans, and the permille duplicated
-    fraction (integer fixed-point, hash-stable). Complements the
-    WITHIN-doc Gopher gates in doc_repetition_stats — this one measures
-    text shared with OTHER documents, the signal substring dedup
-    removes. Only docs with at least one duplicated span appear."""
+    """Per-document cross-corpus duplication stats: span count and
+    tokens covered by cross-doc duplicated spans — the inputs a
+    dup-fraction gate joins against the doc token counts
+    (doc_token_counts) to threshold on. Complements the WITHIN-doc
+    Gopher gates in doc_repetition_stats — this one measures text
+    shared with OTHER documents, the signal substring dedup removes.
+    Only docs with at least one duplicated span appear."""
     from .stages.exchange import keyed_exchange
 
     def doc_stats(df: pd.DataFrame) -> pd.DataFrame:

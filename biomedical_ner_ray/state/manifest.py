@@ -117,7 +117,7 @@ def update_manifest(out_dir: str, **fields) -> None:
         json.dump(m, f)
 
 
-def sweep_stale_handoffs(base: str, ttl_sec: float = 3600.0) -> str:
+def sweep_stale_handoffs(base: str, ttl_sec: float = 6 * 3600.0) -> str:
     """Reserve a fresh handoff dir under ``base`` and reap ONLY sibling
     handoffs older than ``ttl_sec``.
 
@@ -127,7 +127,15 @@ def sweep_stale_handoffs(base: str, ttl_sec: float = 3600.0) -> str:
     (exchange.py explicitly supports concurrent pipeline threads). The
     TTL bound keeps the disk footprint of serial bench/driver runs the
     same as before (prior runs' handoffs age out) without racing live
-    ones. Returns the new handoff path (not yet created)."""
+    ones. RESIDUAL RISK, documented: a pipeline built but first
+    consumed more than ``ttl_sec`` after its handoff was written can
+    still lose it to a later builder's sweep — mtime records the
+    write, not the read. The 6 h default makes that a pathological
+    usage pattern for this repo's serial bench/driver runs; a
+    long-lived cluster deployment should scope handoffs to a job
+    scratch dir reaped with the job (see stages/dedup.py) instead of
+    relying on the TTL. Returns the new handoff path (not yet
+    created)."""
     import time as _time
     import uuid as _uuid
 
