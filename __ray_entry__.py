@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pps_sample": Q.orders_pps_sample,
         # near-dup (minhash) cross-split decontamination
         "doc_decontaminate_fuzzy": Q.doc_decontaminate_fuzzy,
+        # easy-first curriculum schedule (tiered deterministic sort)
+        "doc_curriculum_order": Q.doc_curriculum_order,
         # --- never driver-sampled in r1/r2 (judge-verified only) ---
         # near-duplicate maintenance: persisted-index ingest, clusters,
         # corpus keep-one
@@ -1477,6 +1479,38 @@ WITH q AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "doc_curriculum_order": f"""
+WITH f AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\\b\\w+(?:-\\w+)*\\b|[^\\w\\s]') AS toks,
+         regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
+   + CASE WHEN len(ws) > 0 AND
+          CAST(len(list_filter(ws, w -> list_contains({_sql_list(STOPWORDS["en"])}, w))) AS DOUBLE) / len(ws) >= 0.05
+          THEN 1 ELSE 0 END
+   + CASE WHEN len(toks) = 0 OR
+          CAST(len(list_filter(toks, t -> regexp_matches(t, '^[^\\w\\s]$'))) AS DOUBLE) / len(toks) <= 0.5
+          THEN 1 ELSE 0 END
+   + CASE WHEN len(ws) = 0 OR
+          CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$'))) AS DOUBLE) / len(ws) <= 0.5
+          THEN 1 ELSE 0 END) AS tier
+  FROM f
+), k AS (
+  SELECT doc_id, tier,
+         md5_number_lower('curr:{Q.CURRICULUM_SEED}:' || doc_id) AS h
+  FROM g
+), r AS (
+  SELECT doc_id, CAST(tier AS BIGINT) AS tier,
+         row_number() OVER (
+           ORDER BY 4 - tier, h >> 63, h & 9223372036854775807, doc_id
+         ) - 1 AS order_idx
+  FROM k
+)
+SELECT CAST(order_idx AS BIGINT) AS order_idx, doc_id, tier
+FROM r WHERE order_idx < {Q.CURRICULUM_HEAD}""",
         "doc_decontaminate_fuzzy": f"""
 WITH mp AS ({_minhash_sql()})
 SELECT CASE WHEN md5_number_lower(CAST(doc_id_a AS VARCHAR)) % 10 >= 8

@@ -170,6 +170,7 @@ QUERY_NAMES = [
     "part_triangle_counts",
     "orders_pps_sample",
     "doc_decontaminate_fuzzy",
+    "doc_curriculum_order",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -1531,6 +1531,60 @@ def doc_training_order(sf_dir: str):
     return head[["order_idx", "doc_id", "order_hi", "order_key"]]
 
 
+CURRICULUM_HEAD = 100
+CURRICULUM_SEED = 17
+
+
+def doc_curriculum_order(sf_dir: str):
+    """Curriculum training order — the easy-first schedule curriculum
+    learning uses (Bengio et al., ICML'09) expressed as a deterministic
+    distributed sort: docs rank by quality TIER descending (the integer
+    0–4 gate count behind kernels/textstats.quality_score — clean docs
+    first), md5-shuffled WITHIN each tier (seeded, retry-stable — the
+    doc_training_order key discipline), doc_id as the final tiebreak.
+    The sort range-partitions by the composite key; the head is
+    driver-bounded, and a full run would write_parquet the sorted
+    stream. Oracle = the same tier arithmetic + window row_number."""
+    from .kernels.hashing import stable_u64_md5
+    from .kernels.textstats import quality_features, quality_score
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        tiers = [
+            int(round(quality_score(quality_features(t or "")) * 4.0))
+            for t in texts
+        ]
+        ks = [
+            stable_u64_md5(f"curr:{CURRICULUM_SEED}:{i}".encode("utf-8"))
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "tier": pa.array(tiers, pa.int64()),
+                # ascending composite: inverted tier, then the unsigned
+                # u64 shuffle key split into (hi bit, low 63) exactly
+                # like doc_training_order
+                "inv_tier": pa.array([4 - t for t in tiers], pa.int64()),
+                "order_hi": pa.array([k >> 63 for k in ks], pa.int64()),
+                "order_key": pa.array([k % (1 << 63) for k in ks], pa.int64()),
+            }
+        )
+
+    head = (
+        ds.map_batches(key, batch_format="pyarrow")
+        .sort(["inv_tier", "order_hi", "order_key", "doc_id"])
+        .limit(CURRICULUM_HEAD)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    head["order_idx"] = head.index.astype("int64")
+    return head[["order_idx", "doc_id", "tier"]]
+
+
 PAGERANK_ITERS = 3
 
 

@@ -151,3 +151,26 @@ def test_bigram_lm_score_envelope(ray_session):
     assert (df["n_scored"] <= df["n_bigrams"]).all()
     assert (df["lm_score_micro"] <= LM_PROB_SCALE * df["n_scored"]).all()
     assert (df["lm_score_micro"] > 0).any()
+
+
+def test_curriculum_order_tiers_monotone(ray_session):
+    """doc_curriculum_order: tiers non-increasing over the schedule
+    (easy-first), deterministic across runs, and within-tier order
+    follows the seeded md5 key (not doc_id order)."""
+    from biomedical_ner_ray import queries as Q
+    from biomedical_ner_ray.kernels.hashing import stable_u64_md5
+
+    sf = "/root/testdata/sf0.01"
+    a = Q.doc_curriculum_order(sf)
+    b = Q.doc_curriculum_order(sf)
+    pd.testing.assert_frame_equal(a, b)
+    tiers = a["tier"].to_numpy()
+    assert (tiers[:-1] >= tiers[1:]).all()
+    # within the top tier, successive md5 keys must be sorted
+    top = a[a["tier"] == tiers[0]]
+    keys = [
+        stable_u64_md5(f"curr:{Q.CURRICULUM_SEED}:{i}".encode())
+        for i in top["doc_id"]
+    ]
+    assert keys == sorted(keys)
+    assert not top["doc_id"].is_monotonic_increasing  # genuinely shuffled
