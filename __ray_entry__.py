@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate_fuzzy": Q.doc_decontaminate_fuzzy,
         # easy-first curriculum schedule (tiered deterministic sort)
         "doc_curriculum_order": Q.doc_curriculum_order,
+        # cross-source duplication matrix over the near-dup pair graph
+        "doc_source_overlap": Q.doc_source_overlap,
         # --- never driver-sampled in r1/r2 (judge-verified only) ---
         # near-duplicate maintenance: persisted-index ingest, clusters,
         # corpus keep-one
@@ -1479,6 +1481,17 @@ WITH q AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "doc_source_overlap": f"""
+WITH mp AS ({_minhash_sql()}),
+s AS (SELECT doc_id, source FROM documents),
+lab AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b
+  FROM mp JOIN s sa ON sa.doc_id = mp.doc_id_a
+          JOIN s sb ON sb.doc_id = mp.doc_id_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY source_a, source_b""",
         "doc_curriculum_order": f"""
 WITH f AS (
   SELECT doc_id, text,

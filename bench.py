@@ -171,6 +171,7 @@ QUERY_NAMES = [
     "orders_pps_sample",
     "doc_decontaminate_fuzzy",
     "doc_curriculum_order",
+    "doc_source_overlap",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

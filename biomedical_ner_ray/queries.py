@@ -1258,6 +1258,55 @@ def doc_decontaminate_fuzzy(sf_dir: str):
     return pairs.map_batches(cross_split, batch_format="pandas")
 
 
+def doc_source_overlap(sf_dir: str):
+    """Cross-source duplication matrix — which corpus sources copy from
+    which: the MinHash+LSH verified near-dup pair graph aggregated to
+    UNORDERED (source_a ≤ source_b) pair counts. The curation signal
+    behind source-mix decisions (a source pair with heavy overlap gets
+    one side down-weighted). Sources attach via a broadcast doc→source
+    lookup (the documents table's bounded source domain); the pair
+    graph itself is the proven banded exchange — nothing new shuffles."""
+    src_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    sref = ray.put(
+        dict(zip(src_tbl["doc_id"].to_pylist(), src_tbl["source"].to_pylist()))
+    )
+    from .stages.dedup import minhash_pairs
+    from .stages.exchange import keyed_exchange
+
+    pairs = minhash_pairs(
+        lambda: _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        s = resolve(sref)
+        sa = df["doc_id_a"].map(s)
+        sb = df["doc_id_b"].map(s)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        out = pd.DataFrame({"source_a": lo, "source_b": hi})
+        return out.groupby(["source_a", "source_b"], as_index=False).size().rename(
+            columns={"size": "n_pairs"}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["source_a", "source_b"], as_index=False)["n_pairs"]
+            .sum()
+            .astype({"n_pairs": "int64"})
+        )
+
+    return keyed_exchange(
+        pairs.map_batches(attach, batch_format="pandas"),
+        ["source_a", "source_b"],
+        combine,
+        4,
+    )
+
+
 def doc_dedup_minhash_join(sf_dir: str):
     """Scale-path MinHash+LSH: signature-only band exchange + join-based
     candidate verification (stages/dedup.minhash_pairs_join) — identical

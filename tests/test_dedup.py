@@ -149,3 +149,17 @@ def test_fuzzy_decontaminate_pairs_straddle_split(ray_session):
         for a, b in zip(cross.doc_id_a, cross.doc_id_b)
     }
     assert set(zip(got.eval_doc_id, got.train_doc_id)) == exp_pairs
+
+
+def test_source_overlap_matrix_consistent(ray_session):
+    """doc_source_overlap totals must equal the pair-graph size, with
+    unordered (source_a <= source_b) keys."""
+    from biomedical_ner_ray import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    got = Q.doc_source_overlap(sf).to_pandas()
+    allp = minhash_pairs(
+        lambda: rd.read_parquet(sf + "/documents.parquet", columns=["doc_id", "text"])
+    ).to_pandas()
+    assert int(got["n_pairs"].sum()) == len(allp)
+    assert (got["source_a"] <= got["source_b"]).all()
