@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curriculum_order": Q.doc_curriculum_order,
         # cross-source duplication matrix over the near-dup pair graph
         "doc_source_overlap": Q.doc_source_overlap,
+        # spectral: dominant principal direction by integer power iteration
+        "emb_power_iteration": Q.emb_power_iteration,
         # --- never driver-sampled in r1/r2 (judge-verified only) ---
         # near-duplicate maintenance: persisted-index ingest, clusters,
         # corpus keep-one
@@ -1481,6 +1483,7 @@ WITH q AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "emb_power_iteration": _power_iteration_sql(),
         "doc_source_overlap": f"""
 WITH mp AS ({_minhash_sql()}),
 s AS (SELECT doc_id, source FROM documents),
@@ -1717,6 +1720,51 @@ FROM scls c JOIN quota q USING (cls)"""
 
 
 ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _power_iteration_sql() -> str:
+    """Unrolled power-iteration oracle: every iterate is exact int64
+    with truncating division (DuckDB ``//`` == the engine's
+    _trunc_div), so all POWER_ITERS rounds and the final projections
+    replay bit-for-bit."""
+    import pyarrow.parquet as _pq
+
+    from biomedical_ner_ray.queries import POWER_ITERS
+
+    t = _pq.read_table(
+        ORACLE_SF_DIR + "/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    d = len(t["embedding"][0])
+    parts = [
+        f"""
+WITH x AS MATERIALIZED (
+  SELECT vec_id, d.j AS dim,
+         CAST(floor(CAST(embedding[d.j + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS am
+  FROM embeddings,
+       (SELECT CAST(unnest(generate_series(0, {d - 1})) AS INTEGER) AS j) d
+),
+v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS vm FROM x)"""
+    ]
+    # every iterate CTE is MATERIALIZED: v_i references w_i twice (via
+    # m_i), so default inlining doubles the plan per level — 2^T blowup
+    for i in range(POWER_ITERS):
+        parts.append(f""",
+u{i + 1} AS MATERIALIZED (
+  SELECT x.vec_id, CAST(SUM(x.am * v.vm) // 1000000 AS BIGINT) AS um
+  FROM x JOIN v{i} v USING (dim) GROUP BY x.vec_id
+),
+w{i + 1} AS MATERIALIZED (
+  SELECT x.dim, CAST(SUM(x.am * u.um) // 1000000 AS BIGINT) AS wm
+  FROM x JOIN u{i + 1} u USING (vec_id) GROUP BY x.dim
+),
+m{i + 1} AS MATERIALIZED (SELECT greatest(max(abs(wm)), 1) AS m FROM w{i + 1}),
+v{i + 1} AS MATERIALIZED (
+  SELECT dim, CAST((wm * 1000000) // m AS BIGINT) AS vm FROM w{i + 1}, m{i + 1}
+)""")
+    parts.append(f"""
+SELECT x.vec_id, CAST(SUM(x.am * v.vm) // 1000000 AS BIGINT) AS proj_micro
+FROM x JOIN v{POWER_ITERS} v USING (dim) GROUP BY x.vec_id""")
+    return "".join(parts)
 
 
 def _emb_quant_cte() -> str:

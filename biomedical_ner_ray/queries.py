@@ -3809,6 +3809,89 @@ ANN_N_QUERIES = 8
 ANN_K = 5
 
 
+POWER_ITERS = 25
+
+
+def emb_power_iteration(sf_dir: str):
+    """Dominant principal direction of the embedding corpus by POWER
+    ITERATION in integer fixed-point — the spectral-methods family
+    (PCA / spectral embedding initialization) on the kmeans/pagerank
+    pin-the-big-side template: the N×D matrix stays pinned in
+    object-store blocks; each of the POWER_ITERS rounds broadcasts the
+    current D-vector v (64 ints), computes per-block projections
+    u_i = (Σ_j A_ij·v_j) // 1e6 and an UNDIVIDED dense int64[D]
+    partial of Σ_i A_ij·u_i (dividing per block would make the iterate
+    partition-dependent), combines the bounded partials on the driver,
+    divides once, and renormalizes v ← w·1e6 // max|w| — zero shuffle
+    per iteration. Like the classifier trainer, the 25 rounds fan raw
+    tasks over the pinned Dataset's block refs (25 streaming-executor
+    startups would dominate the matmuls). All arithmetic is exact
+    int64 with TRUNCATING division (``stages.kmeans._trunc_div`` ==
+    DuckDB ``//``), so the unrolled-CTE oracle reproduces every
+    iterate bit-for-bit. Convergence is the textbook (λ₂/λ₁)^T — on
+    this corpus the top eigengap is tight (ratio 0.984), so the
+    25-round direction is a partial converge (cos ≈ 0.83 to the true
+    eigenvector, pinned in tests); the engine contract is the exact
+    iterate, and T is the documented knob. Output: (vec_id,
+    proj_micro) projections onto the round-T direction. int64
+    headroom: |Σ A·u| ≲ N·|A|·|u| ≈ 3e17 at N=2000 — at larger N drop
+    the u scale by 10³ (same math, documented knob)."""
+    from .kernels.quantize import micro_matrix
+    from .stages.kmeans import _trunc_div
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    pinned = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "vec_id": np.asarray(b["vec_id"].to_pylist(), dtype=np.int64),
+                    "am": list(micro_matrix(b["embedding"].to_pylist())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    block_refs = pinned.to_arrow_refs()
+
+    dim = len(pinned.take(1)[0]["am"])
+    v = np.full(dim, 1_000_000, dtype=np.int64)
+    MICRO_I = np.int64(1_000_000)
+
+    @ray.remote
+    def _w_block(tbl: pa.Table, v_):
+        A = np.stack(tbl["am"].to_numpy(zero_copy_only=False))
+        u = _trunc_div(A @ v_, MICRO_I)  # row-local: exact per vector
+        return A.T @ u  # undivided partial
+
+    for _ in range(POWER_ITERS):
+        vref = ray.put(v)
+        parts = ray.get([_w_block.remote(r, vref) for r in block_refs])
+        w = np.zeros(dim, dtype=np.int64)
+        for p in parts:
+            w += p
+        w = _trunc_div(w, MICRO_I)
+        m = max(int(np.abs(w).max()), 1)
+        v = _trunc_div(w * MICRO_I, np.int64(m))
+
+    vref = ray.put(v)
+
+    def project(df: pd.DataFrame, _v=vref) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        v_ = resolve(_v)
+        A = np.stack(df["am"].to_numpy())
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "proj_micro": _trunc_div(A @ v_, MICRO_I),
+            }
+        )
+
+    return pinned.map_batches(project, batch_format="pandas")
+
+
 def _emb_global_minmax(emb_path: str):
     """Per-dim global (min, max) of the micro-int embedding matrix:
     per-batch int64 partials (two D-vectors per block — bounded),
