@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_overlap": Q.doc_source_overlap,
         # spectral: dominant principal direction by integer power iteration
         "emb_power_iteration": Q.emb_power_iteration,
+        # frequent-itemset mining (a-priori level 2)
+        "part_frequent_pairs": Q.part_frequent_pairs,
         # --- never driver-sampled in r1/r2 (judge-verified only) ---
         # near-duplicate maintenance: persisted-index ingest, clusters,
         # corpus keep-one
@@ -1484,6 +1486,14 @@ WITH q AS (
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
         "emb_power_iteration": _power_iteration_sql(),
+        "part_frequent_pairs": f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, a.l_orderkey
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+FROM p GROUP BY part_a, part_b
+HAVING count(*) >= {Q.FREQ_PAIR_MIN_SUPPORT}""",
         "doc_source_overlap": f"""
 WITH mp AS ({_minhash_sql()}),
 s AS (SELECT doc_id, source FROM documents),

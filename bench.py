@@ -173,6 +173,7 @@ QUERY_NAMES = [
     "doc_curriculum_order",
     "doc_source_overlap",
     "emb_power_iteration",
+    "part_frequent_pairs",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -1781,6 +1781,50 @@ def orders_pps_sample(sf_dir: str):
     return scanned.map_batches(gate, batch_format="pandas")
 
 
+FREQ_PAIR_MIN_SUPPORT = 3  # orders containing both parts
+
+
+def part_frequent_pairs(sf_dir: str):
+    """Frequent-itemset mining, level 2 (the a-priori / market-basket
+    workload): unordered part pairs co-purchased in ≥
+    FREQ_PAIR_MIN_SUPPORT distinct orders, with exact support counts.
+    Shape: one order-keyed exchange explodes each basket's pairs with a
+    map-side per-partition pair-count COMBINER (duplicate orders of a
+    pair inside a partition pre-aggregate), then a pair-keyed exchange
+    sums supports and applies the threshold in-cluster — the classic
+    two-round counting a-priori uses for candidate pairs; higher levels
+    would iterate the same shape over the surviving itemsets."""
+    from .stages.exchange import keyed_exchange
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def basket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        # one row per (order, pair); combiner: count per pair in-block
+        return (
+            m.drop_duplicates()
+            .groupby(["l_partkey_x", "l_partkey_y"], sort=False, as_index=False)
+            .size()
+            .rename(
+                columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b",
+                         "size": "support"}
+            )
+        )
+
+    partials = keyed_exchange(li, ["l_orderkey"], basket_pairs, 32)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["part_a", "part_b"], as_index=False)["support"].sum()
+        out = out.loc[out["support"] >= FREQ_PAIR_MIN_SUPPORT]
+        return out.astype(
+            {"part_a": "int64", "part_b": "int64", "support": "int64"}
+        )
+
+    return keyed_exchange(partials, ["part_a", "part_b"], combine, 8)
+
+
 TRI_SAMPLE_MOD = 8  # DOULION edge-keep probability p = 1/MOD
 
 

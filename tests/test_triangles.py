@@ -82,3 +82,36 @@ def test_sampling_coin_deterministic_and_monotone(ray_session, tmp_path, monkeyp
     exp = _brute_counts(kept)
     assert dict(zip(got.part_id, got.n_triangles)) == exp
     assert 0 < len(kept) < len(edges)  # the coin actually split the set
+
+
+def test_frequent_pairs_brute_force(ray_session, tmp_path, monkeypatch):
+    """part_frequent_pairs == exact per-pair distinct-order counts with
+    the support threshold, on a planted basket table."""
+    import itertools
+
+    monkeypatch.setattr(Q, "FREQ_PAIR_MIN_SUPPORT", 2)
+    rows = {"l_orderkey": [], "l_partkey": []}
+    baskets = [
+        [1, 2, 3], [1, 2], [1, 2, 4], [3, 4], [3, 4], [5],
+        [2, 2, 1],  # duplicate part in one order counts once
+    ]
+    for ok, parts in enumerate(baskets):
+        for p in parts:
+            rows["l_orderkey"].append(ok)
+            rows["l_partkey"].append(p)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rows["l_orderkey"], pa.int64()),
+                "l_partkey": pa.array(rows["l_partkey"], pa.int64()),
+            }
+        ),
+        os.path.join(tmp_path, "lineitem.parquet"),
+    )
+    got = Q.part_frequent_pairs(str(tmp_path)).to_pandas()
+    exp = {}
+    for parts in baskets:
+        for a, b in itertools.combinations(sorted(set(parts)), 2):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+    exp = {k: v for k, v in exp.items() if v >= 2}
+    assert {(a, b): s for a, b, s in zip(got.part_a, got.part_b, got.support)} == exp
