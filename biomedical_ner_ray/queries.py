@@ -905,6 +905,46 @@ LM_MIN_COUNT = 3  # bigrams below this corpus count carry no LM signal
 LM_PROB_SCALE = 1_000_000
 
 
+def _batch_bigram_codes(texts):
+    """Batch-level bigram coding shared by the LM build and scoring
+    passes: distinct words via one ``np.unique``, valid bigram-start
+    positions (word p and p+1 in the same doc), distinct (w1, w2) pair
+    CODES with counts, the occurrence→distinct inverse, and each
+    occurrence's doc index. Callers join bigram strings only once per
+    DISTINCT pair per batch — the winnowing/substring-dedup
+    vectorization applied to the n-gram LM. Returns
+    (uniq_words, w1_idx, w2_idx, pair_inverse, doc_of_occurrence,
+    pair_counts), or all-None when the batch has no bigrams."""
+    from .kernels.textstats import WORD_RE
+
+    word_lists = [WORD_RE.findall((t or "").lower()) for t in texts]
+    n_words = np.array([len(w) for w in word_lists], dtype=np.int64)
+    total = int(n_words.sum())
+    if total == 0 or not (n_words >= 2).any():
+        return None, None, None, None, None, None
+    flat = np.empty(total, dtype=object)
+    flat[:] = [w for ws in word_lists for w in ws]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    ends = np.cumsum(n_words)
+    valid = np.ones(total, dtype=bool)
+    valid[ends[n_words > 0] - 1] = False  # last word of each nonempty doc
+    pos = np.nonzero(valid)[0]  # bigram start positions, doc-major order
+    code = inv[pos].astype(np.int64) * np.int64(len(uniq)) + inv[pos + 1]
+    up, pinv, pcnt = np.unique(code, return_inverse=True, return_counts=True)
+    doc_of = np.repeat(
+        np.arange(len(texts), dtype=np.int64), np.maximum(n_words - 1, 0)
+    )
+    u = np.int64(len(uniq))
+    return (
+        uniq,
+        (up // u).astype(np.int64),
+        (up % u).astype(np.int64),
+        pinv,
+        doc_of,
+        pcnt.astype(np.int64),
+    )
+
+
 def doc_bigram_lm_score(sf_dir: str):
     """Corpus-n-gram LM quality scoring (the CCNet/KenLM idea in exact
     integer form): score each document by the corpus-wide conditional
@@ -930,31 +970,30 @@ def doc_bigram_lm_score(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
-        from .kernels.textstats import WORD_RE
-
-        w1s, bgs = [], []
-        for t in df["text"]:
-            ws = WORD_RE.findall(t.lower())
-            for i in range(len(ws) - 1):
-                w1s.append(ws[i])
-                bgs.append(ws[i] + " " + ws[i + 1])
-        return (
-            pd.DataFrame({"w1": w1s, "bigram": bgs})
-            .groupby(["w1", "bigram"], sort=False, as_index=False)
-            .size()
-            .rename(columns={"size": "c12"})
+        # batch-level distinct-pair counting: one string join per
+        # DISTINCT bigram per batch (the winnowing/substring-dedup
+        # vectorization), not one per position
+        uniq, w1i, w2i, _, _, pcnt = _batch_bigram_codes(df["text"].tolist())
+        if uniq is None:
+            return pd.DataFrame({"w1": [], "bigram": [], "c12": []})
+        return pd.DataFrame(
+            {
+                "w1": uniq[w1i],
+                "bigram": [
+                    uniq[a] + " " + uniq[b] for a, b in zip(w1i, w2i)
+                ],
+                "c12": pcnt,
+            }
         )
 
     def unigram_partial(df: pd.DataFrame) -> pd.DataFrame:
         from .kernels.textstats import WORD_RE
 
         ws = [w for t in df["text"] for w in WORD_RE.findall(t.lower())]
-        return (
-            pd.DataFrame({"w": ws})
-            .groupby("w", sort=False, as_index=False)
-            .size()
-            .rename(columns={"size": "c1"})
-        )
+        if not ws:
+            return pd.DataFrame({"w": [], "c1": []})
+        u, c = np.unique(np.array(ws, dtype=object), return_counts=True)
+        return pd.DataFrame({"w": u, "c1": c.astype(np.int64)})
 
     bc = grouped_aggregate(
         ds, ["bigram"], bigram_partial,
@@ -973,28 +1012,37 @@ def doc_bigram_lm_score(sf_dir: str):
     model_ref = ray.put(model[["bigram", "prob_micro"]])
 
     def score(batch: pa.Table) -> pd.DataFrame:
-        from .kernels.textstats import WORD_RE
         from .state.broadcast import resolve
 
         m = resolve(model_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        bgs = []
-        for t in batch["text"].to_pylist():
-            ws = WORD_RE.findall(t.lower())
-            bgs.append([ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)])
-        big = pd.DataFrame(
-            {"doc_id": np.repeat(ids, [len(b) for b in bgs]),
-             "bigram": np.concatenate([np.asarray(b, dtype=object) for b in bgs])
-             if any(bgs) else np.array([], dtype=object)}
+        n_docs = len(ids)
+        uniq, w1i, w2i, pinv, doc_of, _ = _batch_bigram_codes(
+            batch["text"].to_pylist()
         )
-        j = big.merge(m, on="bigram", how="left")
-        agg = j.groupby("doc_id").agg(
-            n_bigrams=("bigram", "size"),
-            n_scored=("prob_micro", "count"),
-            lm_score_micro=("prob_micro", "sum"),
-        )
-        out = pd.DataFrame({"doc_id": ids}).join(agg, on="doc_id").fillna(0)
-        return out.astype({c: "int64" for c in out.columns})
+        zeros = np.zeros(n_docs, dtype=np.int64)
+        if uniq is None:
+            return pd.DataFrame(
+                {"doc_id": ids, "n_bigrams": zeros, "n_scored": zeros,
+                 "lm_score_micro": zeros}
+            )
+        # model probs looked up once per DISTINCT pair, scattered to
+        # occurrences via the inverse index, summed per doc in int64
+        dist = pd.DataFrame(
+            {"bigram": [uniq[a] + " " + uniq[b] for a, b in zip(w1i, w2i)]}
+        ).merge(m, on="bigram", how="left")
+        prob = dist["prob_micro"].fillna(0).to_numpy().astype(np.int64)
+        modeled = dist["prob_micro"].notna().to_numpy().astype(np.int64)
+        n_bigrams = zeros.copy()
+        n_scored = zeros.copy()
+        lm = zeros.copy()
+        np.add.at(n_bigrams, doc_of, 1)
+        np.add.at(n_scored, doc_of, modeled[pinv])
+        np.add.at(lm, doc_of, prob[pinv])
+        return pd.DataFrame(
+            {"doc_id": ids, "n_bigrams": n_bigrams, "n_scored": n_scored,
+             "lm_score_micro": lm}
+        ).astype({"doc_id": ids.dtype})
 
     return ds.map_batches(score, batch_format="pyarrow")
 
