@@ -3128,13 +3128,17 @@ def doc_decontaminate(sf_dir: str):
 
     def explode_shingles(batch: pa.Table) -> pd.DataFrame:
         hs, ids, ev = [], [], []
+        memo: dict[str, int] = {}  # batch-scoped shingle→hash memo
         for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             ws = WORD_RE.findall((t or "").lower())
             if not ws:
                 continue
             is_eval = stable_u64_md5(str(i).encode("utf-8")) % 10 >= 8
             for s in shingles(ws, n=DECON_NGRAM):
-                hs.append(stable_u64_md5(s.encode("utf-8")))
+                h = memo.get(s)
+                if h is None:
+                    h = memo[s] = stable_u64_md5(s.encode("utf-8"))
+                hs.append(h)
                 ids.append(i)
                 ev.append(is_eval)
         return pd.DataFrame(
