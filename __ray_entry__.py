@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_power_iteration": Q.emb_power_iteration,
         # frequent-itemset mining (a-priori level 2)
         "part_frequent_pairs": Q.part_frequent_pairs,
+        # exact set-similarity self-join (prefix filtering)
+        "doc_dedup_ppjoin": Q.doc_dedup_ppjoin,
         # --- never driver-sampled in r1/r2 (judge-verified only) ---
         # near-duplicate maintenance: persisted-index ingest, clusters,
         # corpus keep-one
@@ -1486,6 +1488,25 @@ WITH q AS (
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
         "emb_power_iteration": _power_iteration_sql(),
+        "doc_dedup_ppjoin": """
+WITH f AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([md5_number_lower(array_to_string(ws[i:i+2], ' '))
+                        for i in generate_series(1, greatest(len(ws)-2, 1))]) AS hv
+  FROM f WHERE len(ws) > 0
+),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         len(list_intersect(a.hv, b.hv)) AS nc,
+         len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv)) AS nu
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       CAST(nc AS BIGINT) AS n_common, CAST(nu AS BIGINT) AS n_union
+FROM p WHERE nc > 0 AND 5 * nc >= 3 * nu""",
         "part_frequent_pairs": f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, a.l_orderkey

@@ -174,6 +174,7 @@ QUERY_NAMES = [
     "doc_source_overlap",
     "emb_power_iteration",
     "part_frequent_pairs",
+    "doc_dedup_ppjoin",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -1306,6 +1306,24 @@ def doc_decontaminate_fuzzy(sf_dir: str):
     return pairs.map_batches(cross_split, batch_format="pandas")
 
 
+def doc_dedup_ppjoin(sf_dir: str):
+    """EXACT global near-dup pairs at Jaccard ≥ 3/5 via prefix
+    filtering (stages/dedup.ppjoin_pairs — the SSJoin/PPJoin family):
+    the deterministic, no-false-negative complement to the MinHash
+    paths, and the scale-correct replacement for doc_dedup_jaccard's
+    within-source-block baseline — same threshold, NO blocking key, so
+    cross-source near-dups (which the block baseline misses by design)
+    are found too. Oracle = brute-force all-pairs exact Jaccard, which
+    makes the prefix filter's completeness guarantee driver-checked."""
+    from .stages.dedup import JACCARD_BLOCK_DEN, JACCARD_BLOCK_NUM, ppjoin_pairs
+
+    return ppjoin_pairs(
+        lambda: _tbl(sf_dir, "documents", columns=["doc_id", "text"]),
+        num=JACCARD_BLOCK_NUM,
+        den=JACCARD_BLOCK_DEN,
+    )
+
+
 def doc_source_overlap(sf_dir: str):
     """Cross-source duplication matrix — which corpus sources copy from
     which: the MinHash+LSH verified near-dup pair graph aggregated to

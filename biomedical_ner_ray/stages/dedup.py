@@ -288,6 +288,25 @@ def minhash_pairs_join(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     ).write_parquet(handoff)
 
+    return _fetch_verify(handoff, docs_ds_factory, num_partitions,
+                         broadcast_id_limit)
+
+
+def _fetch_verify(
+    handoff: str,
+    docs_ds_factory,
+    num_partitions: int,
+    broadcast_id_limit: int,
+    num: int = JACCARD_NUM,
+    den: int = JACCARD_DEN,
+):
+    """Phase 2 shared by every candidate-pair self-join (MinHash bands,
+    PPJoin prefixes): fetch shingle blobs for candidate docs only —
+    broadcast id filter while bounded, distributed hash SEMI-join past
+    ``broadcast_id_limit`` — then exact integer Jaccard ≥ num/den via
+    two hash joins (``_join_verify``)."""
+    from .exchange import hash_shuffle
+
     # Pair COUNT comes free from the handoff's parquet footers; it
     # drives both the join-partition sizing and the broadcast-vs-semi-
     # join decision (distinct candidate ids ≤ 2·pairs, so the count is
@@ -332,7 +351,7 @@ def minhash_pairs_join(
             cands = rd.read_parquet(handoff)
             docs = docs_ds_factory()
             sh = docs.map_batches(_shingle_candidates, batch_format="pyarrow")
-            return _join_verify(cands, sh, join_parts)
+            return _join_verify(cands, sh, join_parts, num, den)
 
     # SEMI-JOIN fallback (the SCALE.md promise): when the id set would
     # blow the broadcast budget (~10^8 ids = 800MB per worker), the
@@ -374,12 +393,99 @@ def minhash_pairs_join(
             on=("doc_id",),
         )
         sh = cand_docs.map_batches(_shingle_table, batch_format="pyarrow")
-        return _join_verify(cands, sh, join_parts)
+        return _join_verify(cands, sh, join_parts, num, den)
 
 
-def _join_verify(cands, sh, num_partitions: int):
+def ppjoin_pairs(
+    docs_ds_factory,
+    num_partitions: int = 8,
+    num: int = JACCARD_NUM,
+    den: int = JACCARD_DEN,
+    broadcast_id_limit: int = BROADCAST_ID_LIMIT,
+):
+    """EXACT set-similarity self-join at Jaccard ≥ num/den via PREFIX
+    FILTERING (the SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 /
+    Xiao et al. WWW'08) — the deterministic complement to the
+    probabilistic MinHash path, and the scale-correct replacement for
+    the blocked all-pairs baseline (``jaccard_pairs``).
+
+    Canonical token order = the md5 shingle HASH itself, ascending
+    (``shingle_hashes`` already returns sorted arrays): any fixed total
+    order preserves the prefix guarantee — two sets with J ≥ t share a
+    token among each one's first ``|d| - ceil(t·|d|) + 1`` tokens — and
+    hash order needs NO global frequency pass or broadcast rank map.
+    (df-ascending order is the candidate-minimizing upgrade when a
+    frequency pass is worth it; this corpus's shingle df is tiny, max
+    25 at sf0.1.) Shape: prefix rows (hash, doc, size) → hash-keyed
+    exchange emits candidate pairs with the integer length filter
+    (den·min ≥ num·max) → pair dedup → handoff → the SAME two-tier
+    candidate fetch + exact-Jaccard verify as minhash_pairs_join
+    (``_fetch_verify``). Output identical schema/semantics:
+    (doc_id_a, doc_id_b, n_common, n_union), a < b."""
+    import os
+    import tempfile
+
+    from ..state.manifest import sweep_stale_handoffs
+    from .exchange import keyed_exchange
+
+    def prefix_rows(batch: pa.Table) -> pd.DataFrame:
+        hs, ids, sizes = [], [], []
+        cache: dict = {}
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            hv = shingle_hashes(text, cache=cache)
+            n = len(hv)
+            if n == 0:
+                continue
+            p = n - (num * n + den - 1) // den + 1  # n - ceil(t·n) + 1
+            hs.append(hv[:p].view(np.int64))
+            ids.append(np.full(p, doc_id, dtype=np.int64))
+            sizes.append(np.full(p, n, dtype=np.int64))
+        if not hs:
+            return pd.DataFrame(
+                {"h": np.empty(0, np.int64), "doc_id": np.empty(0, np.int64),
+                 "size": np.empty(0, np.int64)}
+            )
+        return pd.DataFrame(
+            {"h": np.concatenate(hs), "doc_id": np.concatenate(ids),
+             "size": np.concatenate(sizes)}
+        )
+
+    def posting_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="h")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        lo = np.minimum(m["size_x"], m["size_y"])
+        hi = np.maximum(m["size_x"], m["size_y"])
+        m = m[den * lo >= num * hi]  # length filter: J ≥ t ⇒ t·max ≤ min
+        return pd.DataFrame(
+            {"doc_id_a": m["doc_id_x"].astype("int64"),
+             "doc_id_b": m["doc_id_y"].astype("int64")}
+        ).drop_duplicates()
+
+    prefixes = docs_ds_factory().map_batches(prefix_rows, batch_format="pyarrow")
+    cands_out = keyed_exchange(
+        keyed_exchange(prefixes, ["h"], posting_pairs, num_partitions),
+        ["doc_id_a", "doc_id_b"],
+        _dedup_pairs,
+        2,
+    )
+    handoff = sweep_stale_handoffs(
+        os.path.join(tempfile.gettempdir(), "graft_ppjoin_cands")
+    )
+    cands_out.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    ).write_parquet(handoff)
+    return _fetch_verify(
+        handoff, docs_ds_factory, num_partitions, broadcast_id_limit,
+        num=num, den=den,
+    )
+
+
+def _join_verify(cands, sh, num_partitions: int,
+                 num: int = JACCARD_NUM, den: int = JACCARD_DEN):
     """Fetch packed shingle blobs for candidate pairs via two hash joins
-    and keep pairs passing the exact integer Jaccard threshold. Must be
+    and keep pairs passing the exact integer Jaccard ≥ num/den. Must be
     called with BOTH input datasets built inside a hash_shuffle scope."""
     j1 = cands.join(
         sh, join_type="inner", num_partitions=num_partitions,
@@ -400,7 +506,7 @@ def _join_verify(cands, sh, num_partitions: int):
             xb = set(np.frombuffer(sb, dtype=np.uint64).tolist())
             inter = len(xa & xb)
             union = len(xa) + len(xb) - inter
-            if union and JACCARD_DEN * inter >= JACCARD_NUM * union:
+            if union and den * inter >= num * union:
                 out.append((a, b, inter, union))
         return pd.DataFrame(
             out, columns=["doc_id_a", "doc_id_b", "n_common", "n_union"]

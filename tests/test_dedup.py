@@ -163,3 +163,71 @@ def test_source_overlap_matrix_consistent(ray_session):
     ).to_pandas()
     assert int(got["n_pairs"].sum()) == len(allp)
     assert (got["source_a"] <= got["source_b"]).all()
+
+
+def test_ppjoin_matches_brute_force(ray_session, tmp_path):
+    """Prefix-filter join == exact all-pairs Jaccard >= 3/5 on a planted
+    corpus with near-dup pairs, exact dups, and unrelated docs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_ner_ray import queries as Q
+    from biomedical_ner_ray.stages.dedup import (
+        JACCARD_BLOCK_DEN,
+        JACCARD_BLOCK_NUM,
+        shingle_hashes,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        1: base,
+        2: base,  # exact dup of 1
+        3: base + " extra tail words here",  # near-dup of 1/2
+        4: "completely different content about unrelated topics entirely",
+        5: "alpha beta gamma", # short: low jaccard vs base
+        6: base.replace("delta", "DELTA-variant"),  # near-dup
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        ),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    got = (
+        Q.doc_dedup_ppjoin(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"], ignore_index=True)
+    )
+    sets = {i: set(shingle_hashes(t).tolist()) for i, t in texts.items()}
+    exp = []
+    ids = sorted(texts)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            nc = len(sets[a] & sets[b])
+            nu = len(sets[a]) + len(sets[b]) - nc
+            if nc and JACCARD_BLOCK_DEN * nc >= JACCARD_BLOCK_NUM * nu:
+                exp.append((a, b, nc, nu))
+    assert (
+        list(map(tuple, got[["doc_id_a", "doc_id_b", "n_common", "n_union"]].to_numpy()))
+        == exp
+    )
+    assert (1, 2) in {(a, b) for a, b, *_ in exp}  # exact dup found
+
+
+def test_ppjoin_superset_of_blocked_baseline(ray_session):
+    """Global prefix-filter pairs must contain every within-source pair
+    the blocked baseline finds (same threshold, no blocking key)."""
+    from biomedical_ner_ray import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    glob = Q.doc_dedup_ppjoin(sf).to_pandas()
+    blocked = Q.doc_dedup_jaccard(sf).to_pandas()
+    gset = {(a, b) for a, b in zip(glob.doc_id_a, glob.doc_id_b)}
+    bset = {(a, b) for a, b in zip(blocked.doc_id_a, blocked.doc_id_b)}
+    assert bset <= gset
