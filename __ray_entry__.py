@@ -1753,6 +1753,16 @@ FROM scls c JOIN quota q USING (cls)"""
 ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 
 
+def _emb_dim() -> int:
+    """Embedding vector width from ONE batch of the oracle fixture —
+    constant cost, not a full-column read."""
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(ORACLE_SF_DIR + "/embeddings.parquet")
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch["embedding"][0])
+
+
 def _power_iteration_sql() -> str:
     """Unrolled power-iteration oracle: every iterate is exact int64
     with truncating division (DuckDB ``//`` == the engine's
@@ -1762,10 +1772,7 @@ def _power_iteration_sql() -> str:
 
     from biomedical_ner_ray.queries import POWER_ITERS
 
-    t = _pq.read_table(
-        ORACLE_SF_DIR + "/embeddings.parquet", columns=["embedding"]
-    ).slice(0, 1)
-    d = len(t["embedding"][0])
+    d = _emb_dim()
     parts = [
         f"""
 WITH x AS MATERIALIZED (
@@ -1804,12 +1811,7 @@ def _emb_quant_cte() -> str:
     the same IEEE op numpy performs (round is avoided on both sides —
     the two systems disagree on half-rounding), and everything after is
     int64 floor-division arithmetic."""
-    import pyarrow.parquet as _pq
-
-    t = _pq.read_table(
-        ORACLE_SF_DIR + "/embeddings.parquet", columns=["embedding"]
-    ).slice(0, 1)
-    d = len(t["embedding"][0])
+    d = _emb_dim()
     return f"""
 WITH x AS (
   SELECT vec_id, d.j AS dim,

@@ -87,13 +87,19 @@ def quality_features(text: str) -> dict:
     }
 
 
+def quality_gate_count(feat: dict) -> int:
+    """Integer 0–4 count of passing quality gates — the primitive both
+    ``quality_score`` (count/4) and the curriculum tiers build on."""
+    length_ok = 20 <= feat["n_chars"] <= 100000
+    stop_ok = feat["stopword_ratio"] >= 0.05
+    punct_ok = feat["punct_ratio"] <= 0.5
+    digit_ok = feat["digit_ratio"] <= 0.5
+    return int(length_ok) + int(stop_ok) + int(punct_ok) + int(digit_ok)
+
+
 def quality_score(feat: dict) -> float:
     """Scalar quality score in [0, 1]; same arithmetic as the SQL oracle."""
-    length_ok = 1.0 if 20 <= feat["n_chars"] <= 100000 else 0.0
-    stop_ok = 1.0 if feat["stopword_ratio"] >= 0.05 else 0.0
-    punct_ok = 1.0 if feat["punct_ratio"] <= 0.5 else 0.0
-    digit_ok = 1.0 if feat["digit_ratio"] <= 0.5 else 0.0
-    return (length_ok + stop_ok + punct_ok + digit_ok) / 4.0
+    return quality_gate_count(feat) / 4.0
 
 
 def lang_scores(text: str) -> dict[str, int]:

@@ -1332,17 +1332,38 @@ def doc_source_overlap(sf_dir: str):
     one side down-weighted). Sources attach via a broadcast doc→source
     lookup (the documents table's bounded source domain); the pair
     graph itself is the proven banded exchange — nothing new shuffles."""
-    src_tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
-    )
-    sref = ray.put(
-        dict(zip(src_tbl["doc_id"].to_pylist(), src_tbl["source"].to_pylist()))
-    )
     from .stages.dedup import minhash_pairs
     from .stages.exchange import keyed_exchange
 
     pairs = minhash_pairs(
         lambda: _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    ).materialize()  # consumed twice: id harvest + labeling
+
+    # the doc→source lookup covers CANDIDATE ids only — bounded by
+    # 2·pairs (the minhash broadcast-tier bound), never the corpus;
+    # the rows come back via a pushed-down doc_id filter, so the
+    # corpus-wide documents table is not re-scanned on the driver.
+    # Past the broadcast budget this becomes two hash joins against
+    # documents, exactly the _fetch_verify tier split.
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                np.concatenate(
+                    [b["doc_id_a"].to_numpy(zero_copy_only=False),
+                     b["doc_id_b"].to_numpy(zero_copy_only=False)]
+                )
+                for b in pairs.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    src_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+        filters=[("doc_id", "in", cand_ids.tolist())] if len(cand_ids) else None,
+    )
+    sref = ray.put(
+        dict(zip(src_tbl["doc_id"].to_pylist(), src_tbl["source"].to_pylist()))
     )
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
@@ -1605,6 +1626,19 @@ TRAIN_ORDER_SEED = 41
 TRAIN_ORDER_HEAD = 100
 
 
+def _md5_order_parts(ids, tag: str) -> tuple[list[int], list[int]]:
+    """Seeded-md5 unsigned order key split into (hi bit, low 63 bits):
+    int64-safe columns whose lexicographic (hi, low) order equals the
+    u64 order. SQL order parity needs UNSIGNED order, so the key is
+    shifted into the positive range rather than bit-reinterpreted —
+    the workaround lives here once, shared by every seeded-shuffle
+    sort (doc_training_order, doc_curriculum_order)."""
+    from .kernels.hashing import stable_u64_md5
+
+    ks = [stable_u64_md5(f"{tag}:{i}".encode("utf-8")) for i in ids]
+    return [k >> 63 for k in ks], [k % (1 << 63) for k in ks]
+
+
 def doc_training_order(sf_dir: str):
     """Deterministic 'global shuffle' for training order: every doc
     gets an md5-derived order key (seeded, process/retry-stable —
@@ -1614,24 +1648,16 @@ def doc_training_order(sf_dir: str):
     the order key + sort define the full training order at any scale
     (a full run would write_parquet the sorted stream instead of
     limiting)."""
-    from .kernels.hashing import stable_u64_md5
-
     ds = _tbl(sf_dir, "documents", columns=["doc_id"])
 
     def key(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        ks = [
-            stable_u64_md5(f"shuf:{TRAIN_ORDER_SEED}:{i}".encode("utf-8"))
-            for i in ids
-        ]
+        hi, lo = _md5_order_parts(ids, f"shuf:{TRAIN_ORDER_SEED}")
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                # int64 bit view of the u64 key: sign-agnostic ORDER
-                # parity with SQL needs unsigned order, so shift into
-                # the positive range instead of reinterpreting bits
-                "order_key": pa.array([k % (1 << 63) for k in ks], pa.int64()),
-                "order_hi": pa.array([k >> 63 for k in ks], pa.int64()),
+                "order_key": pa.array(lo, pa.int64()),
+                "order_hi": pa.array(hi, pa.int64()),
             }
         )
 
@@ -1660,8 +1686,7 @@ def doc_curriculum_order(sf_dir: str):
     The sort range-partitions by the composite key; the head is
     driver-bounded, and a full run would write_parquet the sorted
     stream. Oracle = the same tier arithmetic + window row_number."""
-    from .kernels.hashing import stable_u64_md5
-    from .kernels.textstats import quality_features, quality_score
+    from .kernels.textstats import quality_features, quality_gate_count
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1669,23 +1694,18 @@ def doc_curriculum_order(sf_dir: str):
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         tiers = [
-            int(round(quality_score(quality_features(t or "")) * 4.0))
-            for t in texts
+            quality_gate_count(quality_features(t or "")) for t in texts
         ]
-        ks = [
-            stable_u64_md5(f"curr:{CURRICULUM_SEED}:{i}".encode("utf-8"))
-            for i in ids
-        ]
+        hi, lo = _md5_order_parts(ids, f"curr:{CURRICULUM_SEED}")
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "tier": pa.array(tiers, pa.int64()),
-                # ascending composite: inverted tier, then the unsigned
-                # u64 shuffle key split into (hi bit, low 63) exactly
-                # like doc_training_order
+                # ascending composite: inverted tier, then the shared
+                # seeded-md5 unsigned order columns
                 "inv_tier": pa.array([4 - t for t in tiers], pa.int64()),
-                "order_hi": pa.array([k >> 63 for k in ks], pa.int64()),
-                "order_key": pa.array([k % (1 << 63) for k in ks], pa.int64()),
+                "order_hi": pa.array(hi, pa.int64()),
+                "order_key": pa.array(lo, pa.int64()),
             }
         )
 
@@ -1868,10 +1888,10 @@ def part_frequent_pairs(sf_dir: str):
         d = df.drop_duplicates()
         m = d.merge(d, on="l_orderkey")
         m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        # one row per (order, pair); combiner: count per pair in-block
+        # one row per (order, pair) already — d is (order, part)-distinct,
+        # so the self-merge cannot duplicate; combiner: count per pair
         return (
-            m.drop_duplicates()
-            .groupby(["l_partkey_x", "l_partkey_y"], sort=False, as_index=False)
+            m.groupby(["l_partkey_x", "l_partkey_y"], sort=False, as_index=False)
             .size()
             .rename(
                 columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b",
