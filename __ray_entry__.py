@@ -73,6 +73,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # coverage scheduling, not priority.
     return {
         # --- round-3 additions (never driver-sampled) ---
+        # KG edge temporal provenance (weight, distinct convs, first/last
+        # supporting timestamp — per-edge lineage)
+        "kg_edge_provenance": Q.kg_edge_provenance,
+        # k-core decomposition (bounded-round distributed peeling)
+        "part_kcore": Q.part_kcore,
+        # neighborhood-Jaccard link prediction (sampled wedge join)
+        "part_neighbor_jaccard": Q.part_neighbor_jaccard,
         # trained quality classifier: distributed scoring vs sequential
         # replay, and the distributed training loop itself (bit-exact
         # integer GD vs the sequential reference trainer)
@@ -1620,6 +1627,39 @@ r AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "part_kcore": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
+        "part_neighbor_jaccard": f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS (SELECT u, v FROM p
+      WHERE md5_number_lower('tri:' || u || ':' || v)
+            % {Q.TRI_SAMPLE_MOD} = 0),
+adj AS (SELECT u AS n, v AS o FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT n, count(*) AS c FROM adj GROUP BY n),
+w AS (SELECT a1.o AS x, a2.o AS y FROM adj a1
+      JOIN adj a2 ON a1.n = a2.n AND a1.o < a2.o),
+cm AS (SELECT x, y, count(*) AS cn FROM w GROUP BY x, y)
+SELECT cm.x AS part_a, cm.y AS part_b,
+       CAST(cm.cn AS BIGINT) AS common_n,
+       CAST(da.c + db.c - cm.cn AS BIGINT) AS union_n
+FROM cm JOIN deg da ON da.n = cm.x JOIN deg db ON db.n = cm.y
+WHERE cm.cn >= {Q.JACC_NB_MIN_COMMON}
+  AND cm.cn * {Q.JACC_NB_DEN} >= (da.c + db.c - cm.cn) * {Q.JACC_NB_NUM}""",
+        "kg_edge_provenance": pre
+        + """
+SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,
+       CAST(count(*) AS BIGINT) AS weight,
+       CAST(count(DISTINCT t.conv_id) AS BIGINT) AS n_convs,
+       min(f.ts) AS first_ts, max(f.ts) AS last_ts
+FROM triplesq t
+JOIN transcripts_fx f
+  ON f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
+JOIN lab3 cs ON cs.cui = t.subj_cui
+JOIN lab3 co ON co.cui = t.obj_cui
+WHERE cs.label <> co.label
+GROUP BY cs.label, t.pred, co.label""",
         "kg_mentions_learned": _mentions_learned_sql(),
         "doc_quality_classifier": _qualclf_scores_sql(),
         "doc_classifier_weights": _qualclf_weights_sql(),
@@ -1631,6 +1671,40 @@ FROM r WHERE rnk <= {Q.ANN_K}""",
         # substitutions come from the trained model's top-k neighbors
         # (not SQL-expressible); the driver records the rows-only check
     }
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Fixed-round k-core peeling as materialized CTE iterates — the
+    emb_power_iteration lesson: every iterate MUST be AS MATERIALIZED or
+    DuckDB inlines the chain exponentially. Round-for-round identical to
+    part_kcore's Ray loop (degrees over e_{i-1} → alive = deg >= k →
+    e_i), so the comparison is exact even before the fixpoint."""
+    parts = [
+        """WITH d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+deg{i} AS MATERIALIZED (
+  SELECT n, count(*) AS c
+  FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY n),
+a{i} AS MATERIALIZED (SELECT n FROM deg{i} WHERE c >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT n FROM a{i}) AND v IN (SELECT n FROM a{i}))"""
+        )
+        prev = f"e{i}"
+    parts.append(
+        f"""
+SELECT n AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY n"""
+    )
+    return "".join(parts)
 
 
 def _conll_cte() -> str:

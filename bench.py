@@ -175,6 +175,9 @@ QUERY_NAMES = [
     "emb_power_iteration",
     "part_frequent_pairs",
     "doc_dedup_ppjoin",
+    "kg_edge_provenance",
+    "part_kcore",
+    "part_neighbor_jaccard",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

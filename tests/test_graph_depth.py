@@ -1,0 +1,135 @@
+"""Graph-depth operators: k-core peeling (queries.part_kcore),
+neighborhood-Jaccard link prediction (queries.part_neighbor_jaccard),
+and KG edge temporal provenance (queries.kg_edge_provenance)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from biomedical_ner_ray import queries as Q
+
+
+def _write_lineitem(tmp_path, edges):
+    """One synthetic order per undirected edge (the test_triangles
+    encoding): the co-purchase graph of this table IS the edge list."""
+    rows = {"l_orderkey": [], "l_partkey": []}
+    for ok, (u, v) in enumerate(edges):
+        rows["l_orderkey"] += [ok, ok]
+        rows["l_partkey"] += [u, v]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rows["l_orderkey"], pa.int64()),
+                "l_partkey": pa.array(rows["l_partkey"], pa.int64()),
+            }
+        ),
+        os.path.join(tmp_path, "lineitem.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _peel(edges, k):
+    """Brute-force k-core: peel to fixpoint, return ({node: degree}, rounds)."""
+    uu = np.array([e[0] for e in edges], dtype=np.int64)
+    vv = np.array([e[1] for e in edges], dtype=np.int64)
+    rounds = 0
+    while True:
+        if not len(uu):
+            return {}, rounds
+        nodes, cnt = np.unique(np.concatenate([uu, vv]), return_counts=True)
+        alive = nodes[cnt >= k]
+        rounds += 1
+        if len(alive) == len(nodes):
+            return dict(zip(nodes.tolist(), cnt.tolist())), rounds
+        m = np.isin(uu, alive) & np.isin(vv, alive)
+        uu, vv = uu[m], vv[m]
+
+
+def test_kcore_planted_exact(ray_session, tmp_path, monkeypatch):
+    """A 6-clique survives k=3 peeling; a pendant chain hanging off it
+    (each link degree <= 2) must cascade away over multiple rounds."""
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    chain = [(5, 10), (10, 11), (11, 12), (12, 13)]
+    sf = _write_lineitem(tmp_path, clique + chain)
+    monkeypatch.setattr(Q, "KCORE_K", 3)
+    expected, rounds = _peel(clique + chain, 3)
+    assert rounds <= Q.KCORE_ROUNDS  # planted cascade fits the budget
+    out = Q.part_kcore(sf)
+    got = dict(zip(out["part_id"], out["core_degree"]))
+    assert got == expected
+    assert set(got) == set(range(6)) and all(v == 5 for v in got.values())
+
+
+def test_kcore_fixpoint_within_rounds_sf001():
+    """KCORE_ROUNDS must cover the real fixture's peeling fixpoint —
+    i.e. the shipped constant yields the true k-core (every survivor's
+    within-core degree >= K), not a truncated intermediate. Pure
+    numpy/pandas replay of the co-purchase graph, no Ray."""
+    li = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    ).to_pandas()
+    d = li.drop_duplicates()
+    m = d.merge(d, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    edges = list(
+        {(int(a), int(b)) for a, b in zip(m["l_partkey_x"], m["l_partkey_y"])}
+    )
+    core, rounds = _peel(edges, Q.KCORE_K)
+    assert rounds <= Q.KCORE_ROUNDS
+    assert all(v >= Q.KCORE_K for v in core.values())
+
+
+def test_neighbor_jaccard_planted_exact(ray_session, tmp_path, monkeypatch):
+    """Sampling off, gates open: wedge-join common/union counts must
+    equal brute-force neighbor-set arithmetic on a planted graph with a
+    hub (checks the Sigma-deg^2 path handles a skewed center)."""
+    hub = [(100, i) for i in range(8)]
+    ring = [(i, (i + 1) % 8) for i in range(8)]
+    edges = hub + ring
+    sf = _write_lineitem(tmp_path, edges)
+    monkeypatch.setattr(Q, "TRI_SAMPLE_MOD", 1)
+    monkeypatch.setattr(Q, "JACC_NB_MIN_COMMON", 1)
+    monkeypatch.setattr(Q, "JACC_NB_NUM", 0)  # ratio gate always true
+    out = Q.part_neighbor_jaccard(sf).to_pandas().sort_values(
+        ["part_a", "part_b"]
+    )
+    # brute force
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    exp = []
+    ns = sorted(nbrs)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1 :]:
+            cn = len(nbrs[a] & nbrs[b])
+            if cn >= 1:
+                exp.append((a, b, cn, len(nbrs[a] | nbrs[b])))
+    exp = pd.DataFrame(
+        exp, columns=["part_a", "part_b", "common_n", "union_n"]
+    ).sort_values(["part_a", "part_b"])
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True).astype("int64"),
+        exp.reset_index(drop=True).astype("int64"),
+    )
+
+
+def test_edge_provenance_consistent_with_kg_edges(ray_session):
+    """Provenance rows are kg_edges rows with lineage attached: same
+    canonical edge set, same weights, and per-edge invariants
+    1 <= n_convs <= weight, first_ts <= last_ts."""
+    sf = "/root/testdata/sf0.001"
+    prov = Q.kg_edge_provenance(sf).to_pandas()
+    edges = Q.kg_edges(sf).to_pandas()
+    k = ["subj_cui", "pred", "obj_cui"]
+    merged = edges.merge(prov, on=k, how="outer", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    assert (merged["weight_x"] == merged["weight_y"]).all()
+    assert (prov["n_convs"] >= 1).all()
+    assert (prov["n_convs"] <= prov["weight"]).all()
+    assert (prov["first_ts"] <= prov["last_ts"]).all()
