@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG edge temporal provenance (weight, distinct convs, first/last
         # supporting timestamp — per-edge lineage)
         "kg_edge_provenance": Q.kg_edge_provenance,
+        # cross-turn (windowed) relation extraction
+        "kg_cross_turn_edges": Q.kg_cross_turn_edges,
         # k-core decomposition (bounded-round distributed peeling)
         "part_kcore": Q.part_kcore,
         # neighborhood-Jaccard link prediction (sampled wedge join)
@@ -1627,6 +1629,28 @@ r AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "kg_cross_turn_edges": pre
+        + f"""
+SELECT cs.label AS subj_cui, x.pred, co.label AS obj_cui,
+       CAST(count(*) AS BIGINT) AS weight
+FROM (
+  SELECT m1.cui AS scui, m2.cui AS ocui,
+         CASE
+           WHEN m1.type = 'protein' AND m2.type IN ('DNA', 'RNA') THEN 'binds'
+           WHEN m1.type = 'protein' AND m2.type = 'protein' THEN 'interacts_with'
+           WHEN m1.type IN ('DNA', 'RNA', 'protein') AND m2.type = 'Disease' THEN 'associated_with'
+           WHEN m2.type IN ('cell_line', 'cell_type') THEN 'expressed_in'
+           ELSE 'co_occurs_with'
+         END AS pred
+  FROM mentionsq m1
+  JOIN mentionsq m2
+    ON m1.conv_id = m2.conv_id
+   AND m2.turn_idx - m1.turn_idx BETWEEN 1 AND {Q.XTURN_WINDOW}
+) x
+JOIN lab3 cs ON cs.cui = x.scui
+JOIN lab3 co ON co.cui = x.ocui
+WHERE cs.label <> co.label
+GROUP BY cs.label, x.pred, co.label""",
         "part_kcore": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "part_neighbor_jaccard": f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -176,6 +176,7 @@ QUERY_NAMES = [
     "part_frequent_pairs",
     "doc_dedup_ppjoin",
     "kg_edge_provenance",
+    "kg_cross_turn_edges",
     "part_kcore",
     "part_neighbor_jaccard",
 ]

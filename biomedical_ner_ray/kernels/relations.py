@@ -54,3 +54,24 @@ def triples_for_turn(linked_mentions: list[dict]) -> list[dict]:
                 }
             )
     return out
+
+
+def predicate_for_vec(subj_types, obj_types):
+    """Vectorized ``predicate_for`` (numpy): clause-for-clause the same
+    precedence — must stay in lockstep with the scalar version AND the
+    SQL CASE expressions in ``__ray_entry__.oracle_sql``."""
+    import numpy as np
+
+    st = np.asarray(subj_types, dtype=object)
+    ot = np.asarray(obj_types, dtype=object)
+    conds = [
+        (st == "protein") & np.isin(ot, ("DNA", "RNA")),
+        (st == "protein") & (ot == "protein"),
+        np.isin(st, ("DNA", "RNA", "protein")) & (ot == "Disease"),
+        np.isin(ot, ("cell_line", "cell_type")),
+    ]
+    return np.select(
+        conds,
+        ["binds", "interacts_with", "associated_with", "expressed_in"],
+        default=CO_OCCURS,
+    )

@@ -5078,3 +5078,102 @@ def kg_edge_provenance(sf_dir: str):
         )
 
     return keyed_exchange(partials, ["subj_cui", "pred", "obj_cui"], final, 8)
+
+
+XTURN_WINDOW = 2  # max turn gap for cross-turn relations
+
+
+def kg_cross_turn_edges(sf_dir: str):
+    """Cross-turn relation extraction — the transcript-KG edge family
+    the within-turn kg_edges cannot see: a linked mention in turn t and
+    one in turn t+g of the SAME conversation (1 <= g <= XTURN_WINDOW)
+    yield an edge, subject = the earlier mention, predicate = the same
+    type-pair heuristic as within-turn triples (kernels/relations.py —
+    clause-for-clause with the SQL CASE). Canonical-remapped, self-loops
+    dropped, exact-deduped with occurrence weights, like kg_edges.
+
+    Shape: ONE conv-keyed exchange co-locates a conversation's linked
+    mentions; the window join is g equi-joins on (conv_id, turn_idx)
+    (one per gap value — O(W · matches), never the per-conversation
+    quadratic explode); per-partition partial counts combine in one
+    edge-keyed exchange. Partitioning assumption (custom-operator
+    contract): one conversation's mentions fit a partition — hot
+    conversations are the north-rule skew case, handled by raising
+    num_partitions with corpus size (the key is conv_id, so a single
+    pathological conversation additionally needs the turn-range salting
+    documented in SCALE.md)."""
+    from .kernels.relations import predicate_for_vec
+    from .stages.exchange import keyed_exchange
+    from .state.broadcast import resolve
+    from .state.manifest import list_parquet_files
+
+    ann_dir, rows = _annotations_cache(sf_dir)
+    comp_ref = ray.put(canonical_components(rows))
+
+    ann = rd.read_parquet(
+        list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "mentions"]
+    )
+    lm = mentions_stage(ann).map_batches(
+        lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
+    )
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": t["conv_id"].to_pandas().astype(str),
+                "turn_idx": t["turn_idx"].to_pandas().astype("int64"),
+                "cui": t["cui"].to_pandas().astype(str),
+                "type": t["type"].to_pandas().astype(str),
+            }
+        )
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        comp = resolve(comp_ref)
+        frames = []
+        for g in range(1, XTURN_WINDOW + 1):
+            right = df.assign(_jt=df["turn_idx"] - g)
+            m = df.merge(
+                right,
+                left_on=["conv_id", "turn_idx"],
+                right_on=["conv_id", "_jt"],
+                suffixes=("_x", "_y"),
+            )
+            if len(m):
+                frames.append(m)
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "subj_cui": pd.Series(dtype=object),
+                    "pred": pd.Series(dtype=object),
+                    "obj_cui": pd.Series(dtype=object),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        m = pd.concat(frames, ignore_index=True)
+        s = m["cui_x"].map(comp).to_numpy()
+        o = m["cui_y"].map(comp).to_numpy()
+        keep = s != o
+        pred = predicate_for_vec(
+            m["type_x"].to_numpy()[keep], m["type_y"].to_numpy()[keep]
+        )
+        return (
+            pd.DataFrame({"subj_cui": s[keep], "pred": pred, "obj_cui": o[keep]})
+            .groupby(["subj_cui", "pred", "obj_cui"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    parts = keyed_exchange(
+        lm.map_batches(prep, batch_format="pyarrow"), ["conv_id"], per_conv, 16
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["subj_cui", "pred", "obj_cui"], sort=False)["n"]
+            .sum()
+            .reset_index(name="weight")
+        )
+        out["weight"] = out["weight"].astype("int64")
+        return out[["subj_cui", "pred", "obj_cui", "weight"]]
+
+    return keyed_exchange(parts, ["subj_cui", "pred", "obj_cui"], combine, 8)

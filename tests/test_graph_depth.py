@@ -133,3 +133,33 @@ def test_edge_provenance_consistent_with_kg_edges(ray_session):
     assert (prov["n_convs"] >= 1).all()
     assert (prov["n_convs"] <= prov["weight"]).all()
     assert (prov["first_ts"] <= prov["last_ts"]).all()
+
+
+def test_cross_turn_edges_brute_force(ray_session):
+    """Window join == literal per-conversation double loop over the
+    linked mentions (subject strictly earlier, gap within the window),
+    with canonical remap + self-loop drop + type-pair predicates."""
+    from biomedical_ner_ray.kernels.relations import predicate_for
+    from biomedical_ner_ray.oracle import canonical_components
+
+    sf = "/root/testdata/sf0.001"
+    lm = Q.kg_linked_mentions(sf).to_pandas()
+    comp = canonical_components(Q._alias_rows(Q._fixture(sf)))
+    counts = {}
+    for _, conv in lm.groupby("conv_id"):
+        rows = list(conv.itertuples())
+        for a in rows:
+            for b in rows:
+                gap = b.turn_idx - a.turn_idx
+                if not (1 <= gap <= Q.XTURN_WINDOW):
+                    continue
+                s, o = comp[a.cui], comp[b.cui]
+                if s == o:
+                    continue
+                k = (s, predicate_for(a.type, b.type), o)
+                counts[k] = counts.get(k, 0) + 1
+    out = Q.kg_cross_turn_edges(sf).to_pandas()
+    got = {
+        (r.subj_cui, r.pred, r.obj_cui): r.weight for r in out.itertuples()
+    }
+    assert got == counts
