@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_provenance": Q.kg_edge_provenance,
         # cross-turn (windowed) relation extraction
         "kg_cross_turn_edges": Q.kg_cross_turn_edges,
+        # incremental KG maintenance: delta upsert into the persisted
+        # base edge table (oracle = FULL-recompute kg_edges SQL)
+        "kg_update_edges": Q.kg_update_edges,
         # k-core decomposition (bounded-round distributed peeling)
         "part_kcore": Q.part_kcore,
         # neighborhood-Jaccard link prediction (sampled wedge join)
@@ -1629,6 +1632,17 @@ r AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        # the incremental upsert must EQUAL the full recompute — same
+        # SQL as kg_edges over the whole corpus (base ∪ delta)
+        "kg_update_edges": pre
+        + """
+SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,
+       CAST(count(*) AS BIGINT) AS weight
+FROM triplesq t
+JOIN lab3 cs ON cs.cui = t.subj_cui
+JOIN lab3 co ON co.cui = t.obj_cui
+WHERE cs.label <> co.label
+GROUP BY cs.label, t.pred, co.label""",
         "kg_cross_turn_edges": pre
         + f"""
 SELECT cs.label AS subj_cui, x.pred, co.label AS obj_cui,

@@ -177,6 +177,7 @@ QUERY_NAMES = [
     "doc_dedup_ppjoin",
     "kg_edge_provenance",
     "kg_cross_turn_edges",
+    "kg_update_edges",
     "part_kcore",
     "part_neighbor_jaccard",
 ]

@@ -163,3 +163,34 @@ def test_cross_turn_edges_brute_force(ray_session):
         (r.subj_cui, r.pred, r.obj_cui): r.weight for r in out.itertuples()
     }
     assert got == counts
+
+
+def test_kg_update_edges_equals_recompute(ray_session):
+    """The delta upsert over the persisted base buckets must equal the
+    full-corpus recompute (kg_edges), the split must be a real
+    partition (both shards non-empty), and every persisted bucket file
+    must hold only its own bucket's edges (the touched-bucket read
+    soundness condition)."""
+    sf = "/root/testdata/sf0.001"
+    upd = Q.kg_update_edges(sf).to_pandas()
+    full = Q.kg_edges(sf).to_pandas()
+    k = ["subj_cui", "pred", "obj_cui"]
+    m = full.merge(upd, on=k, how="outer", indicator=True, suffixes=("_f", "_u"))
+    assert (m["_merge"] == "both").all()
+    assert (m["weight_f"] == m["weight_u"]).all()
+
+    # split is a real partition at this scale
+    base_ann, _ = Q._kg_split_annotations(sf, delta=False)
+    delta_ann, _ = Q._kg_split_annotations(sf, delta=True)
+    nb, nd = base_ann.count(), delta_ann.count()
+    assert nb > 0 and nd > 0
+
+    # bucket soundness: each persisted file holds only its bucket
+    from biomedical_ner_ray.state.manifest import list_parquet_files
+
+    base_dir = Q._kg_base_edges_cache(sf)
+    for f in list_parquet_files(base_dir):
+        b = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        df = pq.read_table(f).to_pandas()
+        got = Q._with_edge_bucket(df[["subj_cui", "pred", "obj_cui"]])
+        assert (got["edge_bucket"] == b).all()
