@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental KG maintenance: delta upsert into the persisted
         # base edge table (oracle = FULL-recompute kg_edges SQL)
         "kg_update_edges": Q.kg_update_edges,
+        # multimodal × dedup bridge: cross-video duplicate frames
+        "mm_frame_dedup": Q.mm_frame_dedup,
         # k-core decomposition (bounded-round distributed peeling)
         "part_kcore": Q.part_kcore,
         # neighborhood-Jaccard link prediction (sampled wedge join)
@@ -1632,6 +1634,18 @@ r AS (
 )
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        "mm_frame_dedup": f"""
+WITH fr AS (
+  SELECT doc_id,
+         md5(substring(text, g.i * {Q.MM_FRAME_CHARS} + 1, {Q.MM_FRAME_CHARS})) AS frame_md5
+  FROM documents,
+       unnest(generate_series(0, (length(text) - 1) // {Q.MM_FRAME_CHARS})) AS g(i)
+  WHERE doc_id % 3 = 2 AND length(text) > 0
+)
+SELECT frame_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       min(doc_id) AS first_doc
+FROM fr GROUP BY frame_md5 HAVING count(DISTINCT doc_id) >= 2""",
         # the incremental upsert must EQUAL the full recompute — same
         # SQL as kg_edges over the whole corpus (base ∪ delta)
         "kg_update_edges": pre

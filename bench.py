@@ -178,6 +178,7 @@ QUERY_NAMES = [
     "kg_edge_provenance",
     "kg_cross_turn_edges",
     "kg_update_edges",
+    "mm_frame_dedup",
     "part_kcore",
     "part_neighbor_jaccard",
 ]

@@ -5338,3 +5338,64 @@ def kg_update_edges(sf_dir: str):
             as_pandas(rd.read_parquet(untouched_files, columns=cols))
         )
     return merged
+
+
+MM_FRAME_CHARS = 256  # fake-codec frame = 256 code points of the payload text
+
+
+def mm_frame_dedup(sf_dir: str):
+    """Cross-video duplicate-frame detection — the multimodal×dedup
+    bridge: every video's frames get a content fingerprint and frames
+    appearing in ≥2 DISTINCT videos surface as dedup groups (the
+    image/video analogue of exact text dedup; with a real codec the
+    fingerprint would be a perceptual hash from the decode actor pool,
+    same plumbing). The fake codec defines frame i as code points
+    [i·256, (i+1)·256) of the payload text (DuckDB has no BLOB
+    substring, so the SQL replay uses character slicing — md5 of a
+    varchar hashes its utf-8 bytes, matching hashlib on the encoded
+    slice). Shape: row-local frame explode with per-batch (hash, doc)
+    partials → ONE hash-keyed exchange → distinct-video count + total
+    occurrences + min doc id, threshold applied in-cluster."""
+    import hashlib
+
+    from .stages.exchange import keyed_exchange
+    from .stages.multimodal import MEDIA_TYPES
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def frames(t: pa.Table) -> pd.DataFrame:
+        hs, docs, ns = [], [], []
+        agg: dict = {}
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if MEDIA_TYPES[doc_id % 3] != "video" or not text:
+                continue
+            for i in range((len(text) - 1) // MM_FRAME_CHARS + 1):
+                sl = text[i * MM_FRAME_CHARS : (i + 1) * MM_FRAME_CHARS]
+                k = (hashlib.md5(sl.encode("utf-8")).hexdigest(), doc_id)
+                agg[k] = agg.get(k, 0) + 1
+        for (h, d), n in agg.items():
+            hs.append(h)
+            docs.append(d)
+            ns.append(n)
+        return pd.DataFrame(
+            {"frame_md5": hs, "doc_id": docs, "n": np.array(ns, dtype=np.int64)}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("frame_md5", sort=False)
+            .agg(
+                n_docs=("doc_id", "nunique"),
+                n_frames=("n", "sum"),
+                first_doc=("doc_id", "min"),
+            )
+            .reset_index()
+        )
+        g = g[g["n_docs"] >= 2]
+        return g.astype(
+            {"n_docs": "int64", "n_frames": "int64", "first_doc": "int64"}
+        )[["frame_md5", "n_docs", "n_frames", "first_doc"]]
+
+    return keyed_exchange(
+        ds.map_batches(frames, batch_format="pyarrow"), ["frame_md5"], combine, 8
+    )

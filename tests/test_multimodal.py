@@ -68,3 +68,40 @@ def test_real_codec_gate():
     with pytest.raises(NotImplementedError):
         MediaDecoder(codec="pil")
     MediaDecoder(codec="fake")  # default path constructs fine
+
+
+def test_frame_dedup_planted(ray_session, tmp_path):
+    """Planted cross-video duplicate frames: two videos sharing their
+    first 256-codepoint frame must surface as one dup group; a frame
+    repeated WITHIN one video only must not (distinct-video gate)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_ner_ray import queries as Q
+
+    shared = "x" * Q.MM_FRAME_CHARS
+    inner_dup = "y" * Q.MM_FRAME_CHARS
+    rows = {
+        # doc_id % 3 == 2 -> video
+        2: shared + "tail-a",
+        5: shared + "tail-b",
+        8: inner_dup + inner_dup,  # same frame twice, ONE video
+        11: "unique frame content",
+        0: shared,  # image: must be ignored even with the shared frame
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(rows), pa.int64()),
+                "text": pa.array(list(rows.values()), pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = Q.mm_frame_dedup(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["frame_md5"] == hashlib.md5(shared.encode()).hexdigest()
+    assert r["n_docs"] == 2 and r["n_frames"] == 2 and r["first_doc"] == 2
