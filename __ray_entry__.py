@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_update_edges": Q.kg_update_edges,
         # multimodal × dedup bridge: cross-video duplicate frames
         "mm_frame_dedup": Q.mm_frame_dedup,
+        # node-level lineage (companion of kg_edge_provenance)
+        "kg_node_provenance": Q.kg_node_provenance,
         # k-core decomposition (bounded-round distributed peeling)
         "part_kcore": Q.part_kcore,
         # neighborhood-Jaccard link prediction (sampled wedge join)
@@ -1712,6 +1714,17 @@ JOIN lab3 cs ON cs.cui = t.subj_cui
 JOIN lab3 co ON co.cui = t.obj_cui
 WHERE cs.label <> co.label
 GROUP BY cs.label, t.pred, co.label""",
+        "kg_node_provenance": pre
+        + """
+SELECT c.label AS cui,
+       CAST(count(*) AS BIGINT) AS mention_count,
+       CAST(count(DISTINCT m.conv_id) AS BIGINT) AS n_convs,
+       min(f.ts) AS first_ts, max(f.ts) AS last_ts
+FROM mentionsq m
+JOIN transcripts_fx f
+  ON f.conv_id = m.conv_id AND f.turn_idx = m.turn_idx
+JOIN lab3 c ON c.cui = m.cui
+GROUP BY c.label""",
         "kg_mentions_learned": _mentions_learned_sql(),
         "doc_quality_classifier": _qualclf_scores_sql(),
         "doc_classifier_weights": _qualclf_weights_sql(),

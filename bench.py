@@ -179,6 +179,7 @@ QUERY_NAMES = [
     "kg_cross_turn_edges",
     "kg_update_edges",
     "mm_frame_dedup",
+    "kg_node_provenance",
     "part_kcore",
     "part_neighbor_jaccard",
 ]

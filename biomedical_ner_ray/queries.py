@@ -5399,3 +5399,96 @@ def mm_frame_dedup(sf_dir: str):
     return keyed_exchange(
         ds.map_batches(frames, batch_format="pyarrow"), ["frame_md5"], combine, 8
     )
+
+
+def kg_node_provenance(sf_dir: str):
+    """Node-level lineage, the companion of kg_edge_provenance: every
+    canonical node carries its mention count, distinct supporting
+    conversations, and first/last supporting timestamp. Same shape —
+    mention partials and pruned turn timestamps meet in ONE turn-keyed
+    union exchange (never a corpus-scale turn→ts broadcast); per-(node,
+    conv) partials combine in one node-keyed exchange."""
+    from .stages.exchange import keyed_exchange
+    from .state.broadcast import resolve
+    from .state.manifest import list_parquet_files
+
+    ann_dir, rows = _annotations_cache(sf_dir)
+    comp_ref = ray.put(canonical_components(rows))
+    paths = _fixture(sf_dir)
+
+    ann = rd.read_parquet(
+        list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "mentions"]
+    )
+    lm = mentions_stage(ann).map_batches(
+        lambda t: t.filter(t["cui"].is_valid()), batch_format="pyarrow"
+    )
+
+    def m_partial(df: pd.DataFrame) -> pd.DataFrame:
+        comp = resolve(comp_ref)
+        g = (
+            pd.DataFrame(
+                {
+                    "conv_id": df["conv_id"].astype(str),
+                    "turn_idx": df["turn_idx"].astype("int64"),
+                    "cui": df["cui"].map(comp),
+                }
+            )
+            .groupby(["conv_id", "turn_idx", "cui"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["ts_us"] = np.int64(0)
+        return g
+
+    def ts_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].astype(str),
+                "turn_idx": df["turn_idx"].astype("int64"),
+                "cui": "",
+                "n": np.int64(0),
+                "ts_us": df["ts"].to_numpy(dtype="datetime64[us]").astype("int64"),
+            }
+        )
+
+    men = lm.map_batches(m_partial, batch_format="pandas")
+    ts = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"]).map_batches(
+        ts_rows, batch_format="pandas"
+    )
+
+    def join_ts(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.loc[df["n"] == 0, ["conv_id", "turn_idx", "ts_us"]]
+        m = df.loc[df["n"] > 0].drop(columns=["ts_us"]).merge(
+            t, on=["conv_id", "turn_idx"], how="inner"
+        )
+        return (
+            m.groupby(["cui", "conv_id"], sort=False)
+            .agg(n=("n", "sum"), mn=("ts_us", "min"), mx=("ts_us", "max"))
+            .reset_index()
+        )
+
+    partials = keyed_exchange(men.union(ts), ["conv_id", "turn_idx"], join_ts, 16)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("cui", sort=False)
+            .agg(
+                mention_count=("n", "sum"),
+                n_convs=("conv_id", "nunique"),
+                f=("mn", "min"),
+                l=("mx", "max"),
+            )
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "cui": g["cui"],
+                "mention_count": g["mention_count"].astype("int64"),
+                "n_convs": g["n_convs"].astype("int64"),
+                "first_ts": g["f"].to_numpy(dtype="int64").astype("datetime64[us]"),
+                "last_ts": g["l"].to_numpy(dtype="int64").astype("datetime64[us]"),
+            }
+        )
+
+    return keyed_exchange(partials, ["cui"], final, 8)

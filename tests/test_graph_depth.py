@@ -194,3 +194,17 @@ def test_kg_update_edges_equals_recompute(ray_session):
         df = pq.read_table(f).to_pandas()
         got = Q._with_edge_bucket(df[["subj_cui", "pred", "obj_cui"]])
         assert (got["edge_bucket"] == b).all()
+
+
+def test_node_provenance_consistent_with_kg_nodes(ray_session):
+    """Node lineage rows are kg_nodes rows with lineage attached: same
+    canonical node set and mention counts; per-node invariants."""
+    sf = "/root/testdata/sf0.001"
+    prov = Q.kg_node_provenance(sf).to_pandas()
+    nodes = Q.kg_nodes(sf).to_pandas()
+    m = nodes.merge(prov, on="cui", how="outer", indicator=True)
+    assert (m["_merge"] == "both").all()
+    assert (m["mention_count_x"] == m["mention_count_y"]).all()
+    assert (prov["n_convs"] >= 1).all()
+    assert (prov["n_convs"] <= prov["mention_count"]).all()
+    assert (prov["first_ts"] <= prov["last_ts"]).all()
