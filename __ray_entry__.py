@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_dedup": Q.mm_frame_dedup,
         # node-level lineage (companion of kg_edge_provenance)
         "kg_node_provenance": Q.kg_node_provenance,
+        # k-truss decomposition (edge-support peeling)
+        "part_ktruss": Q.part_ktruss,
         # k-core decomposition (bounded-round distributed peeling)
         "part_kcore": Q.part_kcore,
         # neighborhood-Jaccard link prediction (sampled wedge join)
@@ -1682,6 +1684,9 @@ JOIN lab3 co ON co.cui = x.ocui
 WHERE cs.label <> co.label
 GROUP BY cs.label, x.pred, co.label""",
         "part_kcore": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
+        "part_ktruss": _ktruss_sql(
+            Q.KTRUSS_K, Q.KTRUSS_ROUNDS, Q.TRI_SAMPLE_MOD
+        ),
         "part_neighbor_jaccard": f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1768,6 +1773,47 @@ e{i} AS MATERIALIZED (
         f"""
 SELECT n AS part_id, CAST(count(*) AS BIGINT) AS core_degree
 FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY n"""
+    )
+    return "".join(parts)
+
+
+def _ktruss_sql(k: int, rounds: int, mod: int) -> str:
+    """Fixed-round k-truss peeling as materialized CTE iterates —
+    round-for-round identical to part_ktruss's Ray loop (triangles over
+    e_{i-1} → per-edge support → survivors), exact even before the
+    fixpoint. Every iterate AS MATERIALIZED (the power-iteration
+    lesson)."""
+    thr = k - 2
+    parts = [
+        f"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e0 AS MATERIALIZED (
+  SELECT u, v FROM p
+  WHERE md5_number_lower('tri:' || u || ':' || v) % {mod} = 0)"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+tri{i} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM {prev} e1 JOIN {prev} e2 ON e2.u = e1.v
+  JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v),
+sup{i} AS MATERIALIZED (
+  SELECT u, v, count(*) AS s
+  FROM (SELECT a AS u, b AS v FROM tri{i}
+        UNION ALL SELECT a, c FROM tri{i}
+        UNION ALL SELECT b, c FROM tri{i}) GROUP BY u, v),
+e{i} AS MATERIALIZED (SELECT u, v FROM sup{i} WHERE s >= {thr})"""
+        )
+        prev = f"e{i}"
+    parts.append(
+        f"""
+SELECT u AS part_u, v AS part_v, CAST(s AS BIGINT) AS support
+FROM sup{rounds} WHERE s >= {thr}"""
     )
     return "".join(parts)
 

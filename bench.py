@@ -180,6 +180,7 @@ QUERY_NAMES = [
     "kg_update_edges",
     "mm_frame_dedup",
     "kg_node_provenance",
+    "part_ktruss",
     "part_kcore",
     "part_neighbor_jaccard",
 ]

@@ -5492,3 +5492,95 @@ def kg_node_provenance(sf_dir: str):
         )
 
     return keyed_exchange(partials, ["cui"], final, 8)
+
+
+KTRUSS_K = 4  # survivors need support (triangles per edge) >= K-2
+KTRUSS_ROUNDS = 5  # fixpoint at round <= 4 on both test scales (asserted)
+
+
+def part_ktruss(sf_dir: str):
+    """K-truss decomposition of the md5-sparsified co-purchase graph —
+    the edge-support analogue of part_kcore: each round counts the
+    triangles through every surviving edge and drops edges with support
+    < K-2, to a fixed-round bound (KTRUSS_ROUNDS, covering the measured
+    fixpoint at both test scales; rounds end early once a pass drops
+    nothing, which the monotone survivor count detects with one cheap
+    count per round). Per round: adjacency explode → center-keyed wedge
+    exchange (per-partition (a, b) pre-counts), then ONE pair-keyed
+    exchange where wedge counts meet the edge marks — a wedge a-s-b
+    closes iff (a, b) is an edge, and every triangle increments exactly
+    its closing edge once per center, so the per-pair sum IS the global
+    support. Output = surviving edges with their fixpoint support
+    (round-for-round identical to the materialized-CTE SQL replay)."""
+    from .stages.exchange import keyed_exchange
+
+    thr = KTRUSS_K - 2
+    edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD).materialize()
+    n_prev = edges.count()
+    sup_ds = None
+
+    def adj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                "o": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+            }
+        )
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="n")
+        m = m[m["o_x"] < m["o_y"]]
+        g = m.groupby(["o_x", "o_y"], sort=False).size().reset_index(name="cnt")
+        return pd.DataFrame(
+            {
+                "a": g["o_x"].astype("int64"),
+                "b": g["o_y"].astype("int64"),
+                "cnt": g["cnt"].astype("int64"),
+                "kind": np.int64(1),
+            }
+        )
+
+    def marks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": df["u"].astype("int64"),
+                "b": df["v"].astype("int64"),
+                "cnt": np.int64(0),
+                "kind": np.int64(0),
+            }
+        )
+
+    def closure(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.loc[df["kind"] == 0, ["a", "b"]]
+        w = df.loc[df["kind"] == 1]
+        g = w.groupby(["a", "b"], sort=False, as_index=False)["cnt"].sum()
+        g = g.merge(e, on=["a", "b"], how="inner")
+        g = g[g["cnt"] >= thr]
+        return pd.DataFrame(
+            {
+                "u": g["a"].astype("int64"),
+                "v": g["b"].astype("int64"),
+                "support": g["cnt"].astype("int64"),
+            }
+        )
+
+    for _ in range(KTRUSS_ROUNDS):
+        w = keyed_exchange(edges.map_batches(adj, batch_format="pandas"), ["n"], wedges, 16)
+        mk = edges.map_batches(marks, batch_format="pandas")
+        sup_ds = keyed_exchange(w.union(mk), ["a", "b"], closure, 16).materialize()
+        n_cur = sup_ds.count()
+        edges = sup_ds.select_columns(["u", "v"])
+        if n_cur == n_prev or n_cur == 0:
+            break  # monotone survivor count unchanged -> fixpoint
+        n_prev = n_cur
+
+    return sup_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "part_u": df["u"].astype("int64"),
+                "part_v": df["v"].astype("int64"),
+                "support": df["support"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

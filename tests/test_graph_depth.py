@@ -208,3 +208,57 @@ def test_node_provenance_consistent_with_kg_nodes(ray_session):
     assert (prov["n_convs"] >= 1).all()
     assert (prov["n_convs"] <= prov["mention_count"]).all()
     assert (prov["first_ts"] <= prov["last_ts"]).all()
+
+
+def test_ktruss_planted_exact(ray_session, tmp_path, monkeypatch):
+    """4-truss on a planted graph: a 4-clique (every edge in 2
+    triangles) survives; a triangle glued to it by one shared vertex
+    (support 1 per edge) must peel away, cascading its shared edges."""
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    pendant_tri = [(3, 10), (3, 11), (10, 11)]
+    sf = _write_lineitem(tmp_path, clique + pendant_tri)
+    monkeypatch.setattr(Q, "TRI_SAMPLE_MOD", 1)
+    out = Q.part_ktruss(sf).to_pandas().sort_values(["part_u", "part_v"])
+    got = {(r.part_u, r.part_v): r.support for r in out.itertuples()}
+    assert got == {(u, v): 2 for (u, v) in clique}
+
+
+def test_ktruss_fixpoint_within_rounds():
+    """KTRUSS_ROUNDS covers the real sampled graph's peeling fixpoint at
+    sf0.001 (every survivor's support within the survivor set >= K-2).
+    Pure-python replay, no Ray."""
+    from collections import defaultdict
+
+    from biomedical_ner_ray.kernels.hashing import stable_u64_md5
+
+    li = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    ).to_pandas()
+    d = li.drop_duplicates()
+    m = d.merge(d, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    edges = {
+        (int(a), int(b))
+        for a, b in zip(m["l_partkey_x"], m["l_partkey_y"])
+        if stable_u64_md5(f"tri:{a}:{b}".encode()) % Q.TRI_SAMPLE_MOD == 0
+    }
+    thr = Q.KTRUSS_K - 2
+    cur, rounds = set(edges), 0
+    while True:
+        adj = defaultdict(set)
+        for u, v in cur:
+            adj[u].add(v)
+            adj[v].add(u)
+        nxt = {(u, v) for u, v in cur if len(adj[u] & adj[v]) >= thr}
+        rounds += 1
+        if nxt == cur or not nxt:
+            break
+        cur = nxt
+    assert rounds <= Q.KTRUSS_ROUNDS
+    for u, v in cur:
+        adj = defaultdict(set)
+        for x, y in cur:
+            adj[x].add(y)
+            adj[y].add(x)
+        assert len(adj[u] & adj[v]) >= thr
