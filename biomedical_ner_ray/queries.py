@@ -5309,12 +5309,14 @@ def kg_update_edges(sf_dir: str):
     )
 
     cols = ["subj_cui", "pred", "obj_cui", "weight"]
-    buckets = {
-        int(os.path.basename(os.path.dirname(f)).split("=")[1]): f
-        for f in list_parquet_files(base_dir)
-    }
-    touched_files = [f for b, f in buckets.items() if b in touched]
-    untouched_files = [f for b, f in buckets.items() if b not in touched]
+    # group files per bucket dir: the exchange yields one file per
+    # bucket today, but a future block split must not silently drop rows
+    buckets: dict[int, list] = {}
+    for f in list_parquet_files(base_dir):
+        b = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        buckets.setdefault(b, []).append(f)
+    touched_files = [f for b, fs in buckets.items() if b in touched for f in fs]
+    untouched_files = [f for b, fs in buckets.items() if b not in touched for f in fs]
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -5378,7 +5380,11 @@ def mm_frame_dedup(sf_dir: str):
             docs.append(d)
             ns.append(n)
         return pd.DataFrame(
-            {"frame_md5": hs, "doc_id": docs, "n": np.array(ns, dtype=np.int64)}
+            {
+                "frame_md5": pd.array(hs, dtype=object),
+                "doc_id": np.array(docs, dtype=np.int64),
+                "n": np.array(ns, dtype=np.int64),
+            }
         )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
