@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # coverage scheduling, not priority.
     return {
         # --- round-3 additions (never driver-sampled) ---
+        # dialogue-dynamics: role-transition matrix over transcripts
+        "kg_role_transitions": Q.kg_role_transitions,
+        # multi-source BFS levels (reachability) over the sampled graph
+        "part_bfs_levels": Q.part_bfs_levels,
         # KG edge temporal provenance (weight, distinct convs, first/last
         # supporting timestamp — per-edge lineage)
         "kg_edge_provenance": Q.kg_edge_provenance,
@@ -1684,6 +1688,17 @@ JOIN lab3 co ON co.cui = x.ocui
 WHERE cs.label <> co.label
 GROUP BY cs.label, x.pred, co.label""",
         "part_kcore": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
+        "part_bfs_levels": _bfs_sql(
+            Q.BFS_SEED_MOD, Q.BFS_ROUNDS, Q.TRI_SAMPLE_MOD
+        ),
+        "kg_role_transitions": pre
+        + """
+SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n_transitions
+FROM (SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+             role
+      FROM transcripts_fx)
+WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role""",
         "part_ktruss": _ktruss_sql(
             Q.KTRUSS_K, Q.KTRUSS_ROUNDS, Q.TRI_SAMPLE_MOD
         ),
@@ -1773,6 +1788,47 @@ e{i} AS MATERIALIZED (
         f"""
 SELECT n AS part_id, CAST(count(*) AS BIGINT) AS core_degree
 FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY n"""
+    )
+    return "".join(parts)
+
+
+def _bfs_sql(seed_mod: int, rounds: int, mod: int) -> str:
+    """Fixed-round multi-source BFS as materialized CTE iterates —
+    round-for-round identical to part_bfs_levels's Ray loop (frontier at
+    level i-1 → unseen neighbors get level i), over the SAME
+    md5-sparsified edge set (the ``tri:`` coin) and the SAME ``bfs:``
+    md5 seed gate, so the comparison is exact even before the frontier
+    empties. Every iterate AS MATERIALIZED (the power-iteration
+    lesson)."""
+    parts = [
+        f"""WITH d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0
+  WHERE md5_number_lower('tri:' || u || ':' || v) % {mod} = 0),
+adj AS MATERIALIZED (SELECT u AS n, v AS o FROM e UNION ALL SELECT v, u FROM e),
+lv0 AS MATERIALIZED (
+  SELECT DISTINCT n AS node, 0 AS level FROM adj
+  WHERE md5_number_lower('bfs:' || n) % {seed_mod} = 0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+f{i} AS MATERIALIZED (
+  SELECT DISTINCT adj.o AS node
+  FROM adj JOIN lv{i - 1} p ON adj.n = p.node AND p.level = {i - 1}
+  WHERE adj.o NOT IN (SELECT node FROM lv{i - 1})),
+lv{i} AS MATERIALIZED (
+  SELECT node, level FROM lv{i - 1}
+  UNION ALL SELECT node, {i} FROM f{i})"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS part_id, CAST(level AS BIGINT) AS level
+FROM lv{rounds}"""
     )
     return "".join(parts)
 

@@ -5590,3 +5590,141 @@ def part_ktruss(sf_dir: str):
         ),
         batch_format="pandas",
     )
+
+
+def kg_role_transitions(sf_dir: str):
+    """Role-transition matrix over agent transcripts (user→assistant→
+    tool hand-off structure — the dialogue-dynamics signal an agent-
+    transcript corpus is mined for). Skew-free pairing: every turn emits
+    itself twice — once at its own (conv_id, turn_idx) and once shifted
+    to (conv_id, turn_idx + 1) as the predecessor — and a hash exchange
+    on the UNIFORM key (conv_id, turn_idx) matches each turn with its
+    predecessor inside a vectorized merge (the kg_conv_turn_gaps
+    pattern: no per-conversation hotspot because the partition key
+    includes turn_idx). Each partition then reduces to (prev_role,
+    role) partial counts — domain ≤ |roles|² — and one tiny keyed
+    exchange combines them. First turns (no predecessor) are excluded,
+    matching the SQL ``WHERE prev_role IS NOT NULL``."""
+    from .stages.exchange import keyed_exchange
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df["turn_idx"].astype("int64")
+        cur = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": idx,
+                "role": df["role"],
+                "is_prev": False,
+            }
+        )
+        prev = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": idx + 1,
+                "role": df["role"],
+                "is_prev": True,
+            }
+        )
+        return pd.concat([cur, prev], ignore_index=True)
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        cur = df[~df["is_prev"]]
+        prev = df[df["is_prev"]][["conv_id", "turn_idx", "role"]].rename(
+            columns={"role": "prev_role"}
+        )
+        m = cur.merge(prev, on=["conv_id", "turn_idx"], how="inner")
+        return (
+            m.groupby(["prev_role", "role"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["prev_role", "role"], as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "prev_role": g["prev_role"].astype(str),
+                "role": g["role"].astype(str),
+                "n_transitions": g["n"].astype("int64"),
+            }
+        )
+
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "role"])
+    paired = keyed_exchange(
+        ds.map_batches(emit, batch_format="pandas"),
+        ["conv_id", "turn_idx"],
+        pair_counts,
+        num_partitions=8,
+    )
+    return keyed_exchange(paired, ["prev_role", "role"], combine, num_partitions=8)
+
+
+BFS_SEED_MOD = 64  # node joins the seed set iff md5('bfs:'||node) % MOD == 0
+BFS_ROUNDS = 4  # fixed frontier-expansion rounds (level = hop distance <= ROUNDS)
+
+
+def part_bfs_levels(sf_dir: str):
+    """Multi-source BFS levels (hop distance from a deterministic seed
+    set) over the md5-sparsified co-purchase graph — the reachability /
+    influence-radius primitive (label propagation, taint tracking, seed
+    expansion all reduce to it). Seeds: nodes whose ``bfs:`` md5 coin
+    hits (SQL-replayable, the DOULION coin pattern). Per round the
+    CURRENT FRONTIER is broadcast (bounded by the part dimension, the
+    part_kcore alive-set argument) and one pass over the pinned edge set
+    emits frontier neighbors; a node-keyed exchange dedups them and the
+    driver assigns level r to nodes not yet seen. Exactly BFS_ROUNDS
+    rounds with early exit on an empty frontier — the same bounded-round
+    contract as part_kcore, so the unrolled materialized-CTE oracle
+    replays round-for-round. Only frontier-adjacent edges produce
+    exchange rows; the edge set itself never reshuffles."""
+    from .stages.exchange import keyed_exchange
+    from .state.broadcast import resolve
+
+    from .kernels.hashing import stable_u64_md5
+
+    edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD).materialize()
+    nodes = _copurchase_degrees(edges)["node"].to_numpy()
+    coin = np.fromiter(
+        (stable_u64_md5(f"bfs:{n}".encode("utf-8")) for n in nodes),
+        dtype=np.uint64,
+        count=len(nodes),
+    )
+    frontier = np.sort(nodes[coin % np.uint64(BFS_SEED_MOD) == 0])
+    levels = {int(n): 0 for n in frontier}
+
+    for r in range(1, BFS_ROUNDS + 1):
+        if not len(frontier):
+            break
+        fref = ray.put(frontier)
+
+        def nbrs(df: pd.DataFrame, fref=fref) -> pd.DataFrame:
+            f = resolve(fref)
+            u = df["u"].to_numpy()
+            v = df["v"].to_numpy()
+            out = np.concatenate([v[np.isin(u, f)], u[np.isin(v, f)]])
+            return pd.DataFrame({"node": np.unique(out).astype("int64")})
+
+        nxt = keyed_exchange(
+            edges.map_batches(nbrs, batch_format="pandas"),
+            ["node"],
+            lambda df: df.drop_duplicates(),
+            num_partitions=8,
+        ).to_pandas()
+        cand = nxt["node"].to_numpy(dtype="int64") if len(nxt) else np.array([], dtype="int64")
+        new = np.sort(cand[~np.isin(cand, np.fromiter(levels, dtype=np.int64, count=len(levels)))])
+        for n in new:
+            levels[int(n)] = r
+        frontier = new
+
+    if not levels:
+        return pd.DataFrame(
+            {"part_id": pd.Series(dtype="int64"), "level": pd.Series(dtype="int64")}
+        )
+    items = sorted(levels.items())
+    return pd.DataFrame(
+        {
+            "part_id": pd.Series([k for k, _ in items], dtype="int64"),
+            "level": pd.Series([v for _, v in items], dtype="int64"),
+        }
+    )
