@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions (never driver-sampled) ---
         # dialogue-dynamics: role-transition matrix over transcripts
         "kg_role_transitions": Q.kg_role_transitions,
+        # sparse retrieval: integer-exact BM25 top-k corpus search
+        "doc_bm25_topk": Q.doc_bm25_topk,
         # multi-source BFS levels (reachability) over the sampled graph
         "part_bfs_levels": Q.part_bfs_levels,
         # KG edge temporal provenance (weight, distinct convs, first/last
@@ -1691,6 +1693,7 @@ GROUP BY cs.label, x.pred, co.label""",
         "part_bfs_levels": _bfs_sql(
             Q.BFS_SEED_MOD, Q.BFS_ROUNDS, Q.TRI_SAMPLE_MOD
         ),
+        "doc_bm25_topk": _bm25_sql(),
         "kg_role_transitions": pre
         + """
 SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n_transitions
@@ -1790,6 +1793,53 @@ SELECT n AS part_id, CAST(count(*) AS BIGINT) AS core_degree
 FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY n"""
     )
     return "".join(parts)
+
+
+def _bm25_sql() -> str:
+    """Integer-exact BM25 replay: the same milli/micro fixed-point
+    arithmetic as queries.doc_bm25_topk, term-for-term — rational idf
+    proxy, tf saturation, length normalization — so scores are BIGINTs
+    both engines compute identically."""
+    k1, b, k = Q.BM25_K1_MILLI, Q.BM25_B_MILLI, Q.BM25_TOPK
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in Q.BM25_QUERIES.items() for t in ts
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
+st AS (SELECT count(*) AS n, sum(len(ws)) AS tot FROM toks),
+q(query_id, term) AS (VALUES {vals}),
+tokex AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+dfx AS (
+  SELECT qt.term, count(DISTINCT x.doc_id) AS df
+  FROM (SELECT DISTINCT term FROM q) qt JOIN tokex x ON x.w = qt.term
+  GROUP BY qt.term),
+tf AS (
+  SELECT x.doc_id, q.query_id, q.term, count(*) AS tf
+  FROM q JOIN tokex x ON x.w = q.term
+  GROUP BY x.doc_id, q.query_id, q.term),
+sc AS (
+  SELECT f.doc_id, f.query_id,
+    sum(
+      ((1000000 * (st.n - d.df + 1)) // (d.df + 1))
+      * (f.tf * ({k1} + 1000))
+      // (f.tf * 1000
+          + ({k1} * ((({1000 - b}) * 1000
+                      + {b} * ((len(t.ws) * 1000000)
+                               // greatest((1000 * st.tot) // st.n, 1)))
+                     // 1000)) // 1000)
+    ) AS score_micro
+  FROM tf f
+  JOIN toks t ON t.doc_id = f.doc_id
+  JOIN dfx d USING (term) CROSS JOIN st
+  GROUP BY f.doc_id, f.query_id),
+rk AS (
+  SELECT query_id, doc_id, score_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rank
+  FROM sc WHERE score_micro > 0)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM rk WHERE rank <= {k}"""
 
 
 def _bfs_sql(seed_mod: int, rounds: int, mod: int) -> str:

@@ -5728,3 +5728,135 @@ def part_bfs_levels(sf_dir: str):
             "level": pd.Series([v for _, v in items], dtype="int64"),
         }
     )
+
+
+BM25_QUERIES: dict[str, tuple[str, ...]] = {
+    "hash_join": ("hash", "join", "batch"),
+    "window_stream": ("window", "agg", "stream"),
+    "scan_filter": ("scan", "filter", "vector"),
+    "orders": ("customer", "order", "line", "table"),
+}
+BM25_TOPK = 10
+BM25_K1_MILLI = 1200  # k1 = 1.2
+BM25_B_MILLI = 750  # b = 0.75
+
+
+def doc_bm25_topk(sf_dir: str):
+    """Sparse-retrieval top-k (BM25 family) — the lexical search scan a
+    training-data pipeline runs for targeted corpus slicing and RAG-eval
+    set construction. Integer-exact variant: the log idf is replaced by
+    the monotone rational proxy ``idf_micro = 1e6·(N−df+1) // (df+1)``
+    and the tf saturation / length normalization keep BM25's exact shape
+    in milli fixed point (k1 = 1.2, b = 0.75), so every score is a
+    BIGINT both engines compute identically (the emb_quantize lesson:
+    integer ops, never float rounding).
+
+    Shape — ZERO shuffles: the query-term set is static and tiny, so
+    pass 1 streams per-block partials (per-term document frequency via a
+    vectorized token-boundary ``str.count``, block token totals) that
+    the driver combines (bounded by #terms); pass 2 re-streams the
+    corpus row-local with the broadcast (df, avgdl, N) stats and keeps a
+    per-block top-k per query — the driver merges #blocks·|Q|·k partial
+    rows (the ann_topk partial-top-k pattern). Both passes prune the
+    read to (doc_id, text)."""
+    import re as _re
+
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    pats = {t: _re.compile(rf"(?<!\w){_re.escape(t)}(?!\w)") for t in terms}
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        low = pd.Series(batch["text"].to_pylist(), dtype="object").str.lower()
+        dl = low.str.count(r"\w+").to_numpy(dtype=np.int64)
+        rows = {"key": ["__n__", "__tot__"], "val": [np.int64(len(low)), dl.sum()]}
+        for t in terms:
+            tf = low.str.count(pats[t]).to_numpy(dtype=np.int64)
+            rows["key"].append(t)
+            rows["val"].append(np.int64((tf > 0).sum()))
+        return pd.DataFrame(rows)
+
+    st = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("key", as_index=False)["val"]
+        .sum()
+    )
+    kv = dict(zip(st["key"], st["val"].astype("int64")))
+    n_docs = int(kv["__n__"])
+    avgdl_milli = (1000 * int(kv["__tot__"])) // max(n_docs, 1)
+    dfs = {t: int(kv.get(t, 0)) for t in terms}
+    idf = {t: (1_000_000 * (n_docs - dfs[t] + 1)) // (dfs[t] + 1) for t in terms}
+    k1, b = BM25_K1_MILLI, BM25_B_MILLI
+    bc = ray.put((idf, avgdl_milli))
+
+    def score_topk(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        idf_, avgdl_ = resolve(bc)
+        low = pd.Series(batch["text"].to_pylist(), dtype="object").str.lower()
+        doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        dl = low.str.count(r"\w+").to_numpy(dtype=np.int64)
+        ratio_milli = (dl * 1_000_000) // max(avgdl_, 1)
+        norm_milli = ((1000 - b) * 1000 + b * ratio_milli) // 1000
+        tfs = {
+            t: low.str.count(pats[t]).to_numpy(dtype=np.int64) for t in terms
+        }
+        out = []
+        for qid, qterms in BM25_QUERIES.items():
+            score = np.zeros(len(doc_ids), dtype=np.int64)
+            for t in qterms:
+                tf = tfs[t]
+                denom = tf * 1000 + (k1 * norm_milli) // 1000
+                term = np.where(
+                    tf > 0, (idf_[t] * (tf * (k1 + 1000))) // np.maximum(denom, 1), 0
+                )
+                score += term
+            keep = score > 0
+            if not keep.any():
+                continue
+            order = np.lexsort((doc_ids[keep], -score[keep]))[:BM25_TOPK]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "doc_id": doc_ids[keep][order],
+                        "score_micro": score[keep][order],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="object"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score_micro": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    if not len(partials):
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+                "score_micro": pd.Series(dtype="int64"),
+            }
+        )
+    partials = partials.sort_values(
+        ["query_id", "score_micro", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = partials.groupby("query_id", sort=True).head(BM25_TOPK)
+    top = top.assign(rank=top.groupby("query_id").cumcount() + 1)
+    return pd.DataFrame(
+        {
+            "query_id": top["query_id"].astype(str),
+            "doc_id": top["doc_id"].astype("int64"),
+            "rank": top["rank"].astype("int64"),
+            "score_micro": top["score_micro"].astype("int64"),
+        }
+    ).reset_index(drop=True)

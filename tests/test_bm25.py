@@ -1,0 +1,117 @@
+"""Integer-exact BM25 retrieval (queries.doc_bm25_topk): planted-corpus
+equality vs an independent sequential replay of the fixed-point
+arithmetic, with score ties planted across blocks."""
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from biomedical_ner_ray import queries as Q
+
+
+def _brute(docs: dict[int, str]):
+    """Sequential reference: same milli/micro integer formulas, computed
+    per doc per query with plain Python ints."""
+    tok = {d: re.findall(r"\w+", t.lower()) for d, t in docs.items()}
+    n = len(docs)
+    tot = sum(len(ws) for ws in tok.values())
+    avgdl_milli = (1000 * tot) // max(n, 1)
+    terms = {t for ts in Q.BM25_QUERIES.values() for t in ts}
+    df = {t: sum(1 for ws in tok.values() if t in ws) for t in terms}
+    idf = {t: (1_000_000 * (n - df[t] + 1)) // (df[t] + 1) for t in terms}
+    k1, b = Q.BM25_K1_MILLI, Q.BM25_B_MILLI
+    rows = []
+    for qid, qterms in Q.BM25_QUERIES.items():
+        scored = []
+        for d, ws in tok.items():
+            dl = len(ws)
+            ratio_milli = (dl * 1_000_000) // max(avgdl_milli, 1)
+            norm_milli = ((1000 - b) * 1000 + b * ratio_milli) // 1000
+            s = 0
+            for t in qterms:
+                tf = ws.count(t)
+                if tf:
+                    s += (idf[t] * (tf * (k1 + 1000))) // (
+                        tf * 1000 + (k1 * norm_milli) // 1000
+                    )
+            if s > 0:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(scored[: Q.BM25_TOPK], start=1):
+            rows.append((qid, d, r, s))
+    return pd.DataFrame(
+        rows, columns=["query_id", "doc_id", "rank", "score_micro"]
+    )
+
+
+def test_bm25_planted_exact(ray_session, tmp_path):
+    """Planted corpus with exact-tie duplicates (identical text, distinct
+    doc_id) written as MULTIPLE parquet files so the tie crosses block
+    boundaries — the (score desc, doc_id asc) tie-break must hold
+    through the per-block partial top-k merge."""
+    docs = {
+        1: "hash join batch hash join",
+        2: "hash join batch hash join",  # exact tie with doc 1, other block
+        3: "window agg stream window",
+        4: "scan filter vector scan filter",
+        5: "customer order line table customer order",
+        6: "hash hash hash hash hash hash hash hash",  # tf saturation
+        7: "join",
+        8: "unrelated words only here",
+        9: "table line order customer table",
+        10: "window stream agg scan filter",
+        11: "batch batch join hash window",
+        12: "a b c",
+    }
+    items = sorted(docs.items())
+    half = len(items) // 2
+    for i, chunk in enumerate((items[:half], items[half:])):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in chunk], pa.int64()),
+                    "text": pa.array([t for _, t in chunk], pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, f"documents_{i}.parquet"),
+        )
+    # _tbl reads <sf_dir>/documents.parquet — make it a directory
+    ddir = os.path.join(tmp_path, "documents.parquet")
+    os.mkdir(ddir)
+    for f in os.listdir(tmp_path):
+        if f.startswith("documents_"):
+            os.rename(os.path.join(tmp_path, f), os.path.join(ddir, f))
+
+    out = (
+        Q.doc_bm25_topk(str(tmp_path))
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _brute(docs).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    # the planted tie: docs 1 and 2 score identically on hash_join and
+    # doc 1 must rank immediately before doc 2
+    hj = out[out["query_id"] == "hash_join"].reset_index(drop=True)
+    r1 = hj.loc[hj["doc_id"] == 1].index[0]
+    r2 = hj.loc[hj["doc_id"] == 2].index[0]
+    assert hj.loc[r1, "score_micro"] == hj.loc[r2, "score_micro"]
+    assert r2 == r1 + 1
+
+
+def test_bm25_fixture_invariants(ray_session):
+    """sf0.001 testdata: every query returns <= K rows, ranks are dense
+    from 1, scores strictly positive and non-increasing within a query."""
+    out = Q.doc_bm25_topk("/root/testdata/sf0.001")
+    assert set(out["query_id"]) == set(Q.BM25_QUERIES)
+    for qid, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert len(g) <= Q.BM25_TOPK
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["score_micro"] > 0).all()
+        assert (np.diff(g["score_micro"].to_numpy()) <= 0).all()
