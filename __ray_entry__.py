@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_role_transitions": Q.kg_role_transitions,
         # sparse retrieval: integer-exact BM25 top-k corpus search
         "doc_bm25_topk": Q.doc_bm25_topk,
+        # deterministic random-walk corpus (DeepWalk sentence generator)
+        "part_random_walks": Q.part_random_walks,
         # multi-source BFS levels (reachability) over the sampled graph
         "part_bfs_levels": Q.part_bfs_levels,
         # KG edge temporal provenance (weight, distinct convs, first/last
@@ -1694,6 +1696,9 @@ GROUP BY cs.label, x.pred, co.label""",
             Q.BFS_SEED_MOD, Q.BFS_ROUNDS, Q.TRI_SAMPLE_MOD
         ),
         "doc_bm25_topk": _bm25_sql(),
+        "part_random_walks": _rw_sql(
+            Q.RW_SEED_MOD, Q.RW_STEPS, Q.TRI_SAMPLE_MOD
+        ),
         "kg_role_transitions": pre
         + """
 SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n_transitions
@@ -1791,6 +1796,53 @@ e{i} AS MATERIALIZED (
         f"""
 SELECT n AS part_id, CAST(count(*) AS BIGINT) AS core_degree
 FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY n"""
+    )
+    return "".join(parts)
+
+
+def _rw_sql(seed_mod: int, steps: int, mod: int) -> str:
+    """Unrolled deterministic random-walk replay: step s from node c
+    moves to the neighbor ranked md5('rw:'||walk||':'||s||':'||c) %
+    deg(c) in c's ascending neighbor list — hop-for-hop identical to
+    part_random_walks over the same md5-sparsified edge set. Every
+    iterate AS MATERIALIZED (the power-iteration lesson)."""
+    parts = [
+        f"""WITH d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0
+  WHERE md5_number_lower('tri:' || u || ':' || v) % {mod} = 0),
+adj AS MATERIALIZED (SELECT u AS n, v AS o FROM e UNION ALL SELECT v, u FROM e),
+adjr AS MATERIALIZED (
+  SELECT n, o,
+         CAST(row_number() OVER (PARTITION BY n ORDER BY o) - 1 AS BIGINT) AS rnk,
+         CAST(count(*) OVER (PARTITION BY n) AS BIGINT) AS deg
+  FROM adj),
+w0 AS MATERIALIZED (
+  SELECT DISTINCT n AS walk_id, n AS node FROM adj
+  WHERE md5_number_lower('rw:' || n) % {seed_mod} = 0)"""
+    ]
+    for s in range(steps):
+        parts.append(
+            f""",
+w{s + 1} AS MATERIALIZED (
+  SELECT w.walk_id, a.o AS node
+  FROM w{s} w JOIN adjr a
+    ON a.n = w.node
+   AND a.rnk = CAST(md5_number_lower('rw:' || w.walk_id || ':{s}:' || w.node)
+                    % CAST(a.deg AS UBIGINT) AS BIGINT))"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, node FROM w{s}" for s in range(steps + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
+       CAST(node AS BIGINT) AS node
+FROM ({union})"""
     )
     return "".join(parts)
 

@@ -5860,3 +5860,177 @@ def doc_bm25_topk(sf_dir: str):
             "score_micro": top["score_micro"].astype("int64"),
         }
     ).reset_index(drop=True)
+
+
+RW_SEED_MOD = 16  # node starts a walk iff md5('rw:'||node) % MOD == 0
+RW_STEPS = 4  # steps taken (positions emitted = RW_STEPS + 1)
+RW_ADJ_BUCKETS = 16  # hive buckets of the ranked-adjacency cache
+
+
+def _adjacency_rank_cache(sf_dir: str) -> str:
+    """Manifest-guarded ranked adjacency of the md5-sparsified
+    co-purchase graph, hive-bucketed by ``stable_md5('rwb:'||node) %
+    RW_ADJ_BUCKETS`` (environment-independent, the LSH-index lesson):
+    one file per bucket, columns (node, nbr, rank, deg) with rank =
+    0-based position of nbr in the node's ascending neighbor list.
+    Built once per fixture; every random-walk step then reads ONLY the
+    buckets its frontier touches (the doc_dedup_incremental pattern)."""
+    import tempfile
+
+    from .state import manifest as mf
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    fp = mf.fingerprint(
+        f"rwadj-v1:{TRI_SAMPLE_MOD}:{RW_ADJ_BUCKETS}", mf.input_fingerprint([path])
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "graft_query_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "rw_adjacency",
+    )
+    if not mf.is_complete(out, fp):
+
+        def build(tmp):
+            from .kernels.hashing import stable_u64_md5
+            from .stages.exchange import keyed_exchange
+
+            edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD)
+
+            def both(df: pd.DataFrame) -> pd.DataFrame:
+                u = df["u"].to_numpy()
+                v = df["v"].to_numpy()
+                node = np.concatenate([u, v])
+                nbr = np.concatenate([v, u])
+                uniq = np.unique(node)
+                bmap = {
+                    int(n): stable_u64_md5(f"rwb:{n}".encode("utf-8"))
+                    % RW_ADJ_BUCKETS
+                    for n in uniq
+                }
+                return pd.DataFrame(
+                    {
+                        "node": node.astype("int64"),
+                        "nbr": nbr.astype("int64"),
+                        "bucket": np.fromiter(
+                            (bmap[int(n)] for n in node),
+                            dtype=np.int64,
+                            count=len(node),
+                        ),
+                    }
+                )
+
+            def rank_within(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.sort_values(["node", "nbr"], kind="mergesort")
+                g = df.groupby("node", sort=False)
+                return df.assign(
+                    rank=g.cumcount().astype("int64"),
+                    deg=g["nbr"].transform("size").astype("int64"),
+                )
+
+            keyed_exchange(
+                edges.map_batches(both, batch_format="pandas"),
+                ["bucket"],
+                rank_within,
+                RW_ADJ_BUCKETS,
+            ).write_parquet(tmp, partition_cols=["bucket"])
+
+        mf.run_stage("rw-adjacency", out, fp, build)
+    return out
+
+
+def part_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus over the sampled co-purchase
+    graph — the DeepWalk/node2vec sentence generator a graph-embedding
+    training pipeline feeds into SGNS (pipelines/embeddings.py). One
+    walk per md5-gated seed node; at step s from node c the walk moves
+    to the neighbor at index ``md5('rw:'||walk||':'||s||':'||c) %
+    deg(c)`` in c's ascending neighbor list — a pure function of
+    (walk, step, node), so the SQL oracle replays every hop exactly and
+    a killed run recomputes identical walks.
+
+    Shape: the ranked adjacency is a per-fixture hive-bucketed cache
+    (built once, `_adjacency_rank_cache`); each step broadcasts the
+    frontier picks (walk count is node-dimension-bounded — the k-core
+    alive-set argument) and streams ONLY the touched adjacency buckets
+    through a row-local merge: no shuffle at any step, read volume =
+    touched buckets, not the graph. Degrees ride the driver-held
+    degree table."""
+    from .kernels.hashing import stable_u64_md5
+    from .state.broadcast import resolve
+
+    adj_dir = _adjacency_rank_cache(sf_dir)
+    edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD)
+    degdf = _copurchase_degrees(edges)
+    deg = dict(zip(degdf["node"].astype(int), degdf["n"].astype(int)))
+
+    seeds = sorted(
+        n
+        for n in deg
+        if stable_u64_md5(f"rw:{n}".encode("utf-8")) % RW_SEED_MOD == 0
+    )
+    rows = [(int(s), 0, int(s)) for s in seeds]
+    cur = {int(s): int(s) for s in seeds}  # walk_id -> current node
+
+    for s in range(RW_STEPS):
+        if not cur:
+            break
+        picks = pd.DataFrame(
+            {
+                "walk_id": np.fromiter(cur.keys(), dtype=np.int64, count=len(cur)),
+                "node": np.fromiter(cur.values(), dtype=np.int64, count=len(cur)),
+            }
+        )
+        idx = np.fromiter(
+            (
+                stable_u64_md5(f"rw:{w}:{s}:{c}".encode("utf-8")) % deg[c]
+                for w, c in zip(picks["walk_id"], picks["node"])
+            ),
+            dtype=np.int64,
+            count=len(picks),
+        )
+        picks = picks.assign(rank=idx)
+        touched = sorted(
+            {
+                stable_u64_md5(f"rwb:{c}".encode("utf-8")) % RW_ADJ_BUCKETS
+                for c in picks["node"]
+            }
+        )
+        files = []
+        for b in touched:
+            d = os.path.join(adj_dir, f"bucket={b}")
+            if os.path.isdir(d):
+                files += sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+        pref = ray.put(picks)
+
+        def step_merge(df: pd.DataFrame, pref=pref) -> pd.DataFrame:
+            p = resolve(pref)
+            m = p.merge(df[["node", "rank", "nbr"]], on=["node", "rank"], how="inner")
+            return m[["walk_id", "nbr"]]
+
+        nxt = (
+            rd.read_parquet(files, columns=["node", "rank", "nbr"])
+            .map_batches(step_merge, batch_format="pandas")
+            .to_pandas()
+        )
+        cur = dict(
+            zip(nxt["walk_id"].astype(int), nxt["nbr"].astype(int))
+        )
+        rows += [(int(w), s + 1, int(n)) for w, n in sorted(cur.items())]
+
+    if not rows:
+        return pd.DataFrame(
+            {
+                "walk_id": pd.Series(dtype="int64"),
+                "step": pd.Series(dtype="int64"),
+                "node": pd.Series(dtype="int64"),
+            }
+        )
+    out = pd.DataFrame(rows, columns=["walk_id", "step", "node"]).sort_values(
+        ["walk_id", "step"], ignore_index=True
+    )
+    return out.astype({"walk_id": "int64", "step": "int64", "node": "int64"})
