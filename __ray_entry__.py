@@ -79,6 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_topk": Q.doc_bm25_topk,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
+        # TransE KG embeddings: the distributed training loop itself
+        # (bit-exact integer margin SGD vs the sequential reference)
+        "kg_transe_weights": Q.kg_transe_weights,
+        # link-prediction ranks served from the trained checkpoint
+        "kg_transe_ranks": Q.kg_transe_ranks,
         # multi-source BFS levels (reachability) over the sampled graph
         "part_bfs_levels": Q.part_bfs_levels,
         # KG edge temporal provenance (weight, distinct convs, first/last
@@ -1696,6 +1701,8 @@ GROUP BY cs.label, x.pred, co.label""",
             Q.BFS_SEED_MOD, Q.BFS_ROUNDS, Q.TRI_SAMPLE_MOD
         ),
         "doc_bm25_topk": _bm25_sql(),
+        "kg_transe_weights": _transe_weights_sql(),
+        "kg_transe_ranks": pre + _transe_ranks_sql(),
         "part_random_walks": _rw_sql(
             Q.RW_SEED_MOD, Q.RW_STEPS, Q.TRI_SAMPLE_MOD
         ),
@@ -1845,6 +1852,60 @@ SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
 FROM ({union})"""
     )
     return "".join(parts)
+
+
+def _transe_artifact() -> str:
+    from biomedical_ner_ray.pipelines.kg_embeddings import (
+        ensure_transe_artifacts,
+    )
+
+    arts = ensure_transe_artifacts(
+        ORACLE_SF_DIR, lambda: Q._kg_edges_frame(ORACLE_SF_DIR)
+    )
+    return arts["weights"]
+
+
+def _transe_weights_sql() -> str:
+    """Oracle for the DISTRIBUTED TransE loop: the sequential reference
+    trainer's embedding kv (the quality-classifier weights pattern) —
+    a green row proves the distributed margin-SGD loop is bit-exact."""
+    return f"""
+SELECT kind, label, dim, val_micro FROM read_parquet('{_transe_artifact()}')"""
+
+
+def _transe_ranks_sql() -> str:
+    """Link-prediction ranks recomputed IN SQL from the artifact kv:
+    integer L1 distances over all candidate nodes, rank = row_number by
+    (distance, label) — label order == the Python candidate-id order
+    because ids are positions in the SORTED label list."""
+    return f""",
+wk AS (SELECT * FROM read_parquet('{_transe_artifact()}')),
+eg AS (
+  SELECT cs.label AS subj, t.pred AS pred, co.label AS obj
+  FROM triplesq t
+  JOIN lab3 cs ON cs.cui = t.subj_cui
+  JOIN lab3 co ON co.cui = t.obj_cui
+  WHERE cs.label <> co.label
+  GROUP BY cs.label, t.pred, co.label),
+nvec AS (SELECT label, dim, val_micro FROM wk WHERE kind = 'n'),
+pvec AS (SELECT label, dim, val_micro FROM wk WHERE kind = 'p'),
+tcand AS (SELECT DISTINCT label FROM nvec),
+dist AS (
+  SELECT e.subj, e.pred, e.obj, c.label AS cand,
+         sum(abs(es.val_micro + rp.val_micro - ec.val_micro)) AS d1
+  FROM eg e
+  JOIN nvec es ON es.label = e.subj
+  JOIN pvec rp ON rp.label = e.pred AND rp.dim = es.dim
+  JOIN tcand c ON TRUE
+  JOIN nvec ec ON ec.label = c.label AND ec.dim = es.dim
+  GROUP BY e.subj, e.pred, e.obj, c.label),
+rk AS (
+  SELECT subj, pred, obj, cand,
+         row_number() OVER (PARTITION BY subj, pred, obj
+                            ORDER BY d1, cand) AS rnk
+  FROM dist)
+SELECT subj AS subj_cui, pred, obj AS obj_cui, CAST(rnk AS BIGINT) AS rank
+FROM rk WHERE cand = obj"""
 
 
 def _bm25_sql() -> str:

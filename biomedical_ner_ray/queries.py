@@ -6034,3 +6034,74 @@ def part_random_walks(sf_dir: str):
         ["walk_id", "step"], ignore_index=True
     )
     return out.astype({"walk_id": "int64", "step": "int64", "node": "int64"})
+
+
+def _kg_edges_frame(sf_dir: str) -> pd.DataFrame:
+    """Canonical weighted edge table as a driver frame — bounded by the
+    node dimension (not the corpus), the same broadcast-small argument
+    as the kg_edges component map."""
+    return (
+        kg_edges(sf_dir)
+        .to_pandas()
+        .sort_values(["subj_cui", "pred", "obj_cui"], ignore_index=True)
+    )
+
+
+def kg_transe_weights(sf_dir: str):
+    """The DISTRIBUTED TransE training loop itself, driver-checked
+    (pipelines/kg_embeddings.py — margin SGD with L1 subgradients and
+    md5-deterministic negatives over the engine's OWN canonical edge
+    table): the encoded edges are pinned once, each of the TE_EPOCHS
+    full-batch steps maps the pinned blocks and merges one dense int64
+    gradient partial per block on the driver (the quality-classifier
+    trainer contract). All gradient math is integer and
+    order-independent, so the returned embedding kv is BIT-EXACT equal
+    to the sequential reference trainer — exactly what the oracle (the
+    artifact's weights kv) asserts."""
+    from .pipelines.kg_embeddings import (
+        encode_edges,
+        train_distributed,
+        vocab_from_edges,
+        weights_table,
+    )
+    from .state.broadcast import resolve
+
+    edges = _kg_edges_frame(sf_dir)
+    nodes, preds = vocab_from_edges(edges)
+    vref = ray.put((nodes, preds))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        n_, p_ = resolve(vref)
+        return encode_edges(df, n_, p_)
+
+    enc_ds = kg_edges(sf_dir).map_batches(encode, batch_format="pandas")
+    E, R = train_distributed(enc_ds, nodes, preds)
+    return rd.from_arrow(weights_table(E, R, nodes, preds))
+
+
+def kg_transe_ranks(sf_dir: str):
+    """Link-prediction evaluation of the trained TransE checkpoint: for
+    every canonical edge (s, p, o), the rank of the true object among
+    ALL candidate nodes by (L1 distance asc, label asc). Serving shape:
+    the checkpoint (built once per fixture by the sequential reference
+    trainer, the artifact pattern) is BROADCAST, candidates are bounded
+    by the node dimension, and ranking is row-local per edge batch — at
+    a 10⁸-node KG the candidate sweep becomes the ANN top-k scan
+    (ann_topk_quant) over the same embedding table. Oracle recomputes
+    every rank IN SQL from the artifact kv — value-exact integer
+    distances."""
+    from .pipelines.kg_embeddings import (
+        ensure_transe_artifacts,
+        load_weights,
+        rank_frame,
+    )
+    from .state.broadcast import resolve
+
+    arts = ensure_transe_artifacts(sf_dir, lambda: _kg_edges_frame(sf_dir))
+    ref = ray.put(load_weights(arts["weights"]))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        E, R, nodes, preds = resolve(ref)
+        return rank_frame(df, E, R, nodes, preds)
+
+    return kg_edges(sf_dir).map_batches(score, batch_format="pandas")
