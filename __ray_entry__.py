@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions (never driver-sampled) ---
         # dialogue-dynamics: role-transition matrix over transcripts
         "kg_role_transitions": Q.kg_role_transitions,
+        # assistant response-latency profile per conversation
+        "kg_response_latency": Q.kg_response_latency,
         # sparse retrieval: integer-exact BM25 top-k corpus search
         "doc_bm25_topk": Q.doc_bm25_topk,
         # deterministic random-walk corpus (DeepWalk sentence generator)
@@ -1706,6 +1708,19 @@ GROUP BY cs.label, x.pred, co.label""",
         "part_random_walks": _rw_sql(
             Q.RW_SEED_MOD, Q.RW_STEPS, Q.TRI_SAMPLE_MOD
         ),
+        "kg_response_latency": pre
+        + """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM transcripts_fx)
+WHERE prev_role = 'user' AND role = 'assistant'
+GROUP BY conv_id""",
         "kg_role_transitions": pre
         + """
 SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n_transitions

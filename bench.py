@@ -183,6 +183,13 @@ QUERY_NAMES = [
     "part_ktruss",
     "part_kcore",
     "part_neighbor_jaccard",
+    "kg_role_transitions",
+    "kg_response_latency",
+    "part_bfs_levels",
+    "doc_bm25_topk",
+    "part_random_walks",
+    "kg_transe_weights",
+    "kg_transe_ranks",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the
@@ -222,6 +229,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     Q._annotations_cache(sf_dir)
     log(f"  [untimed] annotations cache ready in {time.perf_counter() - t0:.2f}s")
+
+    # TransE checkpoint: kg_transe_ranks times SERVING, not the one-off
+    # sequential artifact build (kg_transe_weights still times the full
+    # distributed training loop — that loop IS the measured operator)
+    from biomedical_ner_ray.pipelines.kg_embeddings import ensure_transe_artifacts
+
+    t0 = time.perf_counter()
+    ensure_transe_artifacts(sf_dir, lambda: Q._kg_edges_frame(sf_dir))
+    log(f"  [untimed] transe checkpoint ready in {time.perf_counter() - t0:.2f}s")
 
     out: dict[str, float] = {}
     for name in QUERY_NAMES:

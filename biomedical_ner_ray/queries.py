@@ -6105,3 +6105,86 @@ def kg_transe_ranks(sf_dir: str):
         return rank_frame(df, E, R, nodes, preds)
 
     return kg_edges(sf_dir).map_batches(score, batch_format="pandas")
+
+
+def kg_response_latency(sf_dir: str):
+    """Assistant response-latency profile per conversation — for every
+    adjacent user→assistant turn pair, the timestamp gap; aggregated to
+    (n_responses, sum_gap_us, max_gap_us) per conversation. All-integer
+    outputs (epoch-µs), so the window-lag SQL oracle is value-exact.
+    Same skew-free shape as kg_role_transitions: the shifted-emit
+    exchange pairs each turn with its predecessor on the UNIFORM
+    (conv_id, turn_idx) key, partitions reduce pairs to per-conv
+    partials, and one conversation-keyed exchange combines (a hot
+    conversation ships #blocks partial rows, never its turns)."""
+    from .stages.exchange import keyed_exchange
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df["turn_idx"].astype("int64")
+        ts_us = pd.Series(df["ts"].values.astype("datetime64[us]").astype("int64"))
+        cur = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": idx,
+                "role": df["role"],
+                "ts_us": ts_us,
+                "is_prev": False,
+            }
+        )
+        prev = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": idx + 1,
+                "role": df["role"],
+                "ts_us": ts_us,
+                "is_prev": True,
+            }
+        )
+        return pd.concat([cur, prev], ignore_index=True)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cur = df[~df["is_prev"]]
+        prev = df[df["is_prev"]][["conv_id", "turn_idx", "role", "ts_us"]].rename(
+            columns={"role": "prev_role", "ts_us": "prev_us"}
+        )
+        m = cur.merge(prev, on=["conv_id", "turn_idx"], how="inner")
+        m = m[(m["prev_role"] == "user") & (m["role"] == "assistant")]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype="object"),
+                    "n_responses": pd.Series(dtype="int64"),
+                    "sum_gap_us": pd.Series(dtype="int64"),
+                    "max_gap_us": pd.Series(dtype="int64"),
+                }
+            )
+        gap = m["ts_us"].to_numpy() - m["prev_us"].to_numpy()
+        g = (
+            pd.DataFrame({"conv_id": m["conv_id"], "gap": gap})
+            .groupby("conv_id", sort=False)["gap"]
+            .agg(n_responses="size", sum_gap_us="sum", max_gap_us="max")
+            .reset_index()
+        )
+        return g.astype(
+            {"n_responses": "int64", "sum_gap_us": "int64", "max_gap_us": "int64"}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_responses=("n_responses", "sum"),
+            sum_gap_us=("sum_gap_us", "sum"),
+            max_gap_us=("max_gap_us", "max"),
+        )
+        return g.astype(
+            {"n_responses": "int64", "sum_gap_us": "int64", "max_gap_us": "int64"}
+        )
+
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "role", "ts"])
+    paired = keyed_exchange(
+        ds.map_batches(emit, batch_format="pandas"),
+        ["conv_id", "turn_idx"],
+        pair_partial,
+        num_partitions=8,
+    )
+    return keyed_exchange(paired, ["conv_id"], combine, num_partitions=8)

@@ -139,3 +139,35 @@ def test_role_transitions_sf001(ray_session, tiny_fixture):
     )
     # first turn of every conversation is excluded by construction
     assert out["n_transitions"].sum() == len(t) - t["conv_id"].nunique()
+
+
+def test_response_latency_sf001(ray_session, tiny_fixture):
+    """Exchange-paired latency aggregates == a pandas lag() replay."""
+    files = sorted(glob.glob(os.path.join(tiny_fixture["transcripts"], "*.parquet")))
+    t = pd.concat(
+        [
+            pq.read_table(f, columns=["conv_id", "turn_idx", "role", "ts"]).to_pandas()
+            for f in files
+        ],
+        ignore_index=True,
+    ).sort_values(["conv_id", "turn_idx"])
+    t["ts_us"] = t["ts"].values.astype("datetime64[us]").astype("int64")
+    g = t.groupby("conv_id")
+    t["prev_role"] = g["role"].shift(1)
+    t["gap"] = t["ts_us"] - g["ts_us"].shift(1)
+    m = t[(t["prev_role"] == "user") & (t["role"] == "assistant")]
+    exp = (
+        m.groupby("conv_id")["gap"]
+        .agg(n_responses="size", sum_gap_us="sum", max_gap_us="max")
+        .reset_index()
+        .astype({"n_responses": "int64", "sum_gap_us": "int64", "max_gap_us": "int64"})
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    out = (
+        Q.kg_response_latency("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
