@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_role_transitions": Q.kg_role_transitions,
         # assistant response-latency profile per conversation
         "kg_response_latency": Q.kg_response_latency,
+        # dialogue topic-shift segmentation (adjacent-turn token Jaccard)
+        "kg_topic_boundaries": Q.kg_topic_boundaries,
         # sparse retrieval: integer-exact BM25 top-k corpus search
         "doc_bm25_topk": Q.doc_bm25_topk,
         # deterministic random-walk corpus (DeepWalk sentence generator)
@@ -1721,6 +1723,49 @@ FROM (
   FROM transcripts_fx)
 WHERE prev_role = 'user' AND role = 'assistant'
 GROUP BY conv_id""",
+        "kg_topic_boundaries": pre
+        + f"""
+, dtokq AS (
+  SELECT DISTINCT conv_id, turn_idx, lower(w) AS w
+  FROM (SELECT conv_id, turn_idx, unnest(tk) AS w FROM toksq)
+),
+cardq AS (
+  SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n
+  FROM dtokq GROUP BY conv_id, turn_idx
+),
+interq AS (
+  SELECT b.conv_id, b.turn_idx, CAST(count(*) AS BIGINT) AS n_inter
+  FROM dtokq a
+  JOIN dtokq b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+              AND b.w = a.w
+  GROUP BY b.conv_id, b.turn_idx
+),
+pairsq AS (
+  SELECT t.conv_id, t.turn_idx FROM transcripts_fx t
+  JOIN transcripts_fx q
+    ON q.conv_id = t.conv_id AND q.turn_idx = t.turn_idx - 1
+)
+SELECT conv_id, turn_idx, n_prev, n_cur, n_inter, jacc_micro,
+       CAST(CASE WHEN jacc_micro < {Q.TOPIC_JACC_THRESH_MICRO} THEN 1 ELSE 0 END
+            AS BIGINT) AS is_boundary
+FROM (
+  SELECT pr.conv_id, CAST(pr.turn_idx AS INTEGER) AS turn_idx,
+         COALESCE(cp.n, 0) AS n_prev, COALESCE(cc.n, 0) AS n_cur,
+         COALESCE(i.n_inter, 0) AS n_inter,
+         CASE WHEN COALESCE(cp.n, 0) + COALESCE(cc.n, 0)
+                   - COALESCE(i.n_inter, 0) > 0
+              THEN (1000000 * COALESCE(i.n_inter, 0))
+                   // (COALESCE(cp.n, 0) + COALESCE(cc.n, 0)
+                       - COALESCE(i.n_inter, 0))
+              ELSE CAST(0 AS BIGINT) END AS jacc_micro
+  FROM pairsq pr
+  LEFT JOIN cardq cp
+    ON cp.conv_id = pr.conv_id AND cp.turn_idx = pr.turn_idx - 1
+  LEFT JOIN cardq cc
+    ON cc.conv_id = pr.conv_id AND cc.turn_idx = pr.turn_idx
+  LEFT JOIN interq i
+    ON i.conv_id = pr.conv_id AND i.turn_idx = pr.turn_idx
+)""",
         "kg_role_transitions": pre
         + """
 SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n_transitions

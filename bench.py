@@ -185,6 +185,7 @@ QUERY_NAMES = [
     "part_neighbor_jaccard",
     "kg_role_transitions",
     "kg_response_latency",
+    "kg_topic_boundaries",
     "part_bfs_levels",
     "doc_bm25_topk",
     "part_random_walks",

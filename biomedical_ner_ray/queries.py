@@ -6188,3 +6188,114 @@ def kg_response_latency(sf_dir: str):
         num_partitions=8,
     )
     return keyed_exchange(paired, ["conv_id"], combine, num_partitions=8)
+
+
+TOPIC_JACC_THRESH_MICRO = 100_000  # boundary iff jaccard < 0.1
+
+
+def kg_topic_boundaries(sf_dir: str):
+    """Dialogue topic-shift segmentation — for every adjacent turn pair
+    in a conversation, the Jaccard similarity of the two turns' DISTINCT
+    lowercased token sets (the app tokenizer, M1); a pair is a segment
+    boundary when ``jacc_micro = 1e6·|A∩B| // |A∪B|`` falls below
+    TOPIC_JACC_THRESH_MICRO. All-integer outputs, so the explode +
+    self-join SQL oracle is value-exact.
+
+    Shape — ONE exchange on the uniform (conv_id, pair_idx) key: each
+    turn row (a turn's text never spans rows) emits its distinct token
+    set twice, as the `cur` side of its own pair and the `prev` side of
+    the next pair, plus two zero-width marker rows so pairs whose sides
+    have ZERO tokens are still distinguishable from pairs whose sides
+    don't exist. Every group is fully co-located after the exchange, so
+    intersection/cardinalities reduce in-partition with vectorized
+    merges — a hot conversation spreads across partitions by turn."""
+    from .kernels.tokenize import TOKEN_RE
+    from .stages.exchange import keyed_exchange
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        convs: list[str] = []
+        ps: list[int] = []
+        sides: list[int] = []
+        ws: list[str] = []
+        for c, ti, tx in zip(df["conv_id"], df["turn_idx"], df["text"]):
+            ti = int(ti)
+            toks = {t.lower() for t in TOKEN_RE.findall(tx)}
+            # side codes: 0=prev token, 1=cur token, 2=cur marker, 3=prev marker
+            for w in toks:
+                convs.append(c); ps.append(ti); sides.append(1); ws.append(w)
+                convs.append(c); ps.append(ti + 1); sides.append(0); ws.append(w)
+            convs.append(c); ps.append(ti); sides.append(2); ws.append("")
+            convs.append(c); ps.append(ti + 1); sides.append(3); ws.append("")
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(convs, dtype="object"),
+                "p": pd.Series(ps, dtype="int64"),
+                "side": pd.Series(sides, dtype="int8"),
+                "w": pd.Series(ws, dtype="object"),
+            }
+        )
+
+    def pair_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "conv_id": pd.Series(dtype="object"),
+                "turn_idx": pd.Series(dtype="int32"),
+                "n_prev": pd.Series(dtype="int64"),
+                "n_cur": pd.Series(dtype="int64"),
+                "n_inter": pd.Series(dtype="int64"),
+                "jacc_micro": pd.Series(dtype="int64"),
+                "is_boundary": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        key = ["conv_id", "p"]
+        # a pair exists iff BOTH the cur turn and the prev turn exist
+        valid = df.loc[df["side"] == 2, key].merge(
+            df.loc[df["side"] == 3, key], on=key
+        )
+        if not len(valid):
+            return empty
+        cur = df[df["side"] == 1]
+        prev = df[df["side"] == 0]
+        n_cur = cur.groupby(key, sort=False).size().rename("n_cur").reset_index()
+        n_prev = prev.groupby(key, sort=False).size().rename("n_prev").reset_index()
+        inter = (
+            cur[key + ["w"]]
+            .merge(prev[key + ["w"]], on=key + ["w"])
+            .groupby(key, sort=False)
+            .size()
+            .rename("n_inter")
+            .reset_index()
+        )
+        out = (
+            valid.merge(n_prev, on=key, how="left")
+            .merge(n_cur, on=key, how="left")
+            .merge(inter, on=key, how="left")
+            .fillna(0)
+        )
+        np_ = out["n_prev"].to_numpy(dtype=np.int64)
+        nc = out["n_cur"].to_numpy(dtype=np.int64)
+        ni = out["n_inter"].to_numpy(dtype=np.int64)
+        union = np_ + nc - ni
+        jacc = np.where(union > 0, (1_000_000 * ni) // np.maximum(union, 1), 0)
+        return pd.DataFrame(
+            {
+                "conv_id": out["conv_id"],
+                "turn_idx": out["p"].astype("int32"),
+                "n_prev": np_,
+                "n_cur": nc,
+                "n_inter": ni,
+                "jacc_micro": jacc.astype("int64"),
+                "is_boundary": (jacc < TOPIC_JACC_THRESH_MICRO).astype("int64"),
+            }
+        )
+
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+    return keyed_exchange(
+        ds.map_batches(emit, batch_format="pandas"),
+        ["conv_id", "p"],
+        pair_reduce,
+        num_partitions=8,
+    )

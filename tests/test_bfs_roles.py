@@ -171,3 +171,47 @@ def test_response_latency_sf001(ray_session, tiny_fixture):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_topic_boundaries_sf001(ray_session, tiny_fixture):
+    """Exchange-paired Jaccard == a per-conversation brute-force replay."""
+    from biomedical_ner_ray.kernels.tokenize import TOKEN_RE
+
+    files = sorted(glob.glob(os.path.join(tiny_fixture["transcripts"], "*.parquet")))
+    t = pd.concat(
+        [
+            pq.read_table(f, columns=["conv_id", "turn_idx", "text"]).to_pandas()
+            for f in files
+        ],
+        ignore_index=True,
+    ).sort_values(["conv_id", "turn_idx"])
+    rows = []
+    for conv, g in t.groupby("conv_id", sort=True):
+        toks = [
+            {w.lower() for w in TOKEN_RE.findall(x)} for x in g["text"].tolist()
+        ]
+        idxs = g["turn_idx"].tolist()
+        for j in range(1, len(idxs)):
+            a, b = toks[j - 1], toks[j]
+            inter = len(a & b)
+            union = len(a | b)
+            jacc = (1_000_000 * inter) // union if union else 0
+            rows.append(
+                (conv, idxs[j], len(a), len(b), inter, jacc,
+                 int(jacc < Q.TOPIC_JACC_THRESH_MICRO))
+            )
+    exp = pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "n_prev", "n_cur", "n_inter",
+                 "jacc_micro", "is_boundary"],
+    ).astype({"turn_idx": "int32"})
+    out = (
+        Q.kg_topic_boundaries("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp)
+    # a mixed outcome is what makes the threshold load-bearing
+    assert 0 < out["is_boundary"].sum() < len(out)
