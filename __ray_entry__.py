@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transe_ranks": Q.kg_transe_ranks,
         # multi-source BFS levels (reachability) over the sampled graph
         "part_bfs_levels": Q.part_bfs_levels,
+        # label-propagation communities over the sampled graph
+        "part_label_prop": Q.part_label_prop,
         # KG edge temporal provenance (weight, distinct convs, first/last
         # supporting timestamp — per-edge lineage)
         "kg_edge_provenance": Q.kg_edge_provenance,
@@ -1704,6 +1706,7 @@ GROUP BY cs.label, x.pred, co.label""",
         "part_bfs_levels": _bfs_sql(
             Q.BFS_SEED_MOD, Q.BFS_ROUNDS, Q.TRI_SAMPLE_MOD
         ),
+        "part_label_prop": _labelprop_sql(Q.LP_ROUNDS, Q.TRI_SAMPLE_MOD),
         "doc_bm25_topk": _bm25_sql(),
         "kg_transe_weights": _transe_weights_sql(),
         "kg_transe_ranks": pre + _transe_ranks_sql(),
@@ -2052,6 +2055,45 @@ lv{i} AS MATERIALIZED (
         f"""
 SELECT CAST(node AS BIGINT) AS part_id, CAST(level AS BIGINT) AS level
 FROM lv{rounds}"""
+    )
+    return "".join(parts)
+
+
+def _labelprop_sql(rounds: int, mod: int) -> str:
+    """Fixed-round synchronous label propagation as materialized CTE
+    iterates — round-for-round identical to part_label_prop's Ray loop
+    (mode of neighbor labels, count desc / label asc tie-break) over the
+    SAME md5-sparsified edge set. Every iterate AS MATERIALIZED (the
+    power-iteration lesson)."""
+    parts = [
+        f"""WITH d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0
+  WHERE md5_number_lower('tri:' || u || ':' || v) % {mod} = 0),
+adj AS MATERIALIZED (SELECT u AS n, v AS o FROM e UNION ALL SELECT v, u FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT n AS node, n AS lbl FROM adj)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+v{i} AS MATERIALIZED (
+  SELECT adj.n AS node, p.lbl AS lbl, count(*) AS c
+  FROM adj JOIN l{i - 1} p ON p.node = adj.o
+  GROUP BY adj.n, p.lbl),
+l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM v{i}) WHERE rn = 1)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS part_id, CAST(lbl AS BIGINT) AS community
+FROM l{rounds}"""
     )
     return "".join(parts)
 

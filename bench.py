@@ -187,6 +187,7 @@ QUERY_NAMES = [
     "kg_response_latency",
     "kg_topic_boundaries",
     "part_bfs_levels",
+    "part_label_prop",
     "doc_bm25_topk",
     "part_random_walks",
     "kg_transe_weights",

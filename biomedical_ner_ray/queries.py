@@ -6299,3 +6299,81 @@ def kg_topic_boundaries(sf_dir: str):
         pair_reduce,
         num_partitions=8,
     )
+
+
+LP_ROUNDS = 4  # fixed synchronous label-propagation rounds
+
+
+def part_label_prop(sf_dir: str):
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007, the deterministic mode-of-neighbors variant: highest
+    neighbor-label count wins, ties break to the SMALLEST label) over
+    the md5-sparsified co-purchase graph. Exactly LP_ROUNDS synchronous
+    rounds — every round-r label is a pure function of round-(r-1)
+    labels, so the unrolled materialized-CTE oracle replays the loop
+    round-for-round (the part_kcore / part_bfs_levels contract) and the
+    result is partitioning-independent by construction.
+
+    Shape — the pinned-big-side template: edges are materialized once
+    and never reshuffle; per round the node→label map is broadcast
+    (bounded by the part DIMENSION — where even that exceeds driver
+    memory the broadcast reverts to a label-keyed exchange attaching
+    labels to adjacency in turn, the part_triangle_counts note), one
+    pass over the edges emits map-side-combined (node, neighbor-label)
+    counts, and ONE node-keyed exchange reduces them to the per-node
+    mode."""
+    from .stages.exchange import keyed_exchange
+    from .state.broadcast import resolve
+
+    edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD).materialize()
+    nodes = np.sort(_copurchase_degrees(edges)["node"].to_numpy(dtype=np.int64))
+    if not len(nodes):
+        return pd.DataFrame(
+            {"part_id": pd.Series(dtype="int64"), "community": pd.Series(dtype="int64")}
+        )
+    labels = nodes.copy()  # l0: every node labels itself
+
+    def mode_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["node", "lbl"], sort=False, as_index=False)["c"].sum()
+        g = g.sort_values(["node", "c", "lbl"], ascending=[True, False, True])
+        top = g.drop_duplicates("node", keep="first")
+        return top[["node", "lbl"]].astype({"node": "int64", "lbl": "int64"})
+
+    for _ in range(LP_ROUNDS):
+        lref = ray.put((nodes, labels))
+
+        def vote(df: pd.DataFrame, lref=lref) -> pd.DataFrame:
+            key, val = resolve(lref)
+            u = df["u"].to_numpy(dtype=np.int64)
+            v = df["v"].to_numpy(dtype=np.int64)
+            lu = val[np.searchsorted(key, u)]
+            lv = val[np.searchsorted(key, v)]
+            node = np.concatenate([u, v])
+            lbl = np.concatenate([lv, lu])
+            # map-side combiner: one row per distinct (node, lbl) per batch
+            g = (
+                pd.DataFrame({"node": node, "lbl": lbl})
+                .groupby(["node", "lbl"], sort=False)
+                .size()
+                .rename("c")
+                .reset_index()
+            )
+            return g.astype({"node": "int64", "lbl": "int64", "c": "int64"})
+
+        nxt = keyed_exchange(
+            edges.map_batches(vote, batch_format="pandas"),
+            ["node"],
+            mode_reduce,
+            num_partitions=8,
+        ).to_pandas()
+        nxt = nxt.sort_values("node")
+        # every node has >=1 edge by construction, so the vote covers all
+        labels = nxt["lbl"].to_numpy(dtype=np.int64)
+        nodes = nxt["node"].to_numpy(dtype=np.int64)
+
+    return pd.DataFrame(
+        {
+            "part_id": pd.Series(nodes, dtype="int64"),
+            "community": pd.Series(labels, dtype="int64"),
+        }
+    )

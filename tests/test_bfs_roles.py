@@ -215,3 +215,65 @@ def test_topic_boundaries_sf001(ray_session, tiny_fixture):
     pd.testing.assert_frame_equal(out, exp)
     # a mixed outcome is what makes the threshold load-bearing
     assert 0 < out["is_boundary"].sum() < len(out)
+
+
+def _brute_label_prop(edges, rounds):
+    """Reference synchronous label propagation: mode of neighbor labels,
+    ties to the smallest label; returns {node: community}."""
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n in nbrs:
+            counts: dict[int, int] = {}
+            for o in nbrs[n]:
+                counts[lbl[o]] = counts.get(lbl[o], 0) + 1
+            new[n] = min(
+                counts, key=lambda c: (-counts[c], c)
+            )
+        lbl = new
+    return lbl
+
+
+def test_label_prop_planted_cliques(ray_session, tmp_path, monkeypatch):
+    """Two 4-cliques joined by one bridge edge: each clique converges to
+    its minimum node id and the bridge does not bleed communities."""
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = c1 + c2 + [(3, 10)]
+    sf = _write_lineitem(tmp_path, edges)
+    monkeypatch.setattr(Q, "TRI_SAMPLE_MOD", 1)
+    expected = _brute_label_prop(edges, Q.LP_ROUNDS)
+    out = Q.part_label_prop(sf)
+    got = dict(zip(out["part_id"].tolist(), out["community"].tolist()))
+    assert got == expected
+    assert all(got[n] == 0 for n in range(4))
+    assert all(got[n] == 10 for n in range(10, 14))
+
+
+def test_label_prop_sf001(ray_session):
+    """Real-fixture equality vs the brute-force replay over the SAME
+    md5-sparsified edge set."""
+    li = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    ).to_pandas()
+    d = li.drop_duplicates()
+    m = d.merge(d, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    edges = sorted(
+        {
+            (int(u), int(v))
+            for u, v in zip(m["l_partkey_x"], m["l_partkey_y"])
+            if stable_u64_md5(f"tri:{u}:{v}".encode("utf-8")) % Q.TRI_SAMPLE_MOD == 0
+        }
+    )
+    expected = _brute_label_prop(edges, Q.LP_ROUNDS)
+    out = Q.part_label_prop("/root/testdata/sf0.001")
+    got = dict(zip(out["part_id"].tolist(), out["community"].tolist()))
+    assert got == expected
+    # communities actually merged somewhere (the operator did work)
+    assert len(set(got.values())) < len(got)
