@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_topic_boundaries": Q.kg_topic_boundaries,
         # sparse retrieval: integer-exact BM25 top-k corpus search
         "doc_bm25_topk": Q.doc_bm25_topk,
+        # hybrid retrieval: reciprocal-rank fusion of BM25 + TF-IDF
+        "doc_rrf_fusion": Q.doc_rrf_fusion,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1708,6 +1710,7 @@ GROUP BY cs.label, x.pred, co.label""",
         ),
         "part_label_prop": _labelprop_sql(Q.LP_ROUNDS, Q.TRI_SAMPLE_MOD),
         "doc_bm25_topk": _bm25_sql(),
+        "doc_rrf_fusion": _rrf_sql(),
         "kg_transe_weights": _transe_weights_sql(),
         "kg_transe_ranks": pre + _transe_ranks_sql(),
         "part_random_walks": _rw_sql(
@@ -2016,6 +2019,82 @@ rk AS (
 SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
        CAST(score_micro AS BIGINT) AS score_micro
 FROM rk WHERE rank <= {k}"""
+
+
+def _rrf_sql() -> str:
+    """Integer-exact RRF replay: both ranked lists (the _bm25_sql
+    arithmetic term-for-term, plus unnormalized TF·IDF) fused with
+    ``1e6 // (60 + rank)`` — every intermediate a BIGINT."""
+    k1, b, k = Q.BM25_K1_MILLI, Q.BM25_B_MILLI, Q.BM25_TOPK
+    c, fk = Q.RRF_K_CONST, Q.RRF_TOPK
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in Q.BM25_QUERIES.items() for t in ts
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
+st AS (SELECT count(*) AS n, sum(len(ws)) AS tot FROM toks),
+q(query_id, term) AS (VALUES {vals}),
+tokex AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+dfx AS (
+  SELECT qt.term, count(DISTINCT x.doc_id) AS df
+  FROM (SELECT DISTINCT term FROM q) qt JOIN tokex x ON x.w = qt.term
+  GROUP BY qt.term),
+tf AS (
+  SELECT x.doc_id, q.query_id, q.term, count(*) AS tf
+  FROM q JOIN tokex x ON x.w = q.term
+  GROUP BY x.doc_id, q.query_id, q.term),
+scb AS (
+  SELECT f.doc_id, f.query_id,
+    sum(
+      ((1000000 * (st.n - d.df + 1)) // (d.df + 1))
+      * (f.tf * ({k1} + 1000))
+      // (f.tf * 1000
+          + ({k1} * ((({1000 - b}) * 1000
+                      + {b} * ((len(t.ws) * 1000000)
+                               // greatest((1000 * st.tot) // st.n, 1)))
+                     // 1000)) // 1000)
+    ) AS score_micro
+  FROM tf f
+  JOIN toks t ON t.doc_id = f.doc_id
+  JOIN dfx d USING (term) CROSS JOIN st
+  GROUP BY f.doc_id, f.query_id),
+sct AS (
+  SELECT f.doc_id, f.query_id,
+    sum(((1000000 * (st.n - d.df + 1)) // (d.df + 1)) * f.tf) AS score_micro
+  FROM tf f JOIN dfx d USING (term) CROSS JOIN st
+  GROUP BY f.doc_id, f.query_id),
+rkb AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rank
+  FROM scb WHERE score_micro > 0),
+rkb10 AS (SELECT * FROM rkb WHERE rank <= {k}),
+rkt AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rank
+  FROM sct WHERE score_micro > 0),
+rkt10 AS (SELECT * FROM rkt WHERE rank <= {k}),
+fused AS (
+  SELECT COALESCE(bb.query_id, tt.query_id) AS query_id,
+         COALESCE(bb.doc_id, tt.doc_id) AS doc_id,
+         COALESCE(bb.rank, 0) AS bm25_rank,
+         COALESCE(tt.rank, 0) AS tfidf_rank,
+         (CASE WHEN bb.rank IS NULL THEN 0
+               ELSE 1000000 // ({c} + bb.rank) END
+          + CASE WHEN tt.rank IS NULL THEN 0
+                 ELSE 1000000 // ({c} + tt.rank) END) AS rrf_micro
+  FROM rkb10 bb FULL JOIN rkt10 tt
+    ON tt.query_id = bb.query_id AND tt.doc_id = bb.doc_id),
+rkf AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id) AS rank
+  FROM fused)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+       CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(tfidf_rank AS BIGINT) AS tfidf_rank
+FROM rkf WHERE rank <= {fk}"""
 
 
 def _bfs_sql(seed_mod: int, rounds: int, mod: int) -> str:

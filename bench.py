@@ -189,6 +189,7 @@ QUERY_NAMES = [
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",
+    "doc_rrf_fusion",
     "part_random_walks",
     "kg_transe_weights",
     "kg_transe_ranks",

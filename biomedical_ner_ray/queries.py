@@ -6377,3 +6377,158 @@ def part_label_prop(sf_dir: str):
             "community": pd.Series(labels, dtype="int64"),
         }
     )
+
+
+RRF_K_CONST = 60  # the standard RRF damping constant (Cormack SIGIR'09)
+RRF_TOPK = 10
+
+
+def doc_rrf_fusion(sf_dir: str):
+    """Hybrid-retrieval fusion: reciprocal-rank fusion (RRF, Cormack et
+    al. SIGIR'09) of two retrieval systems over the same query set —
+    BM25 (saturated, length-normalized) and plain TF·IDF (no length
+    norm), both in the integer fixed point of doc_bm25_topk so every
+    intermediate is a BIGINT the SQL oracle recomputes identically.
+    ``rrf_micro = Σ_sys 1e6 // (60 + rank_sys)`` over each system's
+    top-BM25_TOPK list (absent ⇒ 0 contribution, rank reported as 0).
+
+    Shape — the doc_bm25_topk template, still ZERO shuffles: one
+    stats pass (per-block df/token-total partials, driver combine
+    bounded by the static term set), then ONE corpus pass computes BOTH
+    scores per block and keeps a per-(system, query) partial top-k; the
+    driver merges blocks·2·|Q|·k rows, assigns global per-system ranks,
+    and fuses."""
+    import re as _re
+
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    pats = {t: _re.compile(rf"(?<!\w){_re.escape(t)}(?!\w)") for t in terms}
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        low = pd.Series(batch["text"].to_pylist(), dtype="object").str.lower()
+        dl = low.str.count(r"\w+").to_numpy(dtype=np.int64)
+        rows = {"key": ["__n__", "__tot__"], "val": [np.int64(len(low)), dl.sum()]}
+        for t in terms:
+            tf = low.str.count(pats[t]).to_numpy(dtype=np.int64)
+            rows["key"].append(t)
+            rows["val"].append(np.int64((tf > 0).sum()))
+        return pd.DataFrame(rows)
+
+    st = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("key", as_index=False)["val"]
+        .sum()
+    )
+    kv = dict(zip(st["key"], st["val"].astype("int64")))
+    n_docs = int(kv["__n__"])
+    avgdl_milli = (1000 * int(kv["__tot__"])) // max(n_docs, 1)
+    dfs = {t: int(kv.get(t, 0)) for t in terms}
+    idf = {t: (1_000_000 * (n_docs - dfs[t] + 1)) // (dfs[t] + 1) for t in terms}
+    k1, b = BM25_K1_MILLI, BM25_B_MILLI
+    bc = ray.put((idf, avgdl_milli))
+
+    def score_topk(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        idf_, avgdl_ = resolve(bc)
+        low = pd.Series(batch["text"].to_pylist(), dtype="object").str.lower()
+        doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        dl = low.str.count(r"\w+").to_numpy(dtype=np.int64)
+        ratio_milli = (dl * 1_000_000) // max(avgdl_, 1)
+        norm_milli = ((1000 - b) * 1000 + b * ratio_milli) // 1000
+        tfs = {t: low.str.count(pats[t]).to_numpy(dtype=np.int64) for t in terms}
+        out = []
+        for qid, qterms in BM25_QUERIES.items():
+            bm25 = np.zeros(len(doc_ids), dtype=np.int64)
+            tfidf = np.zeros(len(doc_ids), dtype=np.int64)
+            for t in qterms:
+                tf = tfs[t]
+                denom = tf * 1000 + (k1 * norm_milli) // 1000
+                bm25 += np.where(
+                    tf > 0,
+                    (idf_[t] * (tf * (k1 + 1000))) // np.maximum(denom, 1),
+                    0,
+                )
+                tfidf += tf * idf_[t]
+            for sysname, score in (("bm25", bm25), ("tfidf", tfidf)):
+                keep = score > 0
+                if not keep.any():
+                    continue
+                order = np.lexsort((doc_ids[keep], -score[keep]))[:BM25_TOPK]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "sys": sysname,
+                            "query_id": qid,
+                            "doc_id": doc_ids[keep][order],
+                            "score_micro": score[keep][order],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "sys": pd.Series(dtype="object"),
+                    "query_id": pd.Series(dtype="object"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score_micro": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="object"),
+            "doc_id": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "rrf_micro": pd.Series(dtype="int64"),
+            "bm25_rank": pd.Series(dtype="int64"),
+            "tfidf_rank": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(partials):
+        return empty
+    partials = partials.sort_values(
+        ["sys", "query_id", "score_micro", "doc_id"],
+        ascending=[True, True, False, True],
+        kind="mergesort",
+    )
+    top = partials.groupby(["sys", "query_id"], sort=True).head(BM25_TOPK)
+    top = top.assign(rank=top.groupby(["sys", "query_id"]).cumcount() + 1)
+    top["rr"] = 1_000_000 // (RRF_K_CONST + top["rank"].to_numpy(dtype=np.int64))
+    wide = top.pivot_table(
+        index=["query_id", "doc_id"],
+        columns="sys",
+        values=["rank", "rr"],
+        aggfunc="first",
+        fill_value=0,
+    )
+    wide.columns = [f"{a}_{s}" for a, s in wide.columns]
+    wide = wide.reset_index()
+    for c in ("rank_bm25", "rank_tfidf", "rr_bm25", "rr_tfidf"):
+        if c not in wide.columns:
+            wide[c] = 0
+    wide["rrf_micro"] = (
+        wide["rr_bm25"].to_numpy(dtype=np.int64)
+        + wide["rr_tfidf"].to_numpy(dtype=np.int64)
+    )
+    wide = wide.sort_values(
+        ["query_id", "rrf_micro", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    fused = wide.groupby("query_id", sort=True).head(RRF_TOPK)
+    fused = fused.assign(rank=fused.groupby("query_id").cumcount() + 1)
+    return pd.DataFrame(
+        {
+            "query_id": fused["query_id"].astype(str),
+            "doc_id": fused["doc_id"].astype("int64"),
+            "rank": fused["rank"].astype("int64"),
+            "rrf_micro": fused["rrf_micro"].astype("int64"),
+            "bm25_rank": fused["rank_bm25"].astype("int64"),
+            "tfidf_rank": fused["rank_tfidf"].astype("int64"),
+        }
+    ).reset_index(drop=True)

@@ -115,3 +115,74 @@ def test_bm25_fixture_invariants(ray_session):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert (g["score_micro"] > 0).all()
         assert (np.diff(g["score_micro"].to_numpy()) <= 0).all()
+
+
+def _brute_rrf(docs: dict[int, str]):
+    """Sequential RRF reference: fuse the BM25 replay with an
+    unnormalized TF-IDF ranking via 1e6 // (60 + rank)."""
+    tok = {d: re.findall(r"\w+", t.lower()) for d, t in docs.items()}
+    n = len(docs)
+    terms = {t for ts in Q.BM25_QUERIES.values() for t in ts}
+    df = {t: sum(1 for ws in tok.values() if t in ws) for t in terms}
+    idf = {t: (1_000_000 * (n - df[t] + 1)) // (df[t] + 1) for t in terms}
+    bm25 = _brute(docs)
+    rows = []
+    for qid, qterms in Q.BM25_QUERIES.items():
+        scored = []
+        for d, ws in tok.items():
+            s = sum(ws.count(t) * idf[t] for t in qterms)
+            if s > 0:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        tfidf_rank = {
+            d: r for r, (d, _) in enumerate(scored[: Q.BM25_TOPK], start=1)
+        }
+        bq = bm25[bm25["query_id"] == qid]
+        bm25_rank = dict(zip(bq["doc_id"], bq["rank"]))
+        fused = []
+        for d in set(tfidf_rank) | set(bm25_rank):
+            rb, rt = bm25_rank.get(d, 0), tfidf_rank.get(d, 0)
+            rrf = (1_000_000 // (Q.RRF_K_CONST + rb) if rb else 0) + (
+                1_000_000 // (Q.RRF_K_CONST + rt) if rt else 0
+            )
+            fused.append((d, rrf, rb, rt))
+        fused.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, rrf, rb, rt) in enumerate(fused[: Q.RRF_TOPK], start=1):
+            rows.append((qid, d, r, rrf, rb, rt))
+    return pd.DataFrame(
+        rows,
+        columns=["query_id", "doc_id", "rank", "rrf_micro",
+                 "bm25_rank", "tfidf_rank"],
+    )
+
+
+def test_rrf_fusion_sf001(ray_session):
+    """Real-corpus equality vs the sequential RRF replay, and the fusion
+    must be load-bearing: somewhere the two systems rank differently."""
+    docs = dict(
+        zip(
+            *(
+                lambda t: (t["doc_id"].to_pylist(), t["text"].to_pylist())
+            )(
+                pq.read_table(
+                    "/root/testdata/sf0.001/documents.parquet",
+                    columns=["doc_id", "text"],
+                )
+            )
+        )
+    )
+    exp = (
+        _brute_rrf(docs)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    out = (
+        Q.doc_rrf_fusion("/root/testdata/sf0.001")
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    both = out[(out["bm25_rank"] > 0) & (out["tfidf_rank"] > 0)]
+    assert (both["bm25_rank"] != both["tfidf_rank"]).any()
+    # at least one doc reached the fused list from a single system
+    assert ((out["bm25_rank"] == 0) | (out["tfidf_rank"] == 0)).any()
