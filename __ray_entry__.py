@@ -79,10 +79,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_response_latency": Q.kg_response_latency,
         # dialogue topic-shift segmentation (adjacent-turn token Jaccard)
         "kg_topic_boundaries": Q.kg_topic_boundaries,
+        # context-window assembly (suffix token budget over turns)
+        "kg_context_window": Q.kg_context_window,
         # sparse retrieval: integer-exact BM25 top-k corpus search
         "doc_bm25_topk": Q.doc_bm25_topk,
         # hybrid retrieval: reciprocal-rank fusion of BM25 + TF-IDF
         "doc_rrf_fusion": Q.doc_rrf_fusion,
+        # deterministic per-source quota sampling (exact top-N by md5)
+        "doc_stratified_topn": Q.doc_stratified_topn,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1711,6 +1715,15 @@ GROUP BY cs.label, x.pred, co.label""",
         "part_label_prop": _labelprop_sql(Q.LP_ROUNDS, Q.TRI_SAMPLE_MOD),
         "doc_bm25_topk": _bm25_sql(),
         "doc_rrf_fusion": _rrf_sql(),
+        "doc_stratified_topn": f"""
+SELECT source, doc_id, CAST(rn AS BIGINT) AS strat_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5_number_lower('strat:' || doc_id), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {Q.STRAT_N_PER_SOURCE}""",
         "kg_transe_weights": _transe_weights_sql(),
         "kg_transe_ranks": pre + _transe_ranks_sql(),
         "part_random_walks": _rw_sql(
@@ -1772,6 +1785,22 @@ FROM (
   LEFT JOIN interq i
     ON i.conv_id = pr.conv_id AND i.turn_idx = pr.turn_idx
 )""",
+        "kg_context_window": pre
+        + f"""
+SELECT conv_id, turn_idx, n_tokens, cum_from_end,
+       CAST(CASE WHEN cum_from_end <= {Q.CTX_TOKEN_BUDGET} THEN 1 ELSE 0 END
+            AS BIGINT) AS kept
+FROM (
+  SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_from_end
+  FROM (
+    SELECT conv_id, turn_idx,
+           CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+             AS n_tokens
+    FROM transcripts_fx))""",
         "kg_role_transitions": pre
         + """
 SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n_transitions

@@ -186,6 +186,8 @@ QUERY_NAMES = [
     "kg_role_transitions",
     "kg_response_latency",
     "kg_topic_boundaries",
+    "kg_context_window",
+    "doc_stratified_topn",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

@@ -6532,3 +6532,170 @@ def doc_rrf_fusion(sf_dir: str):
             "tfidf_rank": fused["rank_tfidf"].astype("int64"),
         }
     ).reset_index(drop=True)
+
+
+STRAT_N_PER_SOURCE = 15  # stratified sample size per source stratum
+
+
+def doc_stratified_topn(sf_dir: str):
+    """Deterministic stratified sampling — exactly min(N, stratum size)
+    documents per source, chosen by ascending ``md5('strat:'||doc_id)``
+    (a seeded uniform permutation both engines replay), tie-broken by
+    doc_id. The per-stratum quota is the standard eval-set / per-domain
+    subsample primitive; the md5 order makes the pick partitioning- and
+    retry-independent (the doc_source_mix coin discipline, but with an
+    EXACT per-stratum count instead of a rate).
+
+    Shape — ZERO shuffles: sources are a bounded domain, so each block
+    keeps its local top-N per source (smallest hashes) and the driver
+    merges blocks·|sources|·N candidate rows to the global per-stratum
+    top-N."""
+    from .kernels.hashing import stable_u64_md5
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        h = np.fromiter(
+            (stable_u64_md5(f"strat:{d}".encode("utf-8")) for d in ids),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        out = pd.DataFrame({"source": df["source"].to_numpy(), "doc_id": ids, "h": h})
+        out = out.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        return out.groupby("source", sort=False).head(STRAT_N_PER_SOURCE)
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(cand):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "strat_rank": pd.Series(dtype="int64"),
+            }
+        )
+    cand = cand.sort_values(["source", "h", "doc_id"], kind="mergesort")
+    top = cand.groupby("source", sort=True).head(STRAT_N_PER_SOURCE)
+    top = top.assign(strat_rank=top.groupby("source").cumcount() + 1)
+    return pd.DataFrame(
+        {
+            "source": top["source"].astype(str),
+            "doc_id": top["doc_id"].astype("int64"),
+            "strat_rank": top["strat_rank"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
+CTX_TOKEN_BUDGET = 150  # context-window token budget per conversation
+CTX_BUCKET = 8  # turns per prefix-sum bucket (phase-1 partition grain)
+
+
+def kg_context_window(sf_dir: str):
+    """Context-window assembly — the chat-serving/training primitive:
+    walking each conversation's turns from the LAST backwards, a turn is
+    kept iff the cumulative token count through it (inclusive) fits
+    CTX_TOKEN_BUDGET. Emits every turn with its token count, its
+    suffix-cumulative total, and the keep flag — all integers, so the
+    window-SUM SQL oracle is value-exact.
+
+    Shape — the events_running_total two-phase scan flipped to a SUFFIX
+    sum, hot-key safe (a conversation may span partitions): (1) exchange
+    on (conv_id, turn-bucket) → bucket-local descending cumsum + one
+    total row per bucket; (2) bucket totals exchange on the conversation
+    → exclusive suffix offsets (vectorized cumsum-shift over buckets
+    DESC); (3) offsets union the row stream back through the same
+    (conv_id, bucket) exchange and add. Work per partition is bounded by
+    the bucket, and every phase is a vectorized pandas kernel."""
+    from .kernels.tokenize import TOKEN_RE
+    from .stages.exchange import keyed_exchange
+
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ti = df["turn_idx"].astype("int64")
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": ti,
+                "bucket": ti // CTX_BUCKET,
+                "n_tokens": df["text"].str.count(TOKEN_RE).astype("int64"),
+            }
+        )
+
+    def local_scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["conv_id", "bucket", "turn_idx"],
+            ascending=[True, True, False],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        df = df.assign(
+            local_cum=df.groupby(["conv_id", "bucket"], sort=False)[
+                "n_tokens"
+            ].cumsum()
+        )
+        totals = (
+            df.groupby(["conv_id", "bucket"], sort=False, as_index=False)["n_tokens"]
+            .sum()
+            .assign(turn_idx=np.int64(-1), local_cum=np.int64(0))
+        )
+        return pd.concat([df, totals[df.columns.tolist()]], ignore_index=True)
+
+    scanned = keyed_exchange(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["conv_id", "bucket"],
+        local_scan,
+        num_partitions=8,
+    ).materialize()
+
+    def offsets_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.groupby(["conv_id", "bucket"], sort=False, as_index=False)["n_tokens"]
+            .sum()
+            .sort_values(
+                ["conv_id", "bucket"], ascending=[True, False], kind="mergesort"
+            )
+            .reset_index(drop=True)
+        )
+        # exclusive SUFFIX offset: total tokens of all LATER buckets
+        off = df.groupby("conv_id", sort=False)["n_tokens"].cumsum() - df["n_tokens"]
+        return df.assign(offset=off)[["conv_id", "bucket", "offset"]]
+
+    totals = scanned.map_batches(
+        lambda df: df.loc[df["turn_idx"] == -1, ["conv_id", "bucket", "n_tokens"]],
+        batch_format="pandas",
+    )
+    offsets = keyed_exchange(totals, ["conv_id"], offsets_part, num_partitions=8)
+
+    rows = scanned.map_batches(
+        lambda df: df.loc[df["turn_idx"] != -1].assign(offset=np.int64(0)),
+        batch_format="pandas",
+    )
+    off_rows = offsets.map_batches(
+        lambda df: df.assign(
+            turn_idx=np.int64(-1), n_tokens=np.int64(0), local_cum=np.int64(0)
+        )[["conv_id", "turn_idx", "bucket", "n_tokens", "local_cum", "offset"]],
+        batch_format="pandas",
+    )
+
+    def apply_offset(df: pd.DataFrame) -> pd.DataFrame:
+        offs = df.loc[df["turn_idx"] == -1, ["conv_id", "bucket", "offset"]]
+        r = df.loc[df["turn_idx"] != -1].drop(columns=["offset"])
+        m = r.merge(offs, on=["conv_id", "bucket"], how="left")
+        cum = (
+            m["local_cum"].to_numpy(dtype="int64")
+            + m["offset"].fillna(0).to_numpy(dtype="int64")
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": m["conv_id"],
+                "turn_idx": m["turn_idx"].to_numpy(dtype="int32"),
+                "n_tokens": m["n_tokens"].to_numpy(dtype="int64"),
+                "cum_from_end": cum,
+                "kept": (cum <= CTX_TOKEN_BUDGET).astype("int64"),
+            }
+        )
+
+    return keyed_exchange(
+        rows.union(off_rows), ["conv_id", "bucket"], apply_offset, num_partitions=8
+    )

@@ -277,3 +277,38 @@ def test_label_prop_sf001(ray_session):
     assert got == expected
     # communities actually merged somewhere (the operator did work)
     assert len(set(got.values())) < len(got)
+
+
+def test_context_window_sf001(ray_session, tiny_fixture):
+    """Two-phase suffix sum == a pandas reversed-cumsum replay; the keep
+    flag must be mixed (budget load-bearing) and bucket offsets must be
+    exercised (conversations longer than one bucket exist)."""
+    from biomedical_ner_ray.kernels.tokenize import TOKEN_RE
+
+    files = sorted(glob.glob(os.path.join(tiny_fixture["transcripts"], "*.parquet")))
+    t = pd.concat(
+        [
+            pq.read_table(f, columns=["conv_id", "turn_idx", "text"]).to_pandas()
+            for f in files
+        ],
+        ignore_index=True,
+    )
+    t["n_tokens"] = t["text"].map(lambda x: len(TOKEN_RE.findall(x))).astype("int64")
+    t = t.sort_values(["conv_id", "turn_idx"], ascending=[True, False])
+    t["cum_from_end"] = t.groupby("conv_id")["n_tokens"].cumsum()
+    t["kept"] = (t["cum_from_end"] <= Q.CTX_TOKEN_BUDGET).astype("int64")
+    exp = (
+        t[["conv_id", "turn_idx", "n_tokens", "cum_from_end", "kept"]]
+        .astype({"turn_idx": "int32"})
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    out = (
+        Q.kg_context_window("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    assert 0 < out["kept"].sum() < len(out)
+    assert (exp.groupby("conv_id")["turn_idx"].max() >= Q.CTX_BUCKET).any()

@@ -186,3 +186,40 @@ def test_rrf_fusion_sf001(ray_session):
     assert (both["bm25_rank"] != both["tfidf_rank"]).any()
     # at least one doc reached the fused list from a single system
     assert ((out["bm25_rank"] == 0) | (out["tfidf_rank"] == 0)).any()
+
+
+def test_stratified_topn_planted(ray_session, tmp_path):
+    """Planted two-block corpus with a small and a large stratum: exact
+    per-stratum quota, md5-order picks, cross-block merge correctness vs
+    a sequential replay."""
+    from biomedical_ner_ray.kernels.hashing import stable_u64_md5
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "tiny") for i in range(3)]
+    half = len(rows) // 2
+    ddir = os.path.join(tmp_path, "documents.parquet")
+    os.mkdir(ddir)
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in chunk], pa.int64()),
+                    "source": pa.array([s for _, s in chunk], pa.string()),
+                }
+            ),
+            os.path.join(ddir, f"part_{i}.parquet"),
+        )
+    out = Q.doc_stratified_topn(str(tmp_path))
+    exp_rows = []
+    for src_name in ("big", "tiny"):
+        ids = [d for d, s in rows if s == src_name]
+        ids.sort(key=lambda d: (stable_u64_md5(f"strat:{d}".encode("utf-8")), d))
+        for r, d in enumerate(ids[: Q.STRAT_N_PER_SOURCE], start=1):
+            exp_rows.append((src_name, d, r))
+    exp = pd.DataFrame(exp_rows, columns=["source", "doc_id", "strat_rank"])
+    pd.testing.assert_frame_equal(
+        out.sort_values(["source", "strat_rank"]).reset_index(drop=True),
+        exp.sort_values(["source", "strat_rank"]).reset_index(drop=True),
+    )
+    # quota binds on the big stratum, undershoots on the tiny one
+    got = out.groupby("source").size()
+    assert got["big"] == Q.STRAT_N_PER_SOURCE and got["tiny"] == 3
