@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rrf_fusion": Q.doc_rrf_fusion,
         # deterministic per-source quota sampling (exact top-N by md5)
         "doc_stratified_topn": Q.doc_stratified_topn,
+        # per-source term-distribution drift vs the corpus (integer L1)
+        "doc_source_drift": Q.doc_source_drift,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1715,6 +1717,31 @@ GROUP BY cs.label, x.pred, co.label""",
         "part_label_prop": _labelprop_sql(Q.LP_ROUNDS, Q.TRI_SAMPLE_MOD),
         "doc_bm25_topk": _bm25_sql(),
         "doc_rrf_fusion": _rrf_sql(),
+        "doc_source_drift": f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+  FROM documents),
+tots AS (SELECT source, CAST(count(*) AS BIGINT) AS t FROM tok GROUP BY source),
+ctot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+topk AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+  ORDER BY count(*) DESC, w LIMIT {Q.DRIFT_K}),
+grid AS (
+  SELECT s.source, k.w, k.c FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN topk k),
+obs AS (
+  SELECT t.source, t.w, CAST(count(*) AS BIGINT) AS o
+  FROM tok t JOIN topk k ON k.w = t.w GROUP BY t.source, t.w)
+SELECT g.source,
+       CAST(sum(abs((1000000 * COALESCE(o.o, 0)) // greatest(tt.t, 1)
+                    - (1000000 * g.c) // greatest(ct.t, 1))) AS BIGINT)
+         AS drift_micro,
+       CAST(min(tt.t) AS BIGINT) AS n_tokens
+FROM grid g
+LEFT JOIN obs o ON o.source = g.source AND o.w = g.w
+JOIN tots tt ON tt.source = g.source
+CROSS JOIN ctot ct
+GROUP BY g.source""",
         "doc_stratified_topn": f"""
 SELECT source, doc_id, CAST(rn AS BIGINT) AS strat_rank
 FROM (

@@ -188,6 +188,7 @@ QUERY_NAMES = [
     "kg_topic_boundaries",
     "kg_context_window",
     "doc_stratified_topn",
+    "doc_source_drift",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

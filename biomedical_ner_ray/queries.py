@@ -6699,3 +6699,100 @@ def kg_context_window(sf_dir: str):
     return keyed_exchange(
         rows.union(off_rows), ["conv_id", "bucket"], apply_offset, num_partitions=8
     )
+
+
+DRIFT_K = 30  # corpus top-K terms that define the drift fingerprint
+
+
+def doc_source_drift(sf_dir: str):
+    """Per-source distribution drift — the training-mix monitoring op:
+    for each source, the L1 distance (micro units) between its
+    term-share vector and the corpus term-share vector over the corpus
+    top-DRIFT_K terms: ``drift_micro = Σ_t |1e6·O_st // T_s −
+    1e6·C_t // T|``. Shares are floor-divided integers, so the SQL
+    oracle recomputes every addend exactly (the emb_quantize lesson).
+
+    Shape — no corpus-scale shuffle: pass 1 reduces per-block word
+    counts through the standard word-keyed exchange (the doc_wordcount
+    machinery) and the driver keeps the top-K (count desc, word asc) —
+    K rows; per-source token totals are a bounded driver combine. Pass
+    2 broadcasts the K-term list and reduces per-block (source, term)
+    counts — bounded by |sources|·K — on the driver. The fingerprint
+    is tiny; only the two corpus scans are distributed."""
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=["source", "text"])
+
+    def word_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ws = df["text"].str.lower().str.findall(r"\w+")
+        ex = ws.explode().dropna()
+        src = df["source"].reindex(ex.index)
+        g = (
+            pd.DataFrame({"w": ex.to_numpy(), "source": src.to_numpy()})
+            .groupby(["w", "source"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return g
+
+    # one distributed reduce keyed on the word gives BOTH the corpus
+    # top-K (sum over sources) and, restricted to those K words later,
+    # the per-source observations — a single exchange serves pass 1+2
+    counts = keyed_exchange(
+        ds.map_batches(word_partial, batch_format="pandas"),
+        ["w"],
+        lambda df: df.groupby(["w", "source"], as_index=False)["n"].sum(),
+        num_partitions=8,
+    ).materialize()
+
+    corpus = (
+        counts.map_batches(
+            lambda df: df.groupby("w", as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("w", as_index=False)["n"]
+        .sum()
+    )
+    top = corpus.sort_values(["n", "w"], ascending=[False, True], kind="mergesort").head(
+        DRIFT_K
+    )
+    topw = set(top["w"])
+    c_t = dict(zip(top["w"], top["n"].astype(int)))
+
+    per_src = (
+        counts.map_batches(
+            lambda df: df.groupby("source", as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "t"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)["t"]
+        .sum()
+    )
+    t_s = dict(zip(per_src["source"], per_src["t"].astype(int)))
+    t_corpus = int(per_src["t"].sum())
+
+    obs = (
+        counts.map_batches(
+            lambda df: df[df["w"].isin(topw)], batch_format="pandas"
+        )
+        .to_pandas()
+        .groupby(["source", "w"], as_index=False)["n"]
+        .sum()
+    )
+    o = {(s, w): int(n) for s, w, n in zip(obs["source"], obs["w"], obs["n"])}
+
+    rows = []
+    for s in sorted(t_s):
+        drift = 0
+        for w in top["w"]:
+            share_s = (1_000_000 * o.get((s, w), 0)) // max(t_s[s], 1)
+            share_c = (1_000_000 * c_t[w]) // max(t_corpus, 1)
+            drift += abs(share_s - share_c)
+        rows.append((s, drift, t_s[s]))
+    return pd.DataFrame(
+        rows, columns=["source", "drift_micro", "n_tokens"]
+    ).astype({"drift_micro": "int64", "n_tokens": "int64"})

@@ -223,3 +223,47 @@ def test_stratified_topn_planted(ray_session, tmp_path):
     # quota binds on the big stratum, undershoots on the tiny one
     got = out.groupby("source").size()
     assert got["big"] == Q.STRAT_N_PER_SOURCE and got["tiny"] == 3
+
+
+def test_source_drift_planted(ray_session, tmp_path):
+    """A source with an alien vocabulary must out-drift sources that
+    mirror the corpus mix; values equal a sequential integer replay."""
+    rows = (
+        [(i, "mixed", "alpha beta gamma delta") for i in range(10)]
+        + [(100 + i, "mixedb", "alpha beta gamma delta") for i in range(10)]
+        + [(200 + i, "alien", "zeta zeta eta theta iota") for i in range(5)]
+    )
+    ddir = os.path.join(tmp_path, "documents.parquet")
+    os.mkdir(ddir)
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _, _ in chunk], pa.int64()),
+                    "source": pa.array([s for _, s, _ in chunk], pa.string()),
+                    "text": pa.array([t for _, _, t in chunk], pa.string()),
+                }
+            ),
+            os.path.join(ddir, f"part_{i}.parquet"),
+        )
+    out = Q.doc_source_drift(str(tmp_path)).set_index("source")
+
+    # sequential replay
+    from collections import Counter
+
+    toks = [(s, w) for _, s, t in rows for w in re.findall(r"\w+", t.lower())]
+    corpus = Counter(w for _, w in toks)
+    top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[: Q.DRIFT_K]
+    t_corpus = len(toks)
+    for src_name in ("mixed", "mixedb", "alien"):
+        stoks = [w for s, w in toks if s == src_name]
+        t_s = len(stoks)
+        o = Counter(stoks)
+        drift = sum(
+            abs((1_000_000 * o.get(w, 0)) // t_s - (1_000_000 * c) // t_corpus)
+            for w, c in top
+        )
+        assert out.loc[src_name, "drift_micro"] == drift
+        assert out.loc[src_name, "n_tokens"] == t_s
+    assert out.loc["alien", "drift_micro"] > out.loc["mixed", "drift_micro"]
