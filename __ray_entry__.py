@@ -1772,7 +1772,7 @@ GROUP BY conv_id""",
         "kg_topic_boundaries": pre
         + f"""
 , dtokq AS (
-  SELECT DISTINCT conv_id, turn_idx, lower(w) AS w
+  SELECT DISTINCT conv_id, turn_idx, md5_number_lower(lower(w)) AS w
   FROM (SELECT conv_id, turn_idx, unnest(tk) AS w FROM toksq)
 ),
 cardq AS (

@@ -6212,28 +6212,48 @@ def kg_topic_boundaries(sf_dir: str):
     from .kernels.tokenize import TOKEN_RE
     from .stages.exchange import keyed_exchange
 
+    from .kernels.hashing import stable_u64_md5
+
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        convs: list[str] = []
-        ps: list[int] = []
-        sides: list[int] = []
-        ws: list[str] = []
-        for c, ti, tx in zip(df["conv_id"], df["turn_idx"], df["text"]):
-            ti = int(ti)
-            toks = {t.lower() for t in TOKEN_RE.findall(tx)}
-            # side codes: 0=prev token, 1=cur token, 2=cur marker, 3=prev marker
-            for w in toks:
-                convs.append(c); ps.append(ti); sides.append(1); ws.append(w)
-                convs.append(c); ps.append(ti + 1); sides.append(0); ws.append(w)
-            convs.append(c); ps.append(ti); sides.append(2); ws.append("")
-            convs.append(c); ps.append(ti + 1); sides.append(3); ws.append("")
-        return pd.DataFrame(
-            {
-                "conv_id": pd.Series(convs, dtype="object"),
-                "p": pd.Series(ps, dtype="int64"),
-                "side": pd.Series(sides, dtype="int8"),
-                "w": pd.Series(ws, dtype="object"),
-            }
+        # side codes: 0=prev token, 1=cur token, 2=cur marker, 3=prev marker.
+        # Tokens ship as md5-u64 HASHES, not strings: both engines hash
+        # with the same function (stable_u64_md5 == md5_number_lower),
+        # so set cardinalities/intersections are engine-identical by
+        # construction and the exchange rows shrink to fixed width.
+        df = df.reset_index(drop=True)
+        ex = df["text"].str.findall(TOKEN_RE).explode().dropna().str.lower()
+        d = pd.DataFrame(
+            {"row": ex.index.to_numpy(), "w": ex.to_numpy()}
+        ).drop_duplicates()
+        # one md5 per DISTINCT token per batch (the decontamination memo)
+        uniq, inv = np.unique(d["w"].to_numpy(), return_inverse=True)
+        hs = np.fromiter(
+            (stable_u64_md5(u.encode("utf-8")) for u in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        ).view(np.int64)
+        wh = hs[inv]
+        conv = df["conv_id"].to_numpy()
+        ti = df["turn_idx"].to_numpy().astype(np.int64)
+        r = d["row"].to_numpy()
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {"conv_id": conv[r], "p": ti[r], "side": np.int8(1), "w": wh}
+                ),
+                pd.DataFrame(
+                    {"conv_id": conv[r], "p": ti[r] + 1, "side": np.int8(0), "w": wh}
+                ),
+                pd.DataFrame(
+                    {"conv_id": conv, "p": ti, "side": np.int8(2), "w": np.int64(0)}
+                ),
+                pd.DataFrame(
+                    {"conv_id": conv, "p": ti + 1, "side": np.int8(3), "w": np.int64(0)}
+                ),
+            ],
+            ignore_index=True,
         )
+        return out.astype({"p": "int64", "side": "int8", "w": "int64"})
 
     def pair_reduce(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -6712,13 +6732,15 @@ def doc_source_drift(sf_dir: str):
     1e6·C_t // T|``. Shares are floor-divided integers, so the SQL
     oracle recomputes every addend exactly (the emb_quantize lesson).
 
-    Shape — no corpus-scale shuffle: pass 1 reduces per-block word
-    counts through the standard word-keyed exchange (the doc_wordcount
-    machinery) and the driver keeps the top-K (count desc, word asc) —
-    K rows; per-source token totals are a bounded driver combine. Pass
-    2 broadcasts the K-term list and reduces per-block (source, term)
-    counts — bounded by |sources|·K — on the driver. The fingerprint
-    is tiny; only the two corpus scans are distributed."""
+    Shape — no corpus-scale shuffle AND no vocab-scale driver stream:
+    one word-keyed exchange fully co-locates each word, so every
+    partition can compute exact per-word totals locally and emit ONLY
+    its local top-K candidate words (with their per-source counts) —
+    the global top-K is a subset of the union of partition top-Ks, so
+    the driver merges ≤ partitions·K·|sources| rows. Per-source token
+    totals come from a separate bounded per-block combine (the
+    doc_source_mix contract). The fingerprint is tiny; only the corpus
+    scan and the word exchange are distributed."""
     from .stages.exchange import keyed_exchange
 
     ds = _tbl(sf_dir, "documents", columns=["source", "text"])
@@ -6736,36 +6758,28 @@ def doc_source_drift(sf_dir: str):
         )
         return g
 
-    # one distributed reduce keyed on the word gives BOTH the corpus
-    # top-K (sum over sources) and, restricted to those K words later,
-    # the per-source observations — a single exchange serves pass 1+2
-    counts = keyed_exchange(
+    def topk_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        """Partition-local exact reduce: every row of a word hashes to
+        the same partition, so per-word totals here are GLOBAL totals;
+        keep only this partition's top-K words' rows."""
+        g = df.groupby(["w", "source"], as_index=False)["n"].sum()
+        wt = g.groupby("w", as_index=False)["n"].sum().rename(columns={"n": "wn"})
+        wt = wt.sort_values(["wn", "w"], ascending=[False, True], kind="mergesort")
+        return g.merge(wt.head(DRIFT_K), on="w")
+
+    cand = keyed_exchange(
         ds.map_batches(word_partial, batch_format="pandas"),
         ["w"],
-        lambda df: df.groupby(["w", "source"], as_index=False)["n"].sum(),
+        topk_candidates,
         num_partitions=8,
-    ).materialize()
+    ).to_pandas()
 
-    corpus = (
-        counts.map_batches(
-            lambda df: df.groupby("w", as_index=False)["n"].sum(),
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .groupby("w", as_index=False)["n"]
-        .sum()
-    )
-    top = corpus.sort_values(["n", "w"], ascending=[False, True], kind="mergesort").head(
-        DRIFT_K
-    )
-    topw = set(top["w"])
-    c_t = dict(zip(top["w"], top["n"].astype(int)))
-
+    # per-source token totals over ALL words: bounded per-block combine
     per_src = (
-        counts.map_batches(
-            lambda df: df.groupby("source", as_index=False)["n"]
-            .sum()
-            .rename(columns={"n": "t"}),
+        ds.map_batches(
+            lambda df: df.assign(t=df["text"].str.lower().str.count(r"\w+"))
+            .groupby("source", as_index=False)["t"]
+            .sum(),
             batch_format="pandas",
         )
         .to_pandas()
@@ -6775,14 +6789,20 @@ def doc_source_drift(sf_dir: str):
     t_s = dict(zip(per_src["source"], per_src["t"].astype(int)))
     t_corpus = int(per_src["t"].sum())
 
-    obs = (
-        counts.map_batches(
-            lambda df: df[df["w"].isin(topw)], batch_format="pandas"
+    if not len(cand):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "drift_micro": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+            }
         )
-        .to_pandas()
-        .groupby(["source", "w"], as_index=False)["n"]
-        .sum()
+    wt = cand[["w", "wn"]].drop_duplicates()
+    top = wt.sort_values(["wn", "w"], ascending=[False, True], kind="mergesort").head(
+        DRIFT_K
     )
+    c_t = dict(zip(top["w"], top["wn"].astype(int)))
+    obs = cand[cand["w"].isin(set(top["w"]))]
     o = {(s, w): int(n) for s, w, n in zip(obs["source"], obs["w"], obs["n"])}
 
     rows = []
