@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_topn": Q.doc_stratified_topn,
         # per-source term-distribution drift vs the corpus (integer L1)
         "doc_source_drift": Q.doc_source_drift,
+        # per-user burst-day detection over the event stream
+        "events_burst_days": Q.events_burst_days,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1717,6 +1719,19 @@ GROUP BY cs.label, x.pred, co.label""",
         "part_label_prop": _labelprop_sql(Q.LP_ROUNDS, Q.TRI_SAMPLE_MOD),
         "doc_bm25_topk": _bm25_sql(),
         "doc_rrf_fusion": _rrf_sql(),
+        "events_burst_days": f"""
+WITH d AS (
+  SELECT user_id,
+         CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, day),
+u AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM d GROUP BY user_id)
+SELECT d.user_id, d.day, d.n AS n_events, u.tot AS user_total, u.nd AS n_days
+FROM d JOIN u USING (user_id)
+WHERE d.n * u.nd > {Q.BURST_FACTOR} * u.tot""",
         "doc_source_drift": f"""
 WITH tok AS (
   SELECT source, unnest(regexp_extract_all(lower(text), '\\w+')) AS w

@@ -189,6 +189,7 @@ QUERY_NAMES = [
     "kg_context_window",
     "doc_stratified_topn",
     "doc_source_drift",
+    "events_burst_days",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

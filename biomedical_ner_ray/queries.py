@@ -6816,3 +6816,65 @@ def doc_source_drift(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["source", "drift_micro", "n_tokens"]
     ).astype({"drift_micro": "int64", "n_tokens": "int64"})
+
+
+BURST_FACTOR = 2  # burst day iff day count > FACTOR x user's mean daily count
+
+
+def events_burst_days(sf_dir: str):
+    """Per-user burst-day detection — the activity-anomaly monitor a
+    training-data/abuse pipeline runs over event streams: a (user, day)
+    is a burst when its event count exceeds BURST_FACTOR × the user's
+    mean daily count over their active days, gated by the integer
+    cross-multiplication ``n_events · n_days > FACTOR · user_total``
+    (no division anywhere, so the SQL oracle is value-exact). Days are
+    epoch-day integers.
+
+    Shape — two uniform keyed exchanges, no broadcast: per-block
+    (user, day) count partials reduce on the (user, day) key, then ONE
+    user-keyed exchange co-locates a user's day rows and applies the
+    totals + gate in-partition (a user's day count is bounded by the
+    calendar, so no hot-key risk)."""
+    from .stages.exchange import keyed_exchange
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        g = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(), "day": day})
+            .groupby(["user_id", "day"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return g.astype({"user_id": "int64", "day": "int64", "n": "int64"})
+
+    counts = keyed_exchange(
+        ds.map_batches(day_partial, batch_format="pandas"),
+        ["user_id", "day"],
+        lambda df: df.groupby(["user_id", "day"], as_index=False)["n"].sum(),
+        num_partitions=8,
+    )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("user_id", sort=False)["n"].transform("sum")
+        nd = df.groupby("user_id", sort=False)["n"].transform("size")
+        keep = df["n"] * nd > BURST_FACTOR * tot
+        out = df.loc[keep].assign(user_total=tot[keep], n_days=nd[keep])
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "day": out["day"].astype("int64"),
+                "n_events": out["n"].astype("int64"),
+                "user_total": out["user_total"].astype("int64"),
+                "n_days": out["n_days"].astype("int64"),
+            }
+        )
+
+    return keyed_exchange(counts, ["user_id"], gate, num_partitions=8)

@@ -312,3 +312,32 @@ def test_context_window_sf001(ray_session, tiny_fixture):
     pd.testing.assert_frame_equal(out, exp)
     assert 0 < out["kept"].sum() < len(out)
     assert (exp.groupby("conv_id")["turn_idx"].max() >= Q.CTX_BUCKET).any()
+
+
+def test_burst_days_sf001(ray_session):
+    """Exchange-gated burst days == a pandas replay over real events;
+    the gate must be selective (some but not all user-days flagged)."""
+    ev = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts"]
+    ).to_pandas()
+    ev["day"] = (
+        ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        // 86_400_000_000
+    )
+    d = ev.groupby(["user_id", "day"]).size().rename("n_events").reset_index()
+    u = d.groupby("user_id")["n_events"].agg(user_total="sum", n_days="size")
+    m = d.merge(u, on="user_id")
+    exp = (
+        m[m["n_events"] * m["n_days"] > Q.BURST_FACTOR * m["user_total"]]
+        .astype("int64")
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    out = (
+        Q.events_burst_days("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    assert 0 < len(out) < len(d)
