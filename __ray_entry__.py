@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_drift": Q.doc_source_drift,
         # per-user burst-day detection over the event stream
         "events_burst_days": Q.events_burst_days,
+        # integer PageRank over the canonical KG (symmetrized edges)
+        "kg_pagerank": Q.kg_pagerank,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -655,6 +657,39 @@ def _pagerank_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT node AS part_id, r AS pr_score FROM {prev}"
+    )
+
+
+def _kg_pagerank_sql() -> str:
+    """N-iteration integer PageRank over the symmetrized canonical KG
+    edge set — the _pagerank_sql arithmetic with string node labels
+    (grouping keys rename freely; the floor sums are identical)."""
+    from biomedical_ner_ray.queries import PAGERANK_ITERS
+    from biomedical_ner_ray.stages.pagerank import BASE, DAMP_DEN, DAMP_NUM, SCALE
+
+    ctes = [
+        """eg AS (
+  SELECT DISTINCT cs.label AS a, co.label AS b
+  FROM triplesq t
+  JOIN lab3 cs ON cs.cui = t.subj_cui
+  JOIN lab3 co ON co.cui = t.obj_cui
+  WHERE cs.label <> co.label)""",
+        "e0 AS (SELECT a AS src, b AS dst FROM eg UNION SELECT b, a FROM eg)",
+        "deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY src)",
+    ]
+    prev = None
+    for i in range(1, PAGERANK_ITERS + 1):
+        rank_expr = f"{SCALE} // g.d" if prev is None else f"{prev}.r // g.d"
+        join_prev = "" if prev is None else f" JOIN {prev} ON {prev}.node = e.src"
+        ctes.append(
+            f"r{i} AS (SELECT e.dst AS node, "
+            f"CAST({BASE} + ({DAMP_NUM} * sum({rank_expr})) // {DAMP_DEN} AS BIGINT) AS r "
+            f"FROM e0 e JOIN deg g ON g.src = e.src{join_prev} GROUP BY e.dst)"
+        )
+        prev = f"r{i}"
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS node_label, r AS pr_score FROM {prev}"
     )
 
 
@@ -1719,6 +1754,7 @@ GROUP BY cs.label, x.pred, co.label""",
         "part_label_prop": _labelprop_sql(Q.LP_ROUNDS, Q.TRI_SAMPLE_MOD),
         "doc_bm25_topk": _bm25_sql(),
         "doc_rrf_fusion": _rrf_sql(),
+        "kg_pagerank": pre + ", " + _kg_pagerank_sql(),
         "events_burst_days": f"""
 WITH d AS (
   SELECT user_id,

@@ -190,6 +190,7 @@ QUERY_NAMES = [
     "doc_stratified_topn",
     "doc_source_drift",
     "events_burst_days",
+    "kg_pagerank",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

@@ -6878,3 +6878,47 @@ def events_burst_days(sf_dir: str):
         )
 
     return keyed_exchange(counts, ["user_id"], gate, num_partitions=8)
+
+
+def kg_pagerank(sf_dir: str):
+    """Node importance over the engine's OWN canonical KG — integer
+    fixed-point PageRank (stages/pagerank.py, bit-exact vs the unrolled
+    SQL oracle) on the SYMMETRIZED canonical edge set (both directions
+    of every subj↔obj pair, predicates collapsed), satisfying the
+    stage's symmetric-graph precondition. The edge table is bounded by
+    the node DIMENSION (the _kg_edges_frame broadcast-small argument),
+    so the label↔id map is a driver-side bijection; the rank loop runs
+    through the shared pagerank stage (small-graph path at test scale,
+    pinned-block distributed path beyond the threshold)."""
+    from .stages.pagerank import pagerank_int
+
+    edges = _kg_edges_frame(sf_dir)
+    a = edges["subj_cui"].to_numpy()
+    b = edges["obj_cui"].to_numpy()
+    und = pd.DataFrame(
+        {
+            "src": np.concatenate([a, b]),
+            "dst": np.concatenate([b, a]),
+        }
+    ).drop_duplicates()
+    labels = np.array(sorted(set(und["src"])))
+    lid = {l: i for i, l in enumerate(labels)}
+    e = pd.DataFrame(
+        {
+            "src": und["src"].map(lid).astype("int64"),
+            "dst": und["dst"].map(lid).astype("int64"),
+        }
+    )
+    pr = (
+        pagerank_int(
+            rd.from_pandas(e), iterations=PAGERANK_ITERS, num_partitions=8
+        )
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    return pd.DataFrame(
+        {
+            "node_label": labels[pr["node"].to_numpy()],
+            "pr_score": pr["pr_score"].astype("int64"),
+        }
+    )

@@ -341,3 +341,31 @@ def test_burst_days_sf001(ray_session):
     )
     pd.testing.assert_frame_equal(out, exp)
     assert 0 < len(out) < len(d)
+
+
+def test_kg_pagerank_sf001(ray_session):
+    """Engine KG PageRank == a sequential integer replay over the same
+    symmetrized canonical edge set; ranks must differentiate nodes."""
+    from biomedical_ner_ray import queries as Q2
+    from biomedical_ner_ray.stages.pagerank import BASE, DAMP_DEN, DAMP_NUM, SCALE
+
+    edges = Q2._kg_edges_frame("/root/testdata/sf0.001")
+    und = {
+        (a, b)
+        for a, b in zip(edges["subj_cui"], edges["obj_cui"])
+    } | {(b, a) for a, b in zip(edges["subj_cui"], edges["obj_cui"])}
+    nbrs: dict[str, list[str]] = {}
+    for s, d in sorted(und):
+        nbrs.setdefault(s, []).append(d)
+    r = {n: SCALE for n in nbrs}
+    for _ in range(Q2.PAGERANK_ITERS):
+        s: dict[str, int] = {}
+        for src, ds in nbrs.items():
+            c = r.get(src, SCALE) // len(ds)
+            for d in ds:
+                s[d] = s.get(d, 0) + c
+        r = {n: BASE + (DAMP_NUM * v) // DAMP_DEN for n, v in s.items()}
+    out = Q2.kg_pagerank("/root/testdata/sf0.001")
+    got = dict(zip(out["node_label"], out["pr_score"]))
+    assert got == r
+    assert len(set(got.values())) > 1
