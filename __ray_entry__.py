@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burst_days": Q.events_burst_days,
         # integer PageRank over the canonical KG (symmetrized edges)
         "kg_pagerank": Q.kg_pagerank,
+        # KG edge confidence: integer lift vs endpoint marginals
+        "kg_edge_lift": Q.kg_edge_lift,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1755,6 +1757,28 @@ GROUP BY cs.label, x.pred, co.label""",
         "doc_bm25_topk": _bm25_sql(),
         "doc_rrf_fusion": _rrf_sql(),
         "kg_pagerank": pre + ", " + _kg_pagerank_sql(),
+        "kg_edge_lift": pre
+        + """
+, edgesq AS (
+  SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM triplesq t
+  JOIN lab3 cs ON cs.cui = t.subj_cui
+  JOIN lab3 co ON co.cui = t.obj_cui
+  WHERE cs.label <> co.label
+  GROUP BY cs.label, t.pred, co.label),
+totq AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM edgesq),
+margq AS (
+  SELECT node, CAST(sum(weight) AS BIGINT) AS m FROM (
+    SELECT subj_cui AS node, weight FROM edgesq
+    UNION ALL SELECT obj_cui, weight FROM edgesq)
+  GROUP BY node)
+SELECT e.subj_cui, e.pred, e.obj_cui, e.weight,
+       (1000000 * e.weight * t.w) // (ms.m * mo.m) AS lift_micro
+FROM edgesq e
+JOIN margq ms ON ms.node = e.subj_cui
+JOIN margq mo ON mo.node = e.obj_cui
+CROSS JOIN totq t""",
         "events_burst_days": f"""
 WITH d AS (
   SELECT user_id,

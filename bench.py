@@ -191,6 +191,7 @@ QUERY_NAMES = [
     "doc_source_drift",
     "events_burst_days",
     "kg_pagerank",
+    "kg_edge_lift",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

@@ -6922,3 +6922,57 @@ def kg_pagerank(sf_dir: str):
             "pr_score": pr["pr_score"].astype("int64"),
         }
     )
+
+
+def kg_edge_lift(sf_dir: str):
+    """KG edge confidence scoring — association strength of each
+    canonical edge as integer LIFT: ``lift_micro = 1e6·w·W //
+    (m_s·m_o)`` where w is the edge weight, W the total edge weight,
+    and m_x the summed weight incident to endpoint x (the PMI-family
+    measure without the log, so every value is a BIGINT both engines
+    compute identically). Distinguishes systematically co-mentioned
+    node pairs from pairs that co-occur only because both are frequent
+    — the edge-pruning signal downstream of kg_edges.
+
+    Shape: the canonical edge table is bounded by the node dimension
+    (the _kg_edges_frame / kg_transe argument), so marginals and the
+    row-local lift are vectorized driver arithmetic over the already-
+    distributed kg_edges output; at corpus-scale node sets the marginal
+    becomes one endpoint-keyed exchange + broadcast map."""
+    edges = _kg_edges_frame(sf_dir)
+    if not len(edges):
+        return pd.DataFrame(
+            {
+                "subj_cui": pd.Series(dtype="object"),
+                "pred": pd.Series(dtype="object"),
+                "obj_cui": pd.Series(dtype="object"),
+                "weight": pd.Series(dtype="int64"),
+                "lift_micro": pd.Series(dtype="int64"),
+            }
+        )
+    w = edges["weight"].to_numpy(dtype=np.int64)
+    total = int(w.sum())
+    marg = (
+        pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [edges["subj_cui"].to_numpy(), edges["obj_cui"].to_numpy()]
+                ),
+                "w": np.concatenate([w, w]),
+            }
+        )
+        .groupby("node")["w"]
+        .sum()
+    )
+    m_s = marg.reindex(edges["subj_cui"]).to_numpy(dtype=np.int64)
+    m_o = marg.reindex(edges["obj_cui"]).to_numpy(dtype=np.int64)
+    lift = (1_000_000 * w * total) // (m_s * m_o)
+    return pd.DataFrame(
+        {
+            "subj_cui": edges["subj_cui"],
+            "pred": edges["pred"],
+            "obj_cui": edges["obj_cui"],
+            "weight": w,
+            "lift_micro": lift.astype("int64"),
+        }
+    )

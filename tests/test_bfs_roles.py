@@ -369,3 +369,23 @@ def test_kg_pagerank_sf001(ray_session):
     got = dict(zip(out["node_label"], out["pr_score"]))
     assert got == r
     assert len(set(got.values())) > 1
+
+
+def test_kg_edge_lift_sf001(ray_session):
+    """Lift values == a sequential integer replay; lift must separate
+    edges (not a constant) and weigh down high-marginal endpoints."""
+    from biomedical_ner_ray import queries as Q2
+
+    edges = Q2._kg_edges_frame("/root/testdata/sf0.001")
+    W = int(edges["weight"].sum())
+    marg: dict[str, int] = {}
+    for s, o, w in zip(edges["subj_cui"], edges["obj_cui"], edges["weight"]):
+        marg[s] = marg.get(s, 0) + int(w)
+        marg[o] = marg.get(o, 0) + int(w)
+    out = Q2.kg_edge_lift("/root/testdata/sf0.001")
+    assert len(out) == len(edges)
+    for s, p, o, w, lf in zip(
+        out["subj_cui"], out["pred"], out["obj_cui"], out["weight"], out["lift_micro"]
+    ):
+        assert lf == (1_000_000 * int(w) * W) // (marg[s] * marg[o])
+    assert out["lift_micro"].nunique() > 1
