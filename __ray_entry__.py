@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": Q.kg_pagerank,
         # KG edge confidence: integer lift vs endpoint marginals
         "kg_edge_lift": Q.kg_edge_lift,
+        # temporal-KG snapshot: edges as of the corpus time mid-point
+        "kg_snapshot_edges": Q.kg_snapshot_edges,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1933,6 +1935,22 @@ SELECT cm.x AS part_a, cm.y AS part_b,
 FROM cm JOIN deg da ON da.n = cm.x JOIN deg db ON db.n = cm.y
 WHERE cm.cn >= {Q.JACC_NB_MIN_COMMON}
   AND cm.cn * {Q.JACC_NB_DEN} >= (da.c + db.c - cm.cn) * {Q.JACC_NB_NUM}""",
+        "kg_snapshot_edges": pre
+        + """
+, cutq AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS c
+  FROM transcripts_fx)
+SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,
+       CAST(count(*) AS BIGINT) AS weight,
+       CAST(count(DISTINCT t.conv_id) AS BIGINT) AS n_convs
+FROM triplesq t
+JOIN transcripts_fx f
+  ON f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
+JOIN lab3 cs ON cs.cui = t.subj_cui
+JOIN lab3 co ON co.cui = t.obj_cui
+CROSS JOIN cutq
+WHERE cs.label <> co.label AND epoch_us(f.ts) <= cutq.c
+GROUP BY cs.label, t.pred, co.label""",
         "kg_edge_provenance": pre
         + """
 SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,

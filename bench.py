@@ -192,6 +192,7 @@ QUERY_NAMES = [
     "events_burst_days",
     "kg_pagerank",
     "kg_edge_lift",
+    "kg_snapshot_edges",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

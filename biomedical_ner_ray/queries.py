@@ -6976,3 +6976,115 @@ def kg_edge_lift(sf_dir: str):
             "lift_micro": lift.astype("int64"),
         }
     )
+
+
+def kg_snapshot_edges(sf_dir: str):
+    """Temporal-KG snapshot — the canonical edge table AS OF the corpus
+    mid-point: only triples whose supporting turn timestamp is ≤
+    ``cutoff = (min_ts + max_ts) // 2`` (epoch-µs integers, so both
+    engines derive the same cutoff from the same two exact aggregates)
+    contribute. The time-travel primitive of a continuously-ingested
+    KG: diffing this against kg_edges gives edge churn over the second
+    half of the corpus.
+
+    Shape — a pruned (conv, turn, ts) pass reduces min/max per block
+    (driver combine, two integers); then the kg_edge_provenance union
+    exchange with the cutoff applied to the timestamp rows BEFORE the
+    join, so post-cutoff turns never produce pairs; one edge-keyed
+    combine yields (weight, n_convs). Canonical remap = the kg_edges
+    broadcast component map."""
+    from .stages.exchange import keyed_exchange
+    from .state.broadcast import resolve
+    from .state.manifest import list_parquet_files
+
+    ann_dir, rows = _annotations_cache(sf_dir)
+    comp_ref = ray.put(canonical_components(rows))
+    paths = _fixture(sf_dir)
+
+    ts_ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
+    mm = (
+        ts_ds.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "mn": [
+                        df["ts"].to_numpy(dtype="datetime64[us]").astype("int64").min()
+                    ],
+                    "mx": [
+                        df["ts"].to_numpy(dtype="datetime64[us]").astype("int64").max()
+                    ],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    cutoff = (int(mm["mn"].min()) + int(mm["mx"].max())) // 2
+
+    ann = rd.read_parquet(
+        list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "triples"]
+    )
+
+    def tr_partial(df: pd.DataFrame) -> pd.DataFrame:
+        comp = resolve(comp_ref)
+        s = df["subj_cui"].map(comp)
+        o = df["obj_cui"].map(comp)
+        keep = (s != o).to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "conv_id": df["conv_id"][keep].astype(str),
+                    "turn_idx": df["turn_idx"][keep].astype("int64"),
+                    "subj_cui": s[keep],
+                    "pred": df["pred"][keep],
+                    "obj_cui": o[keep],
+                }
+            )
+            .groupby(
+                ["conv_id", "turn_idx", "subj_cui", "pred", "obj_cui"], sort=False
+            )
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def ts_rows(df: pd.DataFrame, cutoff=cutoff) -> pd.DataFrame:
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        keep = us <= cutoff
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"][keep].astype(str),
+                "turn_idx": df["turn_idx"][keep].astype("int64"),
+                "subj_cui": "",
+                "pred": "",
+                "obj_cui": "",
+                "n": np.int64(0),
+            }
+        )
+
+    tri = triples_stage(ann).map_batches(tr_partial, batch_format="pandas")
+    ts = ts_ds.map_batches(ts_rows, batch_format="pandas")
+
+    def join_cut(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.loc[df["n"] == 0, ["conv_id", "turn_idx"]]
+        tr = df.loc[df["n"] > 0]
+        m = tr.merge(t, on=["conv_id", "turn_idx"], how="inner")
+        return (
+            m.groupby(["subj_cui", "pred", "obj_cui", "conv_id"], sort=False)[
+                "n"
+            ]
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_exchange(tri.union(ts), ["conv_id", "turn_idx"], join_cut, 16)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["subj_cui", "pred", "obj_cui"], sort=False)
+            .agg(weight=("n", "sum"), n_convs=("conv_id", "nunique"))
+            .reset_index()
+        )
+        return g.astype({"weight": "int64", "n_convs": "int64"})
+
+    return keyed_exchange(partials, ["subj_cui", "pred", "obj_cui"], final, 8)

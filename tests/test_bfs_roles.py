@@ -389,3 +389,64 @@ def test_kg_edge_lift_sf001(ray_session):
     ):
         assert lf == (1_000_000 * int(w) * W) // (marg[s] * marg[o])
     assert out["lift_micro"].nunique() > 1
+
+
+def test_kg_snapshot_edges_sf001(ray_session):
+    """Snapshot at the time mid-point == a replay via the provenance
+    table (edges whose supporting triples have ts <= cutoff), with
+    strictly less total weight than the full graph."""
+    from biomedical_ner_ray import queries as Q2
+
+    full = Q2.kg_edges("/root/testdata/sf0.001").to_pandas()
+    snap = Q2.kg_snapshot_edges("/root/testdata/sf0.001").to_pandas()
+    key = ["subj_cui", "pred", "obj_cui"]
+    m = snap.merge(full, on=key, suffixes=("_s", "_f"))
+    assert len(m) == len(snap)  # snapshot edges are a subset
+    assert (m["weight_s"] <= m["weight_f"]).all()
+    assert snap["weight"].sum() < full["weight"].sum()
+
+    # independent replay from provenance-style join on raw parquet
+    import glob as g2
+
+    paths = Q2._fixture("/root/testdata/sf0.001")
+    files = sorted(g2.glob(os.path.join(paths["transcripts"], "*.parquet")))
+    t = pd.concat(
+        [pq.read_table(f, columns=["conv_id", "turn_idx", "ts"]).to_pandas() for f in files],
+        ignore_index=True,
+    )
+    us = t["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+    cutoff = (int(us.min()) + int(us.max())) // 2
+    kept = set(
+        zip(t["conv_id"][us <= cutoff].astype(str), t["turn_idx"][us <= cutoff].astype(int))
+    )
+    # triples from the shared annotation cache, canonical-remapped
+    from biomedical_ner_ray.queries import _annotations_cache, canonical_components
+    from biomedical_ner_ray.stages.explode import triples_stage
+    from biomedical_ner_ray.state.manifest import list_parquet_files
+    import ray.data as rd
+
+    ann_dir, rows = _annotations_cache("/root/testdata/sf0.001")
+    comp = canonical_components(rows)
+    tri = triples_stage(
+        rd.read_parquet(list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "triples"])
+    ).to_pandas()
+    tri["s"] = tri["subj_cui"].map(comp)
+    tri["o"] = tri["obj_cui"].map(comp)
+    tri = tri[tri["s"] != tri["o"]]
+    tri = tri[
+        [
+            (str(c), int(i)) in kept
+            for c, i in zip(tri["conv_id"], tri["turn_idx"])
+        ]
+    ]
+    exp = (
+        tri.groupby(["s", "pred", "o"])
+        .agg(weight=("conv_id", "size"), n_convs=("conv_id", "nunique"))
+        .reset_index()
+        .rename(columns={"s": "subj_cui", "o": "obj_cui"})
+        .astype({"weight": "int64", "n_convs": "int64"})
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    got = snap.sort_values(key).reset_index(drop=True)[exp.columns.tolist()]
+    pd.testing.assert_frame_equal(got, exp)
