@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_lift": Q.kg_edge_lift,
         # temporal-KG snapshot: edges as of the corpus time mid-point
         "kg_snapshot_edges": Q.kg_snapshot_edges,
+        # per-column data-profiling audit over documents
+        "doc_profile": Q.doc_profile,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1781,6 +1783,28 @@ FROM edgesq e
 JOIN margq ms ON ms.node = e.subj_cui
 JOIN margq mo ON mo.node = e.obj_cui
 CROSS JOIN totq t""",
+        "doc_profile": """
+SELECT 'doc_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT md5_number_lower(CAST(doc_id AS VARCHAR))) AS BIGINT)
+         AS n_distinct
+FROM documents UNION ALL SELECT 'text' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT md5_number_lower(CAST(text AS VARCHAR))) AS BIGINT)
+         AS n_distinct
+FROM documents UNION ALL SELECT 'lang' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (lang IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT md5_number_lower(CAST(lang AS VARCHAR))) AS BIGINT)
+         AS n_distinct
+FROM documents UNION ALL SELECT 'source' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (source IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT md5_number_lower(CAST(source AS VARCHAR))) AS BIGINT)
+         AS n_distinct
+FROM documents UNION ALL SELECT 'n_chars' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (n_chars IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT md5_number_lower(CAST(n_chars AS VARCHAR))) AS BIGINT)
+         AS n_distinct
+FROM documents""",
         "events_burst_days": f"""
 WITH d AS (
   SELECT user_id,

@@ -193,6 +193,7 @@ QUERY_NAMES = [
     "kg_pagerank",
     "kg_edge_lift",
     "kg_snapshot_edges",
+    "doc_profile",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

@@ -7088,3 +7088,83 @@ def kg_snapshot_edges(sf_dir: str):
         return g.astype({"weight": "int64", "n_convs": "int64"})
 
     return keyed_exchange(partials, ["subj_cui", "pred", "obj_cui"], final, 8)
+
+
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def doc_profile(sf_dir: str):
+    """Data-profiling audit — the schema-quality gate a 100 TB ingest
+    runs before anything else: per column, row count, NULL count, and
+    the EXACT distinct count. Distincts are counted over
+    ``md5(CAST(value AS VARCHAR))`` on BOTH engines (the
+    kg_topic_boundaries hash discipline), so the comparison is
+    engine-identical by construction.
+
+    Shape: per-block map-side dedup emits DISTINCT (column, value-hash)
+    pairs; ONE exchange on (column, hash) co-locates every surviving
+    pair, each partition counts its unique pairs per column, and the
+    driver sums ≤ columns·partitions partial rows. NULL/row tallies are
+    bounded per-block partials."""
+    from .kernels.hashing import stable_u64_md5
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=list(PROFILE_COLS))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for c in PROFILE_COLS:
+            col = df[c]
+            nn = col.dropna()
+            uniq = pd.unique(nn.astype(str))
+            h = np.fromiter(
+                (stable_u64_md5(u.encode("utf-8")) for u in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            ).view(np.int64)
+            out.append(pd.DataFrame({"col": c, "h": h}))
+        return pd.concat(out, ignore_index=True)
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates()
+        g = u.groupby("col", sort=False).size().rename("n_distinct").reset_index()
+        return g.astype({"n_distinct": "int64"})
+
+    dis = (
+        keyed_exchange(
+            ds.map_batches(pairs, batch_format="pandas"),
+            ["col", "h"],
+            count_part,
+            num_partitions=8,
+        )
+        .to_pandas()
+        .groupby("col", as_index=False)["n_distinct"]
+        .sum()
+    )
+
+    def null_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "col": list(PROFILE_COLS),
+                "n_rows": np.int64(len(df)),
+                "n_null": [np.int64(df[c].isna().sum()) for c in PROFILE_COLS],
+            }
+        )
+
+    nulls = (
+        ds.map_batches(null_part, batch_format="pandas")
+        .to_pandas()
+        .groupby("col", as_index=False)[["n_rows", "n_null"]]
+        .sum()
+    )
+
+    out = nulls.merge(dis, on="col", how="left").fillna(0)
+    out = out.sort_values("col", ignore_index=True)
+    return pd.DataFrame(
+        {
+            "col": out["col"].astype(str),
+            "n_rows": out["n_rows"].astype("int64"),
+            "n_null": out["n_null"].astype("int64"),
+            "n_distinct": out["n_distinct"].astype("int64"),
+        }
+    )

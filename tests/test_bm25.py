@@ -267,3 +267,38 @@ def test_source_drift_planted(ray_session, tmp_path):
         assert out.loc[src_name, "drift_micro"] == drift
         assert out.loc[src_name, "n_tokens"] == t_s
     assert out.loc["alien", "drift_micro"] > out.loc["mixed", "drift_micro"]
+
+
+def test_doc_profile_planted(ray_session, tmp_path):
+    """Exact distinct counts survive the cross-block hash exchange:
+    duplicates planted across two files must collapse, NULLs counted."""
+    ddir = os.path.join(tmp_path, "documents.parquet")
+    os.mkdir(ddir)
+    a = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["x", "y", None], pa.string()),
+            "lang": pa.array(["en", "en", "fr"], pa.string()),
+            "source": pa.array(["s1", "s1", "s2"], pa.string()),
+            "n_chars": pa.array([1, 1, 0], pa.int64()),
+        }
+    )
+    b = pa.table(
+        {
+            "doc_id": pa.array([4, 5], pa.int64()),
+            "text": pa.array(["x", None], pa.string()),  # dup "x" + null
+            "lang": pa.array(["de", "en"], pa.string()),
+            "source": pa.array(["s2", "s3"], pa.string()),
+            "n_chars": pa.array([1, 7], pa.int64()),
+        }
+    )
+    pq.write_table(a, os.path.join(ddir, "a.parquet"))
+    pq.write_table(b, os.path.join(ddir, "b.parquet"))
+    out = Q.doc_profile(str(tmp_path)).set_index("col")
+    assert (out["n_rows"] == 5).all()
+    assert out.loc["text", "n_null"] == 2
+    assert out.loc["text", "n_distinct"] == 2  # x, y — dup across blocks collapsed
+    assert out.loc["doc_id", "n_distinct"] == 5
+    assert out.loc["lang", "n_distinct"] == 3
+    assert out.loc["source", "n_distinct"] == 3
+    assert out.loc["n_chars", "n_distinct"] == 3  # 1, 0, 7
