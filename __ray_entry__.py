@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_snapshot_edges": Q.kg_snapshot_edges,
         # per-column data-profiling audit over documents
         "doc_profile": Q.doc_profile,
+        # temporal-KG churn: second-half weight delta + new-edge flag
+        "kg_edge_churn": Q.kg_edge_churn,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1959,6 +1961,37 @@ SELECT cm.x AS part_a, cm.y AS part_b,
 FROM cm JOIN deg da ON da.n = cm.x JOIN deg db ON db.n = cm.y
 WHERE cm.cn >= {Q.JACC_NB_MIN_COMMON}
   AND cm.cn * {Q.JACC_NB_DEN} >= (da.c + db.c - cm.cn) * {Q.JACC_NB_NUM}""",
+        "kg_edge_churn": pre
+        + """
+, cutq AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS c
+  FROM transcripts_fx),
+fullq AS (
+  SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,
+         CAST(count(*) AS BIGINT) AS w
+  FROM triplesq t
+  JOIN lab3 cs ON cs.cui = t.subj_cui
+  JOIN lab3 co ON co.cui = t.obj_cui
+  WHERE cs.label <> co.label
+  GROUP BY cs.label, t.pred, co.label),
+snapq AS (
+  SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,
+         CAST(count(*) AS BIGINT) AS w
+  FROM triplesq t
+  JOIN transcripts_fx f
+    ON f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
+  JOIN lab3 cs ON cs.cui = t.subj_cui
+  JOIN lab3 co ON co.cui = t.obj_cui
+  CROSS JOIN cutq
+  WHERE cs.label <> co.label AND epoch_us(f.ts) <= cutq.c
+  GROUP BY cs.label, t.pred, co.label)
+SELECT fl.subj_cui, fl.pred, fl.obj_cui,
+       fl.w - COALESCE(s.w, 0) AS weight_delta,
+       CAST(CASE WHEN s.w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+FROM fullq fl
+LEFT JOIN snapq s
+  ON s.subj_cui = fl.subj_cui AND s.pred = fl.pred AND s.obj_cui = fl.obj_cui
+WHERE fl.w - COALESCE(s.w, 0) > 0""",
         "kg_snapshot_edges": pre
         + """
 , cutq AS (

@@ -194,6 +194,7 @@ QUERY_NAMES = [
     "kg_edge_lift",
     "kg_snapshot_edges",
     "doc_profile",
+    "kg_edge_churn",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

@@ -7168,3 +7168,40 @@ def doc_profile(sf_dir: str):
             "n_distinct": out["n_distinct"].astype("int64"),
         }
     )
+
+
+def kg_edge_churn(sf_dir: str):
+    """Temporal-KG churn — the CDC view between the mid-point snapshot
+    (kg_snapshot_edges) and the full graph (kg_edges): per canonical
+    edge, the weight accumulated in the second half of the corpus
+    (``delta = weight_full − weight_snapshot``) and whether the edge is
+    NEW (absent from the snapshot entirely). The monitoring signal a
+    continuously-ingested KG alerts on.
+
+    Shape: a driver-frame outer join of two node-dimension-bounded
+    tables that are each already distributed pipelines (the
+    _kg_edges_frame broadcast-small argument); only churned edges
+    (delta > 0) are emitted."""
+    full = _kg_edges_frame(sf_dir)
+    snap = kg_snapshot_edges(sf_dir).to_pandas()
+    key = ["subj_cui", "pred", "obj_cui"]
+    m = full.merge(
+        snap[key + ["weight"]].rename(columns={"weight": "w_snap"}),
+        on=key,
+        how="left",
+    )
+    w_snap = m["w_snap"].fillna(0).astype("int64")
+    delta = m["weight"].astype("int64") - w_snap
+    out = pd.DataFrame(
+        {
+            "subj_cui": m["subj_cui"],
+            "pred": m["pred"],
+            "obj_cui": m["obj_cui"],
+            "weight_delta": delta,
+            "is_new": (w_snap == 0).astype("int64"),
+        }
+    )
+    return (
+        out[out["weight_delta"] > 0]
+        .sort_values(key, ignore_index=True)
+    )

@@ -450,3 +450,26 @@ def test_kg_snapshot_edges_sf001(ray_session):
     )
     got = snap.sort_values(key).reset_index(drop=True)[exp.columns.tolist()]
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_kg_edge_churn_sf001(ray_session):
+    """Churn == full minus snapshot, only positive deltas, new edges
+    flagged; totals reconcile exactly."""
+    from biomedical_ner_ray import queries as Q2
+
+    full = Q2.kg_edges("/root/testdata/sf0.001").to_pandas()
+    snap = Q2.kg_snapshot_edges("/root/testdata/sf0.001").to_pandas()
+    churn = Q2.kg_edge_churn("/root/testdata/sf0.001")
+    key = ["subj_cui", "pred", "obj_cui"]
+    m = full.merge(
+        snap[key + ["weight"]].rename(columns={"weight": "ws"}), on=key, how="left"
+    )
+    m["ws"] = m["ws"].fillna(0).astype("int64")
+    exp = m[m["weight"] - m["ws"] > 0]
+    assert len(churn) == len(exp)
+    assert (churn["weight_delta"] > 0).all()
+    # conservation: snapshot total + churn total == full total
+    assert snap["weight"].sum() + churn["weight_delta"].sum() == full["weight"].sum()
+    new_edges = set(map(tuple, churn.loc[churn["is_new"] == 1, key].to_numpy()))
+    snap_edges = set(map(tuple, snap[key].to_numpy()))
+    assert not (new_edges & snap_edges)
