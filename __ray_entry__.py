@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_profile": Q.doc_profile,
         # temporal-KG churn: second-half weight delta + new-edge flag
         "kg_edge_churn": Q.kg_edge_churn,
+        # cross-conversation duplicate-turn (template) detection
+        "kg_turn_dedup": Q.kg_turn_dedup,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1931,6 +1933,12 @@ FROM (
            CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
              AS n_tokens
     FROM transcripts_fx))""",
+        "kg_turn_dedup": pre
+        + """
+SELECT text, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM transcripts_fx GROUP BY text
+HAVING count(DISTINCT conv_id) >= 2""",
         "kg_role_transitions": pre
         + """
 SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n_transitions

@@ -195,6 +195,7 @@ QUERY_NAMES = [
     "kg_snapshot_edges",
     "doc_profile",
     "kg_edge_churn",
+    "kg_turn_dedup",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

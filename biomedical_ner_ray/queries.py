@@ -7205,3 +7205,62 @@ def kg_edge_churn(sf_dir: str):
         out[out["weight_delta"] > 0]
         .sort_values(key, ignore_index=True)
     )
+
+
+def kg_turn_dedup(sf_dir: str):
+    """Cross-conversation duplicate-turn detection — the dialogue
+    analogue of exact document dedup and the template/boilerplate
+    signal in agent-transcript corpora: groups of byte-identical turn
+    texts spanning ≥ 2 DISTINCT conversations, with their total turn
+    count and conversation spread.
+
+    Shape: each block emits one (hash, conv, text, n) partial per
+    distinct (text, conversation) it holds (map-side combine), ONE
+    hash-keyed exchange co-locates a text's partials, and the
+    distinct-conversation gate applies in-partition — a viral template
+    ships #blocks·#convs partials, never its turns."""
+    from .kernels.hashing import stable_u64_md5
+    from .stages.exchange import keyed_exchange
+
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["text", "conv_id"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        h = np.fromiter(
+            (stable_u64_md5(t.encode("utf-8")) for t in g["text"]),
+            dtype=np.uint64,
+            count=len(g),
+        ).view(np.int64)
+        return g.assign(h=h).astype({"n": "int64"})
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby("h", sort=False)
+            .agg(
+                text=("text", "first"),
+                n_turns=("n", "sum"),
+                n_convs=("conv_id", "nunique"),
+            )
+            .reset_index(drop=True)
+        )
+        out = agg[agg["n_convs"] >= 2]
+        return pd.DataFrame(
+            {
+                "text": out["text"].astype(str),
+                "n_turns": out["n_turns"].astype("int64"),
+                "n_convs": out["n_convs"].astype("int64"),
+            }
+        )
+
+    return keyed_exchange(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["h"],
+        gate,
+        num_partitions=8,
+    )

@@ -473,3 +473,34 @@ def test_kg_edge_churn_sf001(ray_session):
     new_edges = set(map(tuple, churn.loc[churn["is_new"] == 1, key].to_numpy()))
     snap_edges = set(map(tuple, snap[key].to_numpy()))
     assert not (new_edges & snap_edges)
+
+
+def test_kg_turn_dedup_sf001(ray_session, tiny_fixture):
+    """Template groups == a pandas replay; within-conversation repeats
+    alone must NOT qualify (the distinct-conversation gate)."""
+    files = sorted(glob.glob(os.path.join(tiny_fixture["transcripts"], "*.parquet")))
+    t = pd.concat(
+        [pq.read_table(f, columns=["conv_id", "text"]).to_pandas() for f in files],
+        ignore_index=True,
+    )
+    g = t.groupby("text").agg(
+        n_turns=("conv_id", "size"), n_convs=("conv_id", "nunique")
+    )
+    exp = (
+        g[g["n_convs"] >= 2]
+        .reset_index()
+        .astype({"n_turns": "int64", "n_convs": "int64"})
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    out = (
+        Q.kg_turn_dedup("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    assert len(out) > 0
+    # gate is load-bearing: some text repeats only within one conversation
+    only_within = g[(g["n_turns"] >= 2) & (g["n_convs"] == 1)]
+    assert len(only_within) > 0 or len(g[g["n_convs"] >= 2]) < len(g)
