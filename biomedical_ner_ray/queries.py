@@ -7002,22 +7002,15 @@ def kg_snapshot_edges(sf_dir: str):
     paths = _fixture(sf_dir)
 
     ts_ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
-    mm = (
-        ts_ds.map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "mn": [
-                        df["ts"].to_numpy(dtype="datetime64[us]").astype("int64").min()
-                    ],
-                    "mx": [
-                        df["ts"].to_numpy(dtype="datetime64[us]").astype("int64").max()
-                    ],
-                }
-            ),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
+    def minmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"mn": pd.Series(dtype="int64"), "mx": pd.Series(dtype="int64")}
+            )
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        return pd.DataFrame({"mn": [us.min()], "mx": [us.max()]})
+
+    mm = ts_ds.map_batches(minmax_partial, batch_format="pandas").to_pandas()
     cutoff = (int(mm["mn"].min()) + int(mm["mx"].max())) // 2
 
     ann = rd.read_parquet(
