@@ -7171,33 +7171,112 @@ def kg_edge_churn(sf_dir: str):
     NEW (absent from the snapshot entirely). The monitoring signal a
     continuously-ingested KG alerts on.
 
-    Shape: a driver-frame outer join of two node-dimension-bounded
-    tables that are each already distributed pipelines (the
-    _kg_edges_frame broadcast-small argument); only churned edges
-    (delta > 0) are emitted."""
-    full = _kg_edges_frame(sf_dir)
-    snap = kg_snapshot_edges(sf_dir).to_pandas()
-    key = ["subj_cui", "pred", "obj_cui"]
-    m = full.merge(
-        snap[key + ["weight"]].rename(columns={"weight": "w_snap"}),
-        on=key,
-        how="left",
+    Shape — ONE pass, not two pipelines: the kg_snapshot_edges union
+    exchange, but every turn's timestamp row carries an ``in_snap``
+    flag instead of being pre-filtered, so the single turn-keyed join
+    produces per-(edge, conv) partials with BOTH the total and the
+    pre-cutoff count; one edge-keyed combine then yields
+    (weight_full, weight_snapshot) together and the delta/new gate is
+    row-local."""
+    from .stages.exchange import keyed_exchange
+    from .state.broadcast import resolve
+    from .state.manifest import list_parquet_files
+
+    ann_dir, rows = _annotations_cache(sf_dir)
+    comp_ref = ray.put(canonical_components(rows))
+    paths = _fixture(sf_dir)
+
+    ts_ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
+
+    def minmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"mn": pd.Series(dtype="int64"), "mx": pd.Series(dtype="int64")}
+            )
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        return pd.DataFrame({"mn": [us.min()], "mx": [us.max()]})
+
+    mm = ts_ds.map_batches(minmax_partial, batch_format="pandas").to_pandas()
+    cutoff = (int(mm["mn"].min()) + int(mm["mx"].max())) // 2
+
+    ann = rd.read_parquet(
+        list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "triples"]
     )
-    w_snap = m["w_snap"].fillna(0).astype("int64")
-    delta = m["weight"].astype("int64") - w_snap
-    out = pd.DataFrame(
-        {
-            "subj_cui": m["subj_cui"],
-            "pred": m["pred"],
-            "obj_cui": m["obj_cui"],
-            "weight_delta": delta,
-            "is_new": (w_snap == 0).astype("int64"),
-        }
-    )
-    return (
-        out[out["weight_delta"] > 0]
-        .sort_values(key, ignore_index=True)
-    )
+
+    def tr_partial(df: pd.DataFrame) -> pd.DataFrame:
+        comp = resolve(comp_ref)
+        s = df["subj_cui"].map(comp)
+        o = df["obj_cui"].map(comp)
+        keep = (s != o).to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "conv_id": df["conv_id"][keep].astype(str),
+                    "turn_idx": df["turn_idx"][keep].astype("int64"),
+                    "subj_cui": s[keep],
+                    "pred": df["pred"][keep],
+                    "obj_cui": o[keep],
+                }
+            )
+            .groupby(
+                ["conv_id", "turn_idx", "subj_cui", "pred", "obj_cui"], sort=False
+            )
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["in_snap"] = np.int64(-1)  # triple marker
+        return g
+
+    def ts_rows(df: pd.DataFrame, cutoff=cutoff) -> pd.DataFrame:
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].astype(str),
+                "turn_idx": df["turn_idx"].astype("int64"),
+                "subj_cui": "",
+                "pred": "",
+                "obj_cui": "",
+                "n": np.int64(0),
+                "in_snap": (us <= cutoff).astype("int64"),
+            }
+        )
+
+    tri = triples_stage(ann).map_batches(tr_partial, batch_format="pandas")
+    ts = ts_ds.map_batches(ts_rows, batch_format="pandas")
+
+    def join_flag(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.loc[df["in_snap"] >= 0, ["conv_id", "turn_idx", "in_snap"]]
+        tr = df.loc[df["in_snap"] < 0].drop(columns=["in_snap"])
+        m = tr.merge(t, on=["conv_id", "turn_idx"], how="inner")
+        m["n_snap"] = m["n"] * m["in_snap"]
+        return (
+            m.groupby(["subj_cui", "pred", "obj_cui"], sort=False)[["n", "n_snap"]]
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_exchange(tri.union(ts), ["conv_id", "turn_idx"], join_flag, 16)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["subj_cui", "pred", "obj_cui"], sort=False)[["n", "n_snap"]]
+            .sum()
+            .reset_index()
+        )
+        delta = (g["n"] - g["n_snap"]).astype("int64")
+        out = g[delta > 0]
+        return pd.DataFrame(
+            {
+                "subj_cui": out["subj_cui"],
+                "pred": out["pred"],
+                "obj_cui": out["obj_cui"],
+                "weight_delta": delta[delta > 0],
+                "is_new": (out["n_snap"] == 0).astype("int64"),
+            }
+        )
+
+    return keyed_exchange(partials, ["subj_cui", "pred", "obj_cui"], final, 8)
 
 
 def kg_turn_dedup(sf_dir: str):

@@ -459,7 +459,7 @@ def test_kg_edge_churn_sf001(ray_session):
 
     full = Q2.kg_edges("/root/testdata/sf0.001").to_pandas()
     snap = Q2.kg_snapshot_edges("/root/testdata/sf0.001").to_pandas()
-    churn = Q2.kg_edge_churn("/root/testdata/sf0.001")
+    churn = Q2.kg_edge_churn("/root/testdata/sf0.001").to_pandas()
     key = ["subj_cui", "pred", "obj_cui"]
     m = full.merge(
         snap[key + ["weight"]].rename(columns={"weight": "ws"}), on=key, how="left"
