@@ -1863,17 +1863,14 @@ WHERE rn <= {Q.STRAT_N_PER_SOURCE}""",
         ),
         "kg_response_latency": pre
         + """
-SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
-       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
-       CAST(max(gap_us) AS BIGINT) AS max_gap_us
-FROM (
-  SELECT conv_id, role,
-         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
-         epoch_us(ts) - lag(epoch_us(ts))
-             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
-  FROM transcripts_fx)
-WHERE prev_role = 'user' AND role = 'assistant'
-GROUP BY conv_id""",
+SELECT cur.conv_id, CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(epoch_us(cur.ts) - epoch_us(prv.ts)) AS BIGINT) AS sum_gap_us,
+       CAST(max(epoch_us(cur.ts) - epoch_us(prv.ts)) AS BIGINT) AS max_gap_us
+FROM transcripts_fx cur
+JOIN transcripts_fx prv
+  ON prv.conv_id = cur.conv_id AND prv.turn_idx = cur.turn_idx - 1
+WHERE prv.role = 'user' AND cur.role = 'assistant'
+GROUP BY cur.conv_id""",
         "kg_topic_boundaries": pre
         + f"""
 , dtokq AS (
@@ -1937,7 +1934,7 @@ FROM (
         + """
 SELECT text, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
-FROM transcripts_fx GROUP BY text
+FROM transcripts_fx WHERE text IS NOT NULL GROUP BY text
 HAVING count(DISTINCT conv_id) >= 2""",
         "kg_role_transitions": pre
         + """

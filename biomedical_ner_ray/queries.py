@@ -5741,30 +5741,18 @@ BM25_K1_MILLI = 1200  # k1 = 1.2
 BM25_B_MILLI = 750  # b = 0.75
 
 
-def doc_bm25_topk(sf_dir: str):
-    """Sparse-retrieval top-k (BM25 family) — the lexical search scan a
-    training-data pipeline runs for targeted corpus slicing and RAG-eval
-    set construction. Integer-exact variant: the log idf is replaced by
-    the monotone rational proxy ``idf_micro = 1e6·(N−df+1) // (df+1)``
-    and the tf saturation / length normalization keep BM25's exact shape
-    in milli fixed point (k1 = 1.2, b = 0.75), so every score is a
-    BIGINT both engines compute identically (the emb_quantize lesson:
-    integer ops, never float rounding).
-
-    Shape — ZERO shuffles: the query-term set is static and tiny, so
-    pass 1 streams per-block partials (per-term document frequency via a
-    vectorized token-boundary ``str.count``, block token totals) that
-    the driver combines (bounded by #terms); pass 2 re-streams the
-    corpus row-local with the broadcast (df, avgdl, N) stats and keeps a
-    per-block top-k per query — the driver merges #blocks·|Q|·k partial
-    rows (the ann_topk partial-top-k pattern). Both passes prune the
-    read to (doc_id, text)."""
+def _bm25_query_setup():
     import re as _re
 
     terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
     pats = {t: _re.compile(rf"(?<!\w){_re.escape(t)}(?!\w)") for t in terms}
+    return terms, pats
 
-    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+def _bm25_corpus_stats(ds, terms, pats):
+    """ONE streaming stats pass shared by doc_bm25_topk/doc_rrf_fusion:
+    per-block partials bounded by the static term set, driver combine,
+    returns (idf_micro per term, avgdl_milli)."""
 
     def stats_partial(batch: pa.Table) -> pd.DataFrame:
         low = pd.Series(batch["text"].to_pylist(), dtype="object").str.lower()
@@ -5787,31 +5775,70 @@ def doc_bm25_topk(sf_dir: str):
     avgdl_milli = (1000 * int(kv["__tot__"])) // max(n_docs, 1)
     dfs = {t: int(kv.get(t, 0)) for t in terms}
     idf = {t: (1_000_000 * (n_docs - dfs[t] + 1)) // (dfs[t] + 1) for t in terms}
+    return idf, avgdl_milli
+
+
+def _bm25_batch_scores(batch, terms, pats, idf_, avgdl_):
+    """Per-batch fixed-point scoring kernel shared by doc_bm25_topk and
+    doc_rrf_fusion — the single home of the BM25/TF-IDF integer
+    arithmetic that the SQL replays (_bm25_sql/_rrf_sql) mirror
+    term-for-term. Returns (doc_ids, {qid: bm25_micro}, {qid:
+    tfidf_micro})."""
     k1, b = BM25_K1_MILLI, BM25_B_MILLI
+    low = pd.Series(batch["text"].to_pylist(), dtype="object").str.lower()
+    doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    dl = low.str.count(r"\w+").to_numpy(dtype=np.int64)
+    ratio_milli = (dl * 1_000_000) // max(avgdl_, 1)
+    norm_milli = ((1000 - b) * 1000 + b * ratio_milli) // 1000
+    tfs = {t: low.str.count(pats[t]).to_numpy(dtype=np.int64) for t in terms}
+    bm25: dict = {}
+    tfidf: dict = {}
+    for qid, qterms in BM25_QUERIES.items():
+        sb = np.zeros(len(doc_ids), dtype=np.int64)
+        st_ = np.zeros(len(doc_ids), dtype=np.int64)
+        for t in qterms:
+            tf = tfs[t]
+            denom = tf * 1000 + (k1 * norm_milli) // 1000
+            sb += np.where(
+                tf > 0, (idf_[t] * (tf * (k1 + 1000))) // np.maximum(denom, 1), 0
+            )
+            st_ += tf * idf_[t]
+        bm25[qid] = sb
+        tfidf[qid] = st_
+    return doc_ids, bm25, tfidf
+
+
+def doc_bm25_topk(sf_dir: str):
+    """Sparse-retrieval top-k (BM25 family) — the lexical search scan a
+    training-data pipeline runs for targeted corpus slicing and RAG-eval
+    set construction. Integer-exact variant: the log idf is replaced by
+    the monotone rational proxy ``idf_micro = 1e6·(N−df+1) // (df+1)``
+    and the tf saturation / length normalization keep BM25's exact shape
+    in milli fixed point (k1 = 1.2, b = 0.75), so every score is a
+    BIGINT both engines compute identically (the emb_quantize lesson:
+    integer ops, never float rounding).
+
+    Shape — ZERO shuffles: the query-term set is static and tiny, so
+    pass 1 streams per-block partials (per-term document frequency via a
+    vectorized token-boundary ``str.count``, block token totals) that
+    the driver combines (bounded by #terms); pass 2 re-streams the
+    corpus row-local with the broadcast (df, avgdl, N) stats and keeps a
+    per-block top-k per query — the driver merges #blocks·|Q|·k partial
+    rows (the ann_topk partial-top-k pattern). Both passes prune the
+    read to (doc_id, text)."""
+    terms, pats = _bm25_query_setup()
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    idf, avgdl_milli = _bm25_corpus_stats(ds, terms, pats)
     bc = ray.put((idf, avgdl_milli))
 
     def score_topk(batch: pa.Table) -> pd.DataFrame:
         from .state.broadcast import resolve
 
         idf_, avgdl_ = resolve(bc)
-        low = pd.Series(batch["text"].to_pylist(), dtype="object").str.lower()
-        doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        dl = low.str.count(r"\w+").to_numpy(dtype=np.int64)
-        ratio_milli = (dl * 1_000_000) // max(avgdl_, 1)
-        norm_milli = ((1000 - b) * 1000 + b * ratio_milli) // 1000
-        tfs = {
-            t: low.str.count(pats[t]).to_numpy(dtype=np.int64) for t in terms
-        }
+        doc_ids, bm25, _ = _bm25_batch_scores(batch, terms, pats, idf_, avgdl_)
         out = []
-        for qid, qterms in BM25_QUERIES.items():
-            score = np.zeros(len(doc_ids), dtype=np.int64)
-            for t in qterms:
-                tf = tfs[t]
-                denom = tf * 1000 + (k1 * norm_milli) // 1000
-                term = np.where(
-                    tf > 0, (idf_[t] * (tf * (k1 + 1000))) // np.maximum(denom, 1), 0
-                )
-                score += term
+        for qid in BM25_QUERIES:
+            score = bm25[qid]
             keep = score > 0
             if not keep.any():
                 continue
@@ -6418,61 +6445,19 @@ def doc_rrf_fusion(sf_dir: str):
     scores per block and keeps a per-(system, query) partial top-k; the
     driver merges blocks·2·|Q|·k rows, assigns global per-system ranks,
     and fuses."""
-    import re as _re
-
-    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
-    pats = {t: _re.compile(rf"(?<!\w){_re.escape(t)}(?!\w)") for t in terms}
-
+    terms, pats = _bm25_query_setup()
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def stats_partial(batch: pa.Table) -> pd.DataFrame:
-        low = pd.Series(batch["text"].to_pylist(), dtype="object").str.lower()
-        dl = low.str.count(r"\w+").to_numpy(dtype=np.int64)
-        rows = {"key": ["__n__", "__tot__"], "val": [np.int64(len(low)), dl.sum()]}
-        for t in terms:
-            tf = low.str.count(pats[t]).to_numpy(dtype=np.int64)
-            rows["key"].append(t)
-            rows["val"].append(np.int64((tf > 0).sum()))
-        return pd.DataFrame(rows)
-
-    st = (
-        ds.map_batches(stats_partial, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("key", as_index=False)["val"]
-        .sum()
-    )
-    kv = dict(zip(st["key"], st["val"].astype("int64")))
-    n_docs = int(kv["__n__"])
-    avgdl_milli = (1000 * int(kv["__tot__"])) // max(n_docs, 1)
-    dfs = {t: int(kv.get(t, 0)) for t in terms}
-    idf = {t: (1_000_000 * (n_docs - dfs[t] + 1)) // (dfs[t] + 1) for t in terms}
-    k1, b = BM25_K1_MILLI, BM25_B_MILLI
+    idf, avgdl_milli = _bm25_corpus_stats(ds, terms, pats)
     bc = ray.put((idf, avgdl_milli))
 
     def score_topk(batch: pa.Table) -> pd.DataFrame:
         from .state.broadcast import resolve
 
         idf_, avgdl_ = resolve(bc)
-        low = pd.Series(batch["text"].to_pylist(), dtype="object").str.lower()
-        doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        dl = low.str.count(r"\w+").to_numpy(dtype=np.int64)
-        ratio_milli = (dl * 1_000_000) // max(avgdl_, 1)
-        norm_milli = ((1000 - b) * 1000 + b * ratio_milli) // 1000
-        tfs = {t: low.str.count(pats[t]).to_numpy(dtype=np.int64) for t in terms}
+        doc_ids, bm25s, tfidfs = _bm25_batch_scores(batch, terms, pats, idf_, avgdl_)
         out = []
-        for qid, qterms in BM25_QUERIES.items():
-            bm25 = np.zeros(len(doc_ids), dtype=np.int64)
-            tfidf = np.zeros(len(doc_ids), dtype=np.int64)
-            for t in qterms:
-                tf = tfs[t]
-                denom = tf * 1000 + (k1 * norm_milli) // 1000
-                bm25 += np.where(
-                    tf > 0,
-                    (idf_[t] * (tf * (k1 + 1000))) // np.maximum(denom, 1),
-                    0,
-                )
-                tfidf += tf * idf_[t]
-            for sysname, score in (("bm25", bm25), ("tfidf", tfidf)):
+        for qid in BM25_QUERIES:
+            for sysname, score in (("bm25", bm25s[qid]), ("tfidf", tfidfs[qid])):
                 keep = score > 0
                 if not keep.any():
                     continue
@@ -6738,14 +6723,22 @@ def doc_source_drift(sf_dir: str):
     its local top-K candidate words (with their per-source counts) —
     the global top-K is a subset of the union of partition top-Ks, so
     the driver merges ≤ partitions·K·|sources| rows. Per-source token
-    totals come from a separate bounded per-block combine (the
-    doc_source_mix contract). The fingerprint is tiny; only the corpus
-    scan and the word exchange are distributed."""
+    totals ride the SAME pass as marker rows (one per source per
+    block), so the corpus is scanned and tokenized exactly once.
+    Sources with zero word tokens are absent by definition (both
+    engines agree: the oracle's token-stream inner join)."""
     from .stages.exchange import keyed_exchange
 
     ds = _tbl(sf_dir, "documents", columns=["source", "text"])
 
     def word_partial(df: pd.DataFrame) -> pd.DataFrame:
+        """(word, source, n) counts PLUS one marker row (w='') per
+        source carrying the block's token total — totals ride the same
+        pass/exchange, so the corpus is scanned and tokenized ONCE.
+        Sources whose documents contain zero word tokens emit nothing
+        and are absent from the result — matching the SQL oracle's
+        inner join on the token stream (documented semantics: drift is
+        defined only for sources with measurable text)."""
         ws = df["text"].str.lower().str.findall(r"\w+")
         ex = ws.explode().dropna()
         src = df["source"].reindex(ex.index)
@@ -6756,16 +6749,28 @@ def doc_source_drift(sf_dir: str):
             .rename("n")
             .reset_index()
         )
-        return g
+        tot = g.groupby("source", as_index=False)["n"].sum().assign(w="")
+        return pd.concat([g, tot[g.columns.tolist()]], ignore_index=True)
 
     def topk_candidates(df: pd.DataFrame) -> pd.DataFrame:
         """Partition-local exact reduce: every row of a word hashes to
         the same partition, so per-word totals here are GLOBAL totals;
-        keep only this partition's top-K words' rows."""
-        g = df.groupby(["w", "source"], as_index=False)["n"].sum()
+        keep only this partition's top-K words' rows. Marker rows
+        (w='') pass through as per-source total partials, flagged with
+        wn = -1."""
+        marks = df[df["w"] == ""]
+        rest = df[df["w"] != ""]
+        g = rest.groupby(["w", "source"], as_index=False)["n"].sum()
         wt = g.groupby("w", as_index=False)["n"].sum().rename(columns={"n": "wn"})
         wt = wt.sort_values(["wn", "w"], ascending=[False, True], kind="mergesort")
-        return g.merge(wt.head(DRIFT_K), on="w")
+        out = g.merge(wt.head(DRIFT_K), on="w")
+        if len(marks):
+            mt = marks.groupby("source", as_index=False)["n"].sum()
+            out = pd.concat(
+                [out, mt.assign(w="", wn=np.int64(-1))[out.columns.tolist()]],
+                ignore_index=True,
+            )
+        return out
 
     cand = keyed_exchange(
         ds.map_batches(word_partial, batch_format="pandas"),
@@ -6774,20 +6779,15 @@ def doc_source_drift(sf_dir: str):
         num_partitions=8,
     ).to_pandas()
 
-    # per-source token totals over ALL words: bounded per-block combine
-    per_src = (
-        ds.map_batches(
-            lambda df: df.assign(t=df["text"].str.lower().str.count(r"\w+"))
-            .groupby("source", as_index=False)["t"]
-            .sum(),
-            batch_format="pandas",
+    if len(cand):
+        per_src = (
+            cand[cand["w"] == ""]
+            .groupby("source", as_index=False)["n"]
+            .sum()
         )
-        .to_pandas()
-        .groupby("source", as_index=False)["t"]
-        .sum()
-    )
-    t_s = dict(zip(per_src["source"], per_src["t"].astype(int)))
-    t_corpus = int(per_src["t"].sum())
+        t_s = dict(zip(per_src["source"], per_src["n"].astype(int)))
+        t_corpus = int(per_src["n"].sum())
+        cand = cand[cand["w"] != ""]
 
     if not len(cand):
         return pd.DataFrame(
@@ -6978,6 +6978,49 @@ def kg_edge_lift(sf_dir: str):
     )
 
 
+def _corpus_cutoff_us(ts_ds) -> int:
+    """Mid-point cutoff for the temporal-KG family: (min_ts + max_ts)
+    // 2 in epoch-µs from a pruned streaming min/max pass — two exact
+    integer aggregates both engines derive identically."""
+
+    def minmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"mn": pd.Series(dtype="int64"), "mx": pd.Series(dtype="int64")}
+            )
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        return pd.DataFrame({"mn": [us.min()], "mx": [us.max()]})
+
+    mm = ts_ds.map_batches(minmax_partial, batch_format="pandas").to_pandas()
+    return (int(mm["mn"].min()) + int(mm["mx"].max())) // 2
+
+
+def _canonical_triple_partials(df: pd.DataFrame, comp) -> pd.DataFrame:
+    """Shared per-batch triple partial for the temporal-KG family:
+    canonical remap, self-loop drop, (conv, turn, edge) counts — the
+    single home of the semantics kg_snapshot_edges / kg_edge_churn /
+    kg_edge_provenance agree on."""
+    s = df["subj_cui"].map(comp)
+    o = df["obj_cui"].map(comp)
+    keep = (s != o).to_numpy()
+    g = (
+        pd.DataFrame(
+            {
+                "conv_id": df["conv_id"][keep].astype(str),
+                "turn_idx": df["turn_idx"][keep].astype("int64"),
+                "subj_cui": s[keep],
+                "pred": df["pred"][keep],
+                "obj_cui": o[keep],
+            }
+        )
+        .groupby(["conv_id", "turn_idx", "subj_cui", "pred", "obj_cui"], sort=False)
+        .size()
+        .reset_index(name="n")
+    )
+    g["n"] = g["n"].astype("int64")
+    return g
+
+
 def kg_snapshot_edges(sf_dir: str):
     """Temporal-KG snapshot — the canonical edge table AS OF the corpus
     mid-point: only triples whose supporting turn timestamp is ≤
@@ -7002,44 +7045,14 @@ def kg_snapshot_edges(sf_dir: str):
     paths = _fixture(sf_dir)
 
     ts_ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
-    def minmax_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"mn": pd.Series(dtype="int64"), "mx": pd.Series(dtype="int64")}
-            )
-        us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
-        return pd.DataFrame({"mn": [us.min()], "mx": [us.max()]})
-
-    mm = ts_ds.map_batches(minmax_partial, batch_format="pandas").to_pandas()
-    cutoff = (int(mm["mn"].min()) + int(mm["mx"].max())) // 2
+    cutoff = _corpus_cutoff_us(ts_ds)
 
     ann = rd.read_parquet(
         list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "triples"]
     )
 
     def tr_partial(df: pd.DataFrame) -> pd.DataFrame:
-        comp = resolve(comp_ref)
-        s = df["subj_cui"].map(comp)
-        o = df["obj_cui"].map(comp)
-        keep = (s != o).to_numpy()
-        g = (
-            pd.DataFrame(
-                {
-                    "conv_id": df["conv_id"][keep].astype(str),
-                    "turn_idx": df["turn_idx"][keep].astype("int64"),
-                    "subj_cui": s[keep],
-                    "pred": df["pred"][keep],
-                    "obj_cui": o[keep],
-                }
-            )
-            .groupby(
-                ["conv_id", "turn_idx", "subj_cui", "pred", "obj_cui"], sort=False
-            )
-            .size()
-            .reset_index(name="n")
-        )
-        g["n"] = g["n"].astype("int64")
-        return g
+        return _canonical_triple_partials(df, resolve(comp_ref))
 
     def ts_rows(df: pd.DataFrame, cutoff=cutoff) -> pd.DataFrame:
         us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
@@ -7104,12 +7117,18 @@ def doc_profile(sf_dir: str):
 
     ds = _tbl(sf_dir, "documents", columns=list(PROFILE_COLS))
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        # Arrow-native stringification: an int64 column with NULLs stays
+        # int64 (pandas would promote it to float64 per block, making
+        # the same value hash as '7' here and '7.0' there — a CONFIRMED
+        # distinct-count inflation), so cast-to-string here matches the
+        # oracle's CAST(x AS VARCHAR) exactly.
+        import pyarrow.compute as pc
+
         out = []
         for c in PROFILE_COLS:
-            col = df[c]
-            nn = col.dropna()
-            uniq = pd.unique(nn.astype(str))
+            col = batch[c].combine_chunks()
+            uniq = pc.unique(pc.cast(col.drop_null(), pa.string())).to_pylist()
             h = np.fromiter(
                 (stable_u64_md5(u.encode("utf-8")) for u in uniq),
                 dtype=np.uint64,
@@ -7125,7 +7144,7 @@ def doc_profile(sf_dir: str):
 
     dis = (
         keyed_exchange(
-            ds.map_batches(pairs, batch_format="pandas"),
+            ds.map_batches(pairs, batch_format="pyarrow"),
             ["col", "h"],
             count_part,
             num_partitions=8,
@@ -7135,17 +7154,17 @@ def doc_profile(sf_dir: str):
         .sum()
     )
 
-    def null_part(df: pd.DataFrame) -> pd.DataFrame:
+    def null_part(batch: pa.Table) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "col": list(PROFILE_COLS),
-                "n_rows": np.int64(len(df)),
-                "n_null": [np.int64(df[c].isna().sum()) for c in PROFILE_COLS],
+                "n_rows": np.int64(batch.num_rows),
+                "n_null": [np.int64(batch[c].null_count) for c in PROFILE_COLS],
             }
         )
 
     nulls = (
-        ds.map_batches(null_part, batch_format="pandas")
+        ds.map_batches(null_part, batch_format="pyarrow")
         .to_pandas()
         .groupby("col", as_index=False)[["n_rows", "n_null"]]
         .sum()
@@ -7188,43 +7207,14 @@ def kg_edge_churn(sf_dir: str):
 
     ts_ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
 
-    def minmax_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"mn": pd.Series(dtype="int64"), "mx": pd.Series(dtype="int64")}
-            )
-        us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
-        return pd.DataFrame({"mn": [us.min()], "mx": [us.max()]})
-
-    mm = ts_ds.map_batches(minmax_partial, batch_format="pandas").to_pandas()
-    cutoff = (int(mm["mn"].min()) + int(mm["mx"].max())) // 2
+    cutoff = _corpus_cutoff_us(ts_ds)
 
     ann = rd.read_parquet(
         list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "triples"]
     )
 
     def tr_partial(df: pd.DataFrame) -> pd.DataFrame:
-        comp = resolve(comp_ref)
-        s = df["subj_cui"].map(comp)
-        o = df["obj_cui"].map(comp)
-        keep = (s != o).to_numpy()
-        g = (
-            pd.DataFrame(
-                {
-                    "conv_id": df["conv_id"][keep].astype(str),
-                    "turn_idx": df["turn_idx"][keep].astype("int64"),
-                    "subj_cui": s[keep],
-                    "pred": df["pred"][keep],
-                    "obj_cui": o[keep],
-                }
-            )
-            .groupby(
-                ["conv_id", "turn_idx", "subj_cui", "pred", "obj_cui"], sort=False
-            )
-            .size()
-            .reset_index(name="n")
-        )
-        g["n"] = g["n"].astype("int64")
+        g = _canonical_triple_partials(df, resolve(comp_ref))
         g["in_snap"] = np.int64(-1)  # triple marker
         return g
 
@@ -7298,6 +7288,11 @@ def kg_turn_dedup(sf_dir: str):
     ds = _transcripts_ds(paths, columns=["conv_id", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL-text turns are excluded on BOTH sides (the oracle filters
+        # text IS NOT NULL) — pandas groupby would silently drop them
+        # here while SQL GROUP BY would group them, so the contract is
+        # made explicit instead of dtype-accidental.
+        df = df[df["text"].notna()]
         g = (
             df.groupby(["text", "conv_id"], sort=False)
             .size()

@@ -269,6 +269,30 @@ def test_source_drift_planted(ray_session, tmp_path):
     assert out.loc["alien", "drift_micro"] > out.loc["mixed", "drift_micro"]
 
 
+def test_source_drift_zero_token_source_excluded(ray_session, tmp_path):
+    """A source whose documents contain no word tokens is absent from
+    the drift report on BOTH engines (the oracle's token-stream inner
+    join) — the confirmed round-3 review repro."""
+    rows = (
+        [(i, "real", "alpha beta gamma") for i in range(5)]
+        + [(100, "punct", "!!! ... ???"), (101, "punct", "")]
+    )
+    ddir = os.path.join(tmp_path, "documents.parquet")
+    os.mkdir(ddir)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _, _ in rows], pa.int64()),
+                "source": pa.array([s for _, s, _ in rows], pa.string()),
+                "text": pa.array([t for _, _, t in rows], pa.string()),
+            }
+        ),
+        os.path.join(ddir, "a.parquet"),
+    )
+    out = Q.doc_source_drift(str(tmp_path))
+    assert set(out["source"]) == {"real"}
+
+
 def test_doc_profile_planted(ray_session, tmp_path):
     """Exact distinct counts survive the cross-block hash exchange:
     duplicates planted across two files must collapse, NULLs counted."""
@@ -280,7 +304,7 @@ def test_doc_profile_planted(ray_session, tmp_path):
             "text": pa.array(["x", "y", None], pa.string()),
             "lang": pa.array(["en", "en", "fr"], pa.string()),
             "source": pa.array(["s1", "s1", "s2"], pa.string()),
-            "n_chars": pa.array([1, 1, 0], pa.int64()),
+            "n_chars": pa.array([7, None, 1], pa.int64()),
         }
     )
     b = pa.table(
@@ -289,7 +313,7 @@ def test_doc_profile_planted(ray_session, tmp_path):
             "text": pa.array(["x", None], pa.string()),  # dup "x" + null
             "lang": pa.array(["de", "en"], pa.string()),
             "source": pa.array(["s2", "s3"], pa.string()),
-            "n_chars": pa.array([1, 7], pa.int64()),
+            "n_chars": pa.array([7, 9], pa.int64()),
         }
     )
     pq.write_table(a, os.path.join(ddir, "a.parquet"))
@@ -301,4 +325,8 @@ def test_doc_profile_planted(ray_session, tmp_path):
     assert out.loc["doc_id", "n_distinct"] == 5
     assert out.loc["lang", "n_distinct"] == 3
     assert out.loc["source", "n_distinct"] == 3
-    assert out.loc["n_chars", "n_distinct"] == 3  # 1, 0, 7
+    # 7 appears in BOTH files; file A holds the NULL, so pandas would
+    # promote file A to float64 and hash '7.0' vs '7' (the confirmed
+    # inflation bug) — arrow-native stringification must count {7,1,9}=3
+    assert out.loc["n_chars", "n_distinct"] == 3
+    assert out.loc["n_chars", "n_null"] == 1
