@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_churn": Q.kg_edge_churn,
         # cross-conversation duplicate-turn (template) detection
         "kg_turn_dedup": Q.kg_turn_dedup,
+        # composed corpus-curation pipeline (gate -> dedup -> order)
+        "doc_curation_pipeline": Q.doc_curation_pipeline,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1362,6 +1364,43 @@ WITH m AS (
 )
 SELECT doc_id, n_tokens, swr_milli FROM m, t
 WHERE n_tokens >= lo_tok AND swr_milli >= lo_swr""",
+        "doc_curation_pipeline": f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+    CAST(floor((CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(ws, w -> list_contains({en}, w))) AS DOUBLE)
+                     / len(ws) END) * 1000) AS BIGINT) AS swr_milli,
+    md5_number_lower(text) AS th
+  FROM (SELECT doc_id, text,
+               regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+        FROM documents)
+), t AS (
+  SELECT quantile_disc(n_tokens, {Q.QFILTER_Q}) AS lo_tok,
+         quantile_disc(swr_milli, {Q.QFILTER_Q}) AS lo_swr
+  FROM m
+), kept AS (
+  SELECT m.* FROM m, t WHERE n_tokens >= lo_tok AND swr_milli >= lo_swr
+), surv AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY th) AS keeper FROM kept)
+  WHERE doc_id = keeper
+), k AS (
+  SELECT doc_id, n_tokens,
+         md5_number_lower('cur8:{Q.CURATE_SEED}:' || doc_id) AS h
+  FROM surv
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST((h >> 63) AS BIGINT) AS order_hi,
+         CAST((h & 9223372036854775807) AS BIGINT) AS order_key
+  FROM k
+), r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY order_hi, order_key, doc_id) - 1 AS order_idx
+  FROM s
+)
+SELECT CAST(order_idx AS BIGINT) AS order_idx, doc_id, n_tokens
+FROM r WHERE order_idx < {Q.CURATE_HEAD}""",
         "doc_source_mix": f"""
 WITH c AS (
   SELECT source, count(*) AS n,

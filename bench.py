@@ -196,6 +196,7 @@ QUERY_NAMES = [
     "doc_profile",
     "kg_edge_churn",
     "kg_turn_dedup",
+    "doc_curation_pipeline",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

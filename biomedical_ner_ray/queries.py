@@ -4265,24 +4265,47 @@ def doc_quantile_filter(sf_dir: str):
     rank (1-based ceil(q*n)) -> broadcast thresholds -> row-local
     filter. No shuffle at any scale; the second corpus pass reuses the
     materialized metric table, never re-reads text."""
+    mds, lo_tok, lo_swr = _quality_gate_setup(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater_equal(batch["n_tokens"], pa.scalar(lo_tok, pa.int64())),
+            pc.greater_equal(batch["swr_milli"], pa.scalar(lo_swr, pa.int64())),
+        )
+        return batch.filter(m).select(["doc_id", "n_tokens", "swr_milli"])
+
+    return mds.map_batches(keep, batch_format="pyarrow")
+
+
+def _quality_gate_setup(sf_dir: str):
+    """Shared by doc_quantile_filter and doc_curation_pipeline: the
+    metrics pass (doc_id, n_tokens, swr_milli, text_h — the text hash
+    rides along so downstream exact dedup never re-reads text) plus the
+    exact order-statistic thresholds from bounded value-count
+    histograms (driver combine; domain-bounded, not row-bounded)."""
     import math
 
+    from .kernels.hashing import stable_u64_md5
     from .kernels.textstats import quality_features
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def metrics(batch: pa.Table) -> pa.Table:
-        ids, ntok, swr = [], [], []
+        ids, ntok, swr, ths = [], [], [], []
         for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             f = quality_features(t)
             ids.append(i)
             ntok.append(f["n_tokens"])
             swr.append(int(math.floor(f["stopword_ratio"] * 1000)))
+            ths.append(stable_u64_md5(t.encode("utf-8")) - (1 << 63))
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "n_tokens": pa.array(ntok, pa.int64()),
                 "swr_milli": pa.array(swr, pa.int64()),
+                "text_h": pa.array(ths, pa.int64()),
             }
         )
 
@@ -4314,17 +4337,7 @@ def doc_quantile_filter(sf_dir: str):
 
     lo_tok = q_disc(hist[hist["metric"] == "n_tokens"], QFILTER_Q)
     lo_swr = q_disc(hist[hist["metric"] == "swr_milli"], QFILTER_Q)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        m = pc.and_(
-            pc.greater_equal(batch["n_tokens"], pa.scalar(lo_tok, pa.int64())),
-            pc.greater_equal(batch["swr_milli"], pa.scalar(lo_swr, pa.int64())),
-        )
-        return batch.filter(m)
-
-    return mds.map_batches(keep, batch_format="pyarrow")
+    return mds, lo_tok, lo_swr
 
 
 # Source-proportional mixing: resample so per-source volumes follow the
@@ -7330,4 +7343,70 @@ def kg_turn_dedup(sf_dir: str):
         ["h"],
         gate,
         num_partitions=8,
+    )
+
+
+CURATE_HEAD = 200
+CURATE_SEED = 23
+
+
+def doc_curation_pipeline(sf_dir: str):
+    """Composed corpus-curation pipeline — the documents-side flagship,
+    chaining three already-verified operators into the run a real
+    training-data job executes as ONE dataflow: (1) the Gopher-style
+    quantile quality gate (exact corpus-relative order-statistic
+    thresholds), (2) exact dedup keep-first among survivors (min doc_id
+    per identical text), (3) the deterministic seeded training order
+    (md5 'global shuffle'), returning the first CURATE_HEAD positions.
+    The composed SQL oracle replays all three stages, so the driver
+    checks the INTEGRATION, not just the parts.
+
+    Shape: the metrics pass carries the text hash, so text is read
+    ONCE; the gate is a broadcast-threshold row-local filter; dedup is
+    one hash-keyed exchange (min per group in-partition); the order is
+    a range-partitioned distributed sort with a driver-bounded head —
+    a full run would write_parquet the sorted stream instead."""
+    from .stages.exchange import keyed_exchange
+
+    mds, lo_tok, lo_swr = _quality_gate_setup(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater_equal(batch["n_tokens"], pa.scalar(lo_tok, pa.int64())),
+            pc.greater_equal(batch["swr_milli"], pa.scalar(lo_swr, pa.int64())),
+        )
+        return batch.filter(m).select(["doc_id", "n_tokens", "text_h"])
+
+    kept = mds.map_batches(keep, batch_format="pyarrow")
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_h", "doc_id"], kind="mergesort")
+        return df.drop_duplicates("text_h", keep="first")[["doc_id", "n_tokens"]]
+
+    surv = keyed_exchange(kept, ["text_h"], keep_first, num_partitions=8)
+
+    def order_key(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].tolist()
+        hi, lo = _md5_order_parts(ids, f"cur8:{CURATE_SEED}")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(df["n_tokens"].tolist(), pa.int64()),
+                "order_hi": pa.array(hi, pa.int64()),
+                "order_key": pa.array(lo, pa.int64()),
+            }
+        )
+
+    head = (
+        surv.map_batches(order_key, batch_format="pandas")
+        .sort(["order_hi", "order_key", "doc_id"])
+        .limit(CURATE_HEAD)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    head["order_idx"] = head.index.astype("int64")
+    return head[["order_idx", "doc_id", "n_tokens"]].astype(
+        {"doc_id": "int64", "n_tokens": "int64"}
     )
