@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turn_dedup": Q.kg_turn_dedup,
         # composed corpus-curation pipeline (gate -> dedup -> order)
         "doc_curation_pipeline": Q.doc_curation_pipeline,
+        # percentile-rank normalization of token counts
+        "doc_length_percentile": Q.doc_length_percentile,
         # deterministic random-walk corpus (DeepWalk sentence generator)
         "part_random_walks": Q.part_random_walks,
         # TransE KG embeddings: the distributed training loop itself
@@ -1364,6 +1366,15 @@ WITH m AS (
 )
 SELECT doc_id, n_tokens, swr_milli FROM m, t
 WHERE n_tokens >= lo_tok AND swr_milli >= lo_swr""",
+        "doc_length_percentile": f"""
+SELECT doc_id, n_tokens,
+       CAST((1000000 * (rank() OVER (ORDER BY n_tokens) - 1))
+            // (SELECT count(*) FROM documents) AS BIGINT) AS pct_micro
+FROM (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+           AS n_tokens
+  FROM documents)""",
         "doc_curation_pipeline": f"""
 WITH m AS (
   SELECT doc_id,

@@ -197,6 +197,7 @@ QUERY_NAMES = [
     "kg_edge_churn",
     "kg_turn_dedup",
     "doc_curation_pipeline",
+    "doc_length_percentile",
     "part_bfs_levels",
     "part_label_prop",
     "doc_bm25_topk",

@@ -7410,3 +7410,66 @@ def doc_curation_pipeline(sf_dir: str):
     return head[["order_idx", "doc_id", "n_tokens"]].astype(
         {"doc_id": "int64", "n_tokens": "int64"}
     )
+
+
+def doc_length_percentile(sf_dir: str):
+    """Percentile-rank normalization — the score-calibration transform
+    a mixing/filter stage applies before comparing heterogeneous
+    corpora: each document's token count mapped to its corpus
+    percentile ``pct_micro = 1e6 · |{docs: n_tokens < x}| // N``
+    (strictly-less counting == SQL ``rank() − 1``, ties share the
+    rank). All-integer, so the window-rank oracle is value-exact.
+
+    Shape — ZERO shuffles (the doc_quantile_filter histogram trick):
+    per-block value counts over the bounded token-count domain →
+    driver combine → broadcast CDF → row-local gather. The CDF is
+    domain-sized, never row-sized."""
+    from .kernels.textstats import quality_features
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        ids, ntok = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ids.append(i)
+            ntok.append(quality_features(t)["n_tokens"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }
+        )
+
+    mds = ds.map_batches(metrics, batch_format="pyarrow").materialize()
+
+    hist = (
+        mds.map_batches(
+            lambda df: df["n_tokens"].value_counts().rename_axis("v").reset_index(name="n"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("v", as_index=False)["n"]
+        .sum()
+        .sort_values("v", ignore_index=True)
+    )
+    n_total = int(hist["n"].sum())
+    vals = hist["v"].to_numpy(dtype=np.int64)
+    cum_lt = np.concatenate([[0], hist["n"].to_numpy(dtype=np.int64).cumsum()[:-1]])
+    bc = ray.put((vals, cum_lt, n_total))
+
+    def pct(batch: pa.Table) -> pa.Table:
+        from .state.broadcast import resolve
+
+        vals_, cum_, n_ = resolve(bc)
+        x = np.asarray(batch["n_tokens"].to_pylist(), dtype=np.int64)
+        lt = cum_[np.searchsorted(vals_, x)]
+        p = (1_000_000 * lt) // n_
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "pct_micro": pa.array(p, pa.int64()),
+            }
+        )
+
+    return mds.map_batches(pct, batch_format="pyarrow")

@@ -408,3 +408,31 @@ def test_curation_dedup_planted(ray_session, tmp_path):
     # min doc_id of each of the 3 distinct texts: {0, 1, 2}
     assert sorted(out["doc_id"].tolist()) == [0, 1, 2]
     assert list(out["order_idx"]) == [0, 1, 2]
+
+
+def test_length_percentile_sf001(ray_session):
+    """Broadcast-CDF percentiles == a sequential rank replay; ties share
+    the strictly-less count, extremes are 0 and < 1e6."""
+    from biomedical_ner_ray.kernels.textstats import quality_features
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = {
+        i: quality_features(x)["n_tokens"]
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    n = len(toks)
+    vals = sorted(toks.values())
+    out = Q.doc_length_percentile("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == n
+    import bisect
+
+    for i, nt, p in zip(out["doc_id"], out["n_tokens"], out["pct_micro"]):
+        assert nt == toks[i]
+        assert p == (1_000_000 * bisect.bisect_left(vals, nt)) // n
+    assert out["pct_micro"].min() == 0
+    assert out["pct_micro"].max() < 1_000_000
+    # ties share their percentile
+    dup = out.groupby("n_tokens")["pct_micro"].nunique()
+    assert (dup == 1).all()
