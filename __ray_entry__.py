@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding compression + quantized ANN scan
         "emb_quantize": Q.emb_quantize,
         "ann_topk_quant": Q.ann_topk_quant,
+        # two-stage retrieval: quantized coarse scan -> exact re-rank
+        "ann_topk_rerank": Q.ann_topk_rerank,
         # sampled triangle counting (degree-oriented wedge closure)
         "part_triangle_counts": Q.part_triangle_counts,
         # exact systematic PPS weighted sampling
@@ -1746,6 +1748,39 @@ FROM n GROUP BY part_id""",
         + """
 SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(code AS BIGINT) AS code
 FROM codes""",
+        "ann_topk_rerank": _emb_quant_cte()
+        + f"""
+, qcodes AS (SELECT vec_id, dim, code FROM codes WHERE vec_id < {Q.ANN_N_QUERIES}),
+sc AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         sum((q.code - 127) * (c.code - 127)) AS s
+  FROM qcodes q JOIN codes c ON q.dim = c.dim AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+cand AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, vid ASC) AS rc
+    FROM sc) WHERE rc <= {Q.RERANK_CAND}
+),
+qv AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {Q.ANN_N_QUERIES}
+),
+rr AS (
+  SELECT c.qid, c.vid,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM cand c
+  JOIN qv q ON q.qid = c.qid
+  JOIN embeddings e ON e.vec_id = c.vid
+),
+r2 AS (
+  SELECT qid, vid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk
+  FROM rr
+)
+SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM r2 WHERE rnk <= {Q.ANN_K}""",
         "ann_topk_quant": _emb_quant_cte()
         + f"""
 , qcodes AS (SELECT vec_id, dim, code FROM codes WHERE vec_id < {Q.ANN_N_QUERIES}),

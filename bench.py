@@ -167,6 +167,7 @@ QUERY_NAMES = [
     "kg_highlight",
     "emb_quantize",
     "ann_topk_quant",
+    "ann_topk_rerank",
     "part_triangle_counts",
     "orders_pps_sample",
     "doc_decontaminate_fuzzy",

@@ -7473,3 +7473,110 @@ def doc_length_percentile(sf_dir: str):
         )
 
     return mds.map_batches(pct, batch_format="pyarrow")
+
+
+RERANK_CAND = 30  # coarse candidates per query fed to the exact re-rank
+
+
+def ann_topk_rerank(sf_dir: str):
+    """Two-stage retrieval — the production ANN pattern a compressed
+    100 TB store actually serves: (1) COARSE scan over quantized codes
+    (the ann_topk_quant centered-int8 dot products, exact int64) keeps
+    the global top-RERANK_CAND candidates per query; (2) EXACT cosine
+    re-ranks ONLY those candidates (float64, the ann_topk discipline)
+    and returns the top-ANN_K. The coarse stage touches every vector at
+    memory-bandwidth cost; the exact stage touches Q·RERANK_CAND rows
+    via a pushed-down ``vec_id IN (...)`` read — never the corpus.
+
+    Shape: coarse = per-block partial top-candidates merge (bounded
+    blocks·Q·C rows to the driver); re-rank = bounded candidate fetch +
+    vectorized driver matmul (Q·C·D flops)."""
+    from .kernels.quantize import QUANT_ZERO, micro_matrix, quantize_codes
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    gmin, gmax = _emb_global_minmax(emb_path)
+    qt = pq.read_table(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", ANN_N_QUERIES)],
+    ).to_pandas()
+    qt = qt[qt["vec_id"] < ANN_N_QUERIES].sort_values("vec_id")
+    qids = qt["vec_id"].to_numpy()
+    qc = quantize_codes(micro_matrix(qt["embedding"].to_numpy()), gmin, gmax)
+    q_ref = ray.put((qids, qc - QUANT_ZERO, gmin, gmax))
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def coarse(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        qids_, qcent, mn, mx = resolve(q_ref)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        cent = quantize_codes(micro_matrix(batch["embedding"].to_pylist()), mn, mx)
+        cent -= QUANT_ZERO
+        score = qcent @ cent.T
+        rows = []
+        k = min(RERANK_CAND + 1, score.shape[1])
+        for qi, qid in enumerate(qids_):
+            idx = np.lexsort((vids, -score[qi]))[:k]
+            for j in idx:
+                if vids[j] == qid:
+                    continue
+                rows.append((int(qid), int(vids[j]), int(score[qi, j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "s"]).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "s": "int64"}
+        )
+
+    partials = (
+        ds.map_batches(coarse, batch_format="pyarrow", batch_size=2048).to_pandas()
+    )
+    partials = partials.sort_values(
+        ["query_id", "s", "neighbor_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    cand = partials.groupby("query_id", sort=True).head(RERANK_CAND)
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(cand):
+        return empty
+
+    cand_ids = sorted(set(cand["neighbor_id"].astype(int)))
+    ct = pq.read_table(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cand_ids)],
+    ).to_pandas()
+    cm = np.stack(
+        [np.asarray(x, dtype=np.float64) for x in ct["embedding"].to_numpy()]
+    )
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    cpos = {int(v): i for i, v in enumerate(ct["vec_id"])}
+    qm = np.stack(
+        [np.asarray(x, dtype=np.float64) for x in qt["embedding"].to_numpy()]
+    )
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qpos = {int(v): i for i, v in enumerate(qids)}
+
+    qi = np.fromiter((qpos[int(q)] for q in cand["query_id"]), dtype=np.int64)
+    ci = np.fromiter((cpos[int(v)] for v in cand["neighbor_id"]), dtype=np.int64)
+    cos = np.einsum("ij,ij->i", qm[qi], cm[ci])
+    rr = cand.assign(cos=cos).sort_values(
+        ["query_id", "cos", "neighbor_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = rr.groupby("query_id", sort=True).head(ANN_K)
+    top = top.assign(rank=top.groupby("query_id").cumcount() + 1)
+    return pd.DataFrame(
+        {
+            "query_id": top["query_id"].astype("int64"),
+            "neighbor_id": top["neighbor_id"].astype("int64"),
+            "rank": top["rank"].astype("int64"),
+        }
+    ).reset_index(drop=True)

@@ -89,3 +89,29 @@ def test_quantized_recall_vs_exact(emb):
             len(set(np.argsort(-cos)[:k]) & set(np.argsort(-s)[:k])) / k
         )
     assert np.mean(recalls) >= 0.6
+
+
+def test_rerank_recall_and_stages(ray_session):
+    """Two-stage rerank: candidates come from the quantized scan, final
+    order from exact cosine — recall@k vs exact brute force must beat
+    the pure quantized ranking, and the stages must be load-bearing
+    (rerank order differs from coarse order somewhere)."""
+    from biomedical_ner_ray import queries as Q
+
+    exact = Q.ann_topk("/root/testdata/sf0.001").to_pandas()
+    quant = Q.ann_topk_quant("/root/testdata/sf0.001").to_pandas()
+    rr = Q.ann_topk_rerank("/root/testdata/sf0.001")
+
+    def sets(df):
+        return {
+            q: set(g["neighbor_id"]) for q, g in df.groupby("query_id")
+        }
+
+    se, sq, sr = sets(exact), sets(quant), sets(rr)
+    rec_q = sum(len(se[q] & sq[q]) for q in se) / sum(len(se[q]) for q in se)
+    rec_r = sum(len(se[q] & sr[q]) for q in se) / sum(len(se[q]) for q in se)
+    assert rec_r >= rec_q  # exact re-rank can only help
+    assert rec_r >= 0.8  # the 30-candidate pool covers most true top-k
+    # order genuinely re-ranked: some (query, rank) pair differs
+    m = rr.merge(quant, on=["query_id", "rank"], suffixes=("_r", "_q"))
+    assert (m["neighbor_id_r"] != m["neighbor_id_q"]).any()
