@@ -431,7 +431,25 @@ def main() -> None:
         out = bench_scaling(args.sf_dir, args.scaling_lo, args.scaling_hi)
     else:
         out = bench_once(args.sf_dir, args.cpus, args.kg_only, args.scorer, args.fixture_sf)
-    print(json.dumps(out))
+    # Full result first (one line, for anyone reading stdout end to end)…
+    print(json.dumps(out, separators=(",", ":")))
+    # …then a COMPACT summary as the LAST line: the driver keeps only
+    # the final ~2KB of stdout, and the full per-query dict (~4KB for
+    # 110 queries) loses its opening brace to that tail capture —
+    # unparseable (BENCH_r03 "parsed: null"). The summary carries the
+    # headline numbers plus the slowest queries and always fits.
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    q = out.get("queries", {})
+    compact["n_queries"] = len(q)
+    # keep the documented "queries" key, trimmed to the slowest entries
+    compact["queries"] = {
+        k: round(v, 2) for k, v in sorted(q.items(), key=lambda kv: -kv[1])[:15]
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never let the summary itself outgrow the tail
+        compact["queries"] = {}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

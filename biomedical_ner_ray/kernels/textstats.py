@@ -20,9 +20,15 @@ from __future__ import annotations
 import hashlib
 import re
 
-WORD_RE = re.compile(r"\w+")
+# ASCII word contract: every SQL oracle tokenizes with DuckDB/RE2
+# ``\w+``, which is ASCII-only — Python's ``\w`` is Unicode-aware, so a
+# bare ``\w+`` here would diverge from the oracles on any non-ASCII
+# corpus (e.g. accented words split differently). The explicit ASCII
+# class keeps engine and oracle tokenization identical by construction
+# (same contract kernels/tokenize.py documents for the app tokenizer).
+WORD_RE = re.compile(r"[0-9A-Za-z_]+")
 WS_RE = re.compile(r"\s+")
-PUNCT_TOKEN_RE = re.compile(r"^[^\w\s]$")
+PUNCT_TOKEN_RE = re.compile(r"^[^0-9A-Za-z_ \t\n\r\f\v]$")
 
 # tiny per-language stopword banks (heuristic language-ID; inlined in the
 # SQL oracle too — keep in sync with __ray_entry__).

@@ -4279,12 +4279,16 @@ def doc_quantile_filter(sf_dir: str):
     return mds.map_batches(keep, batch_format="pyarrow")
 
 
-def _quality_gate_setup(sf_dir: str):
+def _quality_gate_setup(sf_dir: str, with_hash: bool = False):
     """Shared by doc_quantile_filter and doc_curation_pipeline: the
-    metrics pass (doc_id, n_tokens, swr_milli, text_h — the text hash
-    rides along so downstream exact dedup never re-reads text) plus the
-    exact order-statistic thresholds from bounded value-count
-    histograms (driver combine; domain-bounded, not row-bounded)."""
+    metrics pass (doc_id, n_tokens, swr_milli) plus the exact
+    order-statistic thresholds from bounded value-count histograms
+    (driver combine; domain-bounded, not row-bounded).
+
+    ``with_hash=True`` (the curation-pipeline path) also carries the
+    md5 text hash so downstream exact dedup never re-reads text; the
+    default skips it so doc_quantile_filter — which drops the column
+    immediately — doesn't pay a per-doc full-text hash it never uses."""
     import math
 
     from .kernels.hashing import stable_u64_md5
@@ -4299,15 +4303,16 @@ def _quality_gate_setup(sf_dir: str):
             ids.append(i)
             ntok.append(f["n_tokens"])
             swr.append(int(math.floor(f["stopword_ratio"] * 1000)))
-            ths.append(stable_u64_md5(t.encode("utf-8")) - (1 << 63))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_tokens": pa.array(ntok, pa.int64()),
-                "swr_milli": pa.array(swr, pa.int64()),
-                "text_h": pa.array(ths, pa.int64()),
-            }
-        )
+            if with_hash:
+                ths.append(stable_u64_md5(t.encode("utf-8")) - (1 << 63))
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "swr_milli": pa.array(swr, pa.int64()),
+        }
+        if with_hash:
+            cols["text_h"] = pa.array(ths, pa.int64())
+        return pa.table(cols)
 
     mds = ds.map_batches(metrics, batch_format="pyarrow").materialize()
 
@@ -6375,13 +6380,14 @@ def part_label_prop(sf_dir: str):
     result is partitioning-independent by construction.
 
     Shape — the pinned-big-side template: edges are materialized once
-    and never reshuffle; per round the node→label map is broadcast
-    (bounded by the part DIMENSION — where even that exceeds driver
-    memory the broadcast reverts to a label-keyed exchange attaching
-    labels to adjacency in turn, the part_triangle_counts note), one
-    pass over the edges emits map-side-combined (node, neighbor-label)
-    counts, and ONE node-keyed exchange reduces them to the per-node
-    mode."""
+    and never reshuffle; per round the node→label map is broadcast and
+    collected (bounded by the part DIMENSION, the documented broadcast-
+    small budget); one pass over the edges emits map-side-combined
+    (node, neighbor-label) counts, and ONE node-keyed exchange reduces
+    them to the per-node mode. Past that node-dimension budget the
+    scale-out path — NOT built here — would attach labels to adjacency
+    via a node-keyed exchange each round instead of the broadcast (the
+    part_triangle_counts note)."""
     from .stages.exchange import keyed_exchange
     from .state.broadcast import resolve
 
@@ -6979,14 +6985,27 @@ def kg_edge_lift(sf_dir: str):
     )
     m_s = marg.reindex(edges["subj_cui"]).to_numpy(dtype=np.int64)
     m_o = marg.reindex(edges["obj_cui"]).to_numpy(dtype=np.int64)
-    lift = (1_000_000 * w * total) // (m_s * m_o)
+    # Exact Python-int arithmetic: 10⁶·w·total overflows int64 once
+    # w·total ≥ ~9.2e12 (sf≈100 edge weights) and numpy would WRAP
+    # silently where the DuckDB oracle raises on BIGINT overflow —
+    # arbitrary-precision ints keep the engines agreeing at any scale,
+    # with an explicit guard where the RESULT leaves int64 range (then
+    # both engines fail loudly rather than diverge). The edges frame is
+    # the bounded canonical-edge domain, so the Python loop is off the
+    # hot path.
+    lift = [
+        (1_000_000 * int(wi) * total) // (int(ms) * int(mo))
+        for wi, ms, mo in zip(w, m_s, m_o)
+    ]
+    if lift and max(lift) >= 2**63:
+        raise OverflowError("lift_micro exceeds int64 (oracle BIGINT) range")
     return pd.DataFrame(
         {
             "subj_cui": edges["subj_cui"],
             "pred": edges["pred"],
             "obj_cui": edges["obj_cui"],
             "weight": w,
-            "lift_micro": lift.astype("int64"),
+            "lift_micro": pd.array(lift, dtype="int64"),
         }
     )
 
@@ -7368,7 +7387,7 @@ def doc_curation_pipeline(sf_dir: str):
     a full run would write_parquet the sorted stream instead."""
     from .stages.exchange import keyed_exchange
 
-    mds, lo_tok, lo_swr = _quality_gate_setup(sf_dir)
+    mds, lo_tok, lo_swr = _quality_gate_setup(sf_dir, with_hash=True)
 
     def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
