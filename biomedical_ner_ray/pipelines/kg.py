@@ -223,10 +223,14 @@ def run_kg_pipeline(
                 # part file, so reruns are byte-identical per shard and no
                 # global sort→repartition(1) single-file bottleneck exists —
                 # at 10^8+ keys just raise n_shards
-                from ..stages.exchange import sharded_sorted_write
+                from ..stages.exchange import partitions_for, sharded_sorted_write
 
                 sharded_sorted_write(
-                    nodes_stage(lm_factory, comp_ref, meta_ref), ["cui"], tmp
+                    nodes_stage(
+                        lm_factory, comp_ref, meta_ref,
+                        num_partitions=partitions_for(ann_root),
+                    ),
+                    ["cui"], tmp,
                 )
 
             n = mf.run_stage(
@@ -246,7 +250,7 @@ def run_kg_pipeline(
             )
 
             def build_edges(tmp):
-                from ..stages.exchange import sharded_sorted_write
+                from ..stages.exchange import partitions_for, sharded_sorted_write
 
                 sharded_sorted_write(
                     edges_stage(
@@ -254,6 +258,7 @@ def run_kg_pipeline(
                             triples_dir, columns=["subj_cui", "pred", "obj_cui"]
                         ),
                         comp_ref,
+                        num_partitions=partitions_for(triples_dir),
                     ),
                     ["subj_cui", "pred", "obj_cui"],
                     tmp,

@@ -50,6 +50,27 @@ def _tbl(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _xparts(sf_dir: str, *tables: str, expansion: float = 4.0) -> int:
+    """Size-derived exchange partition count over the query's source
+    table(s) (stages/exchange.partitions_for). Replaces the former
+    constant-8 default at every exchange call site: the partition count
+    now grows with the parquet footprint of the tables feeding the
+    keyed stream, so one partition's share stays worker-heap-sized at
+    any corpus scale, while the floor of 8 keeps test-scale plans
+    identical to the old constant. ``"transcripts"`` resolves to the
+    fixture's transcript directory; anything else to
+    ``<sf_dir>/<name>.parquet``."""
+    from .stages.exchange import partitions_for
+
+    paths = []
+    for t in tables:
+        if t == "transcripts":
+            paths.append(_fixture(sf_dir)["transcripts"])
+        else:
+            paths.append(os.path.join(sf_dir, f"{t}.parquet"))
+    return partitions_for(*paths, expansion=expansion)
+
+
 # Ray's sort-based shuffle costs O(P²) tiny inter-block objects, so the
 # final combine of a pre-aggregated (already small) stream must NOT
 # inherit the scan's block count (64 blocks at 32 CPUs → ~12s of pure
@@ -326,7 +347,7 @@ def kg_vocab(sf_dir: str):
         return g.rename(columns={"n": "n_occurrences"})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    return keyed_exchange(parts, ["word"], combine)
+    return keyed_exchange(parts, ["word"], combine, _xparts(sf_dir, "transcripts"))
 
 
 def kg_tag_mapping(sf_dir: str):
@@ -428,7 +449,7 @@ def kg_char_vocab(sf_dir: str):
         return g.rename(columns={"n": "n_occurrences"})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    return keyed_exchange(parts, ["ch"], combine)
+    return keyed_exchange(parts, ["ch"], combine, _xparts(sf_dir, "transcripts"))
 
 
 def kg_split_assign(sf_dir: str):
@@ -532,7 +553,7 @@ def doc_wordcount(sf_dir: str):
         return g.rename(columns={"n": "n_occurrences"})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    return keyed_exchange(parts, ["word"], combine)
+    return keyed_exchange(parts, ["word"], combine, _xparts(sf_dir, "documents"))
 
 
 def doc_top_words(sf_dir: str):
@@ -678,7 +699,7 @@ def doc_bigram_counts(sf_dir: str):
         return g.rename(columns={"n": "n_occurrences"})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    return keyed_exchange(parts, ["bigram"], combine)
+    return keyed_exchange(parts, ["bigram"], combine, _xparts(sf_dir, "documents"))
 
 
 TFIDF_TOP_K = 5
@@ -715,7 +736,7 @@ def doc_tfidf_top_terms(sf_dir: str):
         return df.groupby("word", sort=False, as_index=False)["df"].sum()
 
     parts = ds.map_batches(df_partial, batch_format="pyarrow")
-    dft = keyed_exchange(parts, ["word"], df_combine).to_pandas()
+    dft = keyed_exchange(parts, ["word"], df_combine, _xparts(sf_dir, "documents")).to_pandas()
     dft = dft.sort_values("word", ignore_index=True)
     ref = ray.put(
         (dft["word"].to_numpy(), dft["df"].to_numpy().astype(np.int64))
@@ -788,7 +809,7 @@ def doc_bpe_merges(sf_dir: str):
         return df.groupby("word", sort=False, as_index=False)["n"].sum()
 
     wc = keyed_exchange(
-        ds.map_batches(partial, batch_format="pyarrow"), ["word"], combine
+        ds.map_batches(partial, batch_format="pyarrow"), ["word"], combine, _xparts(sf_dir, "documents")
     )
     out = bpe_train(wc, merges=BPE_MERGES)
     _bpe_cache_store(sf_dir, out)
@@ -997,13 +1018,13 @@ def doc_bigram_lm_score(sf_dir: str):
 
     bc = grouped_aggregate(
         ds, ["bigram"], bigram_partial,
-        lambda df: df.groupby(["w1", "bigram"], sort=False, as_index=False)["c12"].sum(),
+        lambda df: df.groupby(["w1", "bigram"], sort=False, as_index=False)["c12"].sum(), _xparts(sf_dir, "documents"),
     ).map_batches(
         lambda df: df[df["c12"] >= LM_MIN_COUNT], batch_format="pandas"
     )
     uc = grouped_aggregate(
         ds, ["w"], unigram_partial,
-        lambda df: df.groupby("w", sort=False, as_index=False)["c1"].sum(),
+        lambda df: df.groupby("w", sort=False, as_index=False)["c1"].sum(), _xparts(sf_dir, "documents"),
     )
     bdf = bc.to_pandas()
     udf = uc.to_pandas()
@@ -1165,11 +1186,11 @@ def doc_rare_bigram_score(sf_dir: str):
     bigram_stream = _tbl(
         sf_dir, "documents", columns=["doc_id", "text"]
     ).map_batches(doc_bigram_k, batch_format="pyarrow")
-    rare = keyed_exchange(bigram_stream, ["bigram"], rare_per_partition)
+    rare = keyed_exchange(bigram_stream, ["bigram"], rare_per_partition, _xparts(sf_dir, "documents"))
     base = _tbl(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         base_rows, batch_format="pyarrow"
     )
-    return keyed_exchange(base.union(rare), ["doc_id"], finalize)
+    return keyed_exchange(base.union(rare), ["doc_id"], finalize, _xparts(sf_dir, "documents"))
 
 
 ANTI_JOIN_CUTOFF = "2000-01-01"
@@ -1390,7 +1411,7 @@ def doc_source_overlap(sf_dir: str):
         pairs.map_batches(attach, batch_format="pandas"),
         ["source_a", "source_b"],
         combine,
-        4,
+        4,  # verified candidate pairs: bounded, pre-aggregated stream
     )
 
 
@@ -1953,7 +1974,7 @@ def part_triangle_counts(sf_dir: str):
             edges.map_batches(deg_partial, batch_format="pyarrow"),
             ["node"],
             lambda df: df.groupby("node", as_index=False)["n"].sum(),
-            8,
+            _xparts(sf_dir, "lineitem"),
         )
         .to_pandas()
         .astype({"node": "int64", "n": "int64"})
@@ -2250,7 +2271,7 @@ def emb_neardup_pairs(sf_dir: str):
     pairs = keyed_exchange(
         ds.map_batches(assign, batch_format="pyarrow", batch_size=1024),
         ["bucket"],
-        bucket_pairs,
+        bucket_pairs, _xparts(sf_dir, "embeddings"),
     )
     # a pair can surface in up to EMB_ASSIGN shared buckets — dedupe
     return keyed_exchange(
@@ -2481,7 +2502,7 @@ def events_hourly(sf_dir: str):
         )
 
     ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
-    return grouped_aggregate(ds, ["user_id", "hour"], prep_partial, combine)
+    return grouped_aggregate(ds, ["user_id", "hour"], prep_partial, combine, _xparts(sf_dir, "events"))
 
 
 def events_sessions(sf_dir: str):
@@ -2537,7 +2558,7 @@ def kg_conv_stats(sf_dir: str):
 
     paths = _fixture(sf_dir)
     ds = _transcripts_ds(paths, columns=["conv_id", "text"])
-    return grouped_aggregate(ds, ["conv_id"], partial, combine)
+    return grouped_aggregate(ds, ["conv_id"], partial, combine, _xparts(sf_dir, "transcripts"))
 
 
 def kg_conv_turn_gaps(sf_dir: str):
@@ -2802,7 +2823,7 @@ def lineitem_price_quantiles(sf_dir: str):
             "n"
         ].sum()
 
-    hist = grouped_aggregate(ds, ["l_returnflag", "cents"], partial, combine)
+    hist = grouped_aggregate(ds, ["l_returnflag", "cents"], partial, combine, _xparts(sf_dir, "lineitem"))
 
     QS = (0.25, 0.5, 0.75)
 
@@ -2899,7 +2920,7 @@ def events_user_activity(sf_dir: str):
             .rename(columns={"size": "n_users"})
         )
 
-    partials = grouped_aggregate(ds, ["event_type", "user_id"], partial, combine)
+    partials = grouped_aggregate(ds, ["event_type", "user_id"], partial, combine, _xparts(sf_dir, "events"))
     small = partials.to_pandas()  # bounded: ≤ num_partitions × #event_types rows
     out = (
         small.groupby("event_type", sort=True, as_index=False)["n_users"]
@@ -3440,7 +3461,7 @@ def segment_year_rollup(sf_dir: str):
         )
 
     fine = grouped_aggregate(
-        ds, ["c_mktsegment", "o_year"], partial, combine
+        ds, ["c_mktsegment", "o_year"], partial, combine, _xparts(sf_dir, "orders")
     ).to_pandas()  # bounded: #segments × #years rows
 
     seg_tot = (
@@ -3741,7 +3762,7 @@ def events_sliding(sf_dir: str):
         )
 
     ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
-    return grouped_aggregate(ds, ["user_id", "window_start_us"], explode, combine)
+    return grouped_aggregate(ds, ["user_id", "window_start_us"], explode, combine, _xparts(sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -3893,7 +3914,7 @@ def top_parts_by_revenue(sf_dir: str):
         ).head(TOP_PARTS_K)
 
     ds = _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
-    partials = grouped_aggregate(ds, ["l_partkey"], partial, combine)
+    partials = grouped_aggregate(ds, ["l_partkey"], partial, combine, _xparts(sf_dir, "lineitem"))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         from .state.broadcast import resolve
@@ -4214,7 +4235,7 @@ def doc_boilerplate_scrub(sf_dir: str):
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("line", sort=False, as_index=False)["n_docs"].sum()
 
-    freq_ds = grouped_aggregate(ds, ["line"], line_partial, combine).map_batches(
+    freq_ds = grouped_aggregate(ds, ["line"], line_partial, combine, _xparts(sf_dir, "documents")).map_batches(
         # threshold applied IN the cluster: the driver link only ever
         # carries post-threshold rows (bounded by volume/threshold),
         # never the corpus-scale distinct-line table
@@ -4468,7 +4489,7 @@ def doc_collocations(sf_dir: str):
     bg = keyed_exchange(
         ds.map_batches(bigram_partial, batch_format="pyarrow"),
         ["bigram"],
-        bigram_combine,
+        bigram_combine, _xparts(sf_dir, "documents"),
     ).to_pandas()
     n_total = int(bg.loc[bg["bigram"] == "", "n"].sum())
     bg = bg[bg["bigram"] != ""].reset_index(drop=True)
@@ -4485,7 +4506,7 @@ def doc_collocations(sf_dir: str):
     uni = keyed_exchange(
         ds.map_batches(uni_partial, batch_format="pyarrow"),
         ["word"],
-        lambda df: df.groupby("word", sort=False, as_index=False)["n"].sum(),
+        lambda df: df.groupby("word", sort=False, as_index=False)["n"].sum(), _xparts(sf_dir, "documents"),
     ).to_pandas()
     cnt = dict(zip(uni["word"], uni["n"].astype(int)))
 
@@ -4570,7 +4591,7 @@ def events_funnel(sf_dir: str):
         )
 
     return keyed_exchange(
-        ds.map_batches(prep, batch_format="pandas"), ["user_id"], funnel_part
+        ds.map_batches(prep, batch_format="pandas"), ["user_id"], funnel_part, _xparts(sf_dir, "events")
     )
 
 
@@ -4754,7 +4775,7 @@ def events_retention(sf_dir: str):
         )
 
     parts = keyed_exchange(
-        ds.map_batches(prep, batch_format="pandas"), ["user_id"], per_user
+        ds.map_batches(prep, batch_format="pandas"), ["user_id"], per_user, _xparts(sf_dir, "events")
     ).to_pandas()
     out = (
         parts.groupby(["cohort_day", "offset"], as_index=False)["n_users"]
@@ -4849,7 +4870,7 @@ def _copurchase_edges(sf_dir: str, mod: int = 1):
     return ds.map_batches(filt, batch_format="pandas")
 
 
-def _copurchase_degrees(edges) -> pd.DataFrame:
+def _copurchase_degrees(edges, num_partitions: int | None = None) -> pd.DataFrame:
     """Driver-side (node, n) degree table via the map-side combiner +
     one node-keyed exchange (the part_triangle_counts pattern). One int
     per node — bounded by the part DIMENSION, not the edge count; where
@@ -4868,7 +4889,7 @@ def _copurchase_degrees(edges) -> pd.DataFrame:
         edges.map_batches(deg_partial, batch_format="pyarrow"),
         ["node"],
         lambda df: df.groupby("node", as_index=False)["n"].sum(),
-        8,
+        num_partitions,
     ).to_pandas()
     if not len(out):
         return pd.DataFrame({"node": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
@@ -4896,7 +4917,7 @@ def part_kcore(sf_dir: str):
     from .state.broadcast import resolve
 
     edges = _copurchase_edges(sf_dir).materialize()
-    deg = _copurchase_degrees(edges)
+    deg = _copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))
     for _ in range(KCORE_ROUNDS):
         alive = deg.loc[deg["n"] >= KCORE_K, "node"].to_numpy()
         if len(alive) == len(deg):
@@ -4912,7 +4933,7 @@ def part_kcore(sf_dir: str):
             return df.loc[m]
 
         edges = edges.map_batches(filt, batch_format="pandas").materialize()
-        deg = _copurchase_degrees(edges)
+        deg = _copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))
     return pd.DataFrame(
         {
             "part_id": deg["node"].astype("int64"),
@@ -4944,7 +4965,7 @@ def part_neighbor_jaccard(sf_dir: str):
     from .state.broadcast import resolve
 
     edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD).materialize()
-    deg_df = _copurchase_degrees(edges)
+    deg_df = _copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))
     deg = pd.Series(deg_df["n"].to_numpy(), index=deg_df["node"].to_numpy())
     dref = ray.put(deg)
 
@@ -5702,7 +5723,7 @@ def part_bfs_levels(sf_dir: str):
     from .kernels.hashing import stable_u64_md5
 
     edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD).materialize()
-    nodes = _copurchase_degrees(edges)["node"].to_numpy()
+    nodes = _copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))["node"].to_numpy()
     coin = np.fromiter(
         (stable_u64_md5(f"bfs:{n}".encode("utf-8")) for n in nodes),
         dtype=np.uint64,
@@ -6006,7 +6027,7 @@ def part_random_walks(sf_dir: str):
 
     adj_dir = _adjacency_rank_cache(sf_dir)
     edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD)
-    degdf = _copurchase_degrees(edges)
+    degdf = _copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))
     deg = dict(zip(degdf["node"].astype(int), degdf["n"].astype(int)))
 
     seeds = sorted(
@@ -6392,7 +6413,7 @@ def part_label_prop(sf_dir: str):
     from .state.broadcast import resolve
 
     edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD).materialize()
-    nodes = np.sort(_copurchase_degrees(edges)["node"].to_numpy(dtype=np.int64))
+    nodes = np.sort(_copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))["node"].to_numpy(dtype=np.int64))
     if not len(nodes):
         return pd.DataFrame(
             {"part_id": pd.Series(dtype="int64"), "community": pd.Series(dtype="int64")}

@@ -21,8 +21,11 @@ schedule, no DataContext flipping, and no cross-thread locking.
 stalls in long many-execution sessions; this formulation has no actors
 to stall.)
 
-At cluster scale raise ``num_partitions`` so one partition's rows
-(~#keys/P of the PRE-AGGREGATED stream) fit a worker's pandas heap.
+``num_partitions`` sizes the exchange: one partition's rows (~#keys/P
+of the PRE-AGGREGATED stream) must fit a worker's pandas heap. Call
+sites derive it from their input tables' parquet footprint via
+``partitions_for`` (floor 8 at test scale, growing ~linearly with
+bytes at corpus scale) instead of hard-coding a constant.
 
 ``hash_shuffle`` remains for the operators that genuinely need Ray's
 hash-shuffle backend (``Dataset.join``), with the aggregator pool
@@ -39,8 +42,56 @@ from ray.data.context import ShuffleStrategy
 
 PID_COL = "_pid"
 
+# One exchange partition should hold ~this much DECOMPRESSED keyed
+# stream (a partition is combined in one pandas call on one worker, so
+# it must fit a worker heap with headroom). 64MB × the default 4×
+# parquet→pandas expansion ⇒ ~16MB of parquet per partition.
+BYTES_PER_PARTITION = 64 << 20
+# Back-compat floor: below ~0.5GB of stream the sort-based shuffle's
+# O(blocks²) tiny-object overhead dominates, so fewer, fatter
+# partitions win (measured; see keyed_exchange docstring).
+DEFAULT_PARTITIONS = 8
+# Ceiling: the sort-based exchange pays O(P²) inter-block objects, so
+# P is capped; past cap×64MB (~256GB of keyed stream) a cluster run
+# should raise BYTES_PER_PARTITION (bigger workers) or split the job
+# by key range rather than widen one exchange further.
+MAX_PARTITIONS = 4096
 
-def keyed_exchange(ds, keys, fn, num_partitions: int = 8):
+
+def partitions_for(*paths, expansion: float = 4.0, floor: int = DEFAULT_PARTITIONS,
+                   cap: int = MAX_PARTITIONS,
+                   bytes_per_partition: int = BYTES_PER_PARTITION) -> int:
+    """Size-derived exchange partition count from the parquet footprint
+    of the table(s) feeding the keyed stream.
+
+    Replaces the former constant-8 default at every exchange call site:
+    8 partitions of a 100TB keyed stream is 12.5TB per worker pandas
+    call — a guaranteed OOM — while at test scale (≤10MB tables) the
+    floor keeps plans byte-identical to the old constant. ``expansion``
+    is the stream-bytes / parquet-bytes ratio: 4.0 covers the typical
+    decompression+pandas overhead when the exchanged stream is
+    comparable to the input table; pass more for gram/pair explodes,
+    less for heavily pre-aggregated streams. Accepts files or
+    directories (summed recursively over ``*.parquet``)."""
+    import math
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    need = math.ceil(total * expansion / bytes_per_partition)
+    return max(floor, min(cap, need))
+
+
+def keyed_exchange(ds, keys, fn, num_partitions: int | None = None):
     """Co-locate rows by ``keys`` and apply ``fn`` once per complete
     partition (a pandas DataFrame containing EVERY row of each key that
     hashes into that partition).
@@ -55,6 +106,8 @@ def keyed_exchange(ds, keys, fn, num_partitions: int = 8):
     sized at any scale."""
     import pandas as pd
 
+    if num_partitions is None:
+        num_partitions = DEFAULT_PARTITIONS
     keys = list(keys)
 
     def add_pid(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -72,7 +125,7 @@ def keyed_exchange(ds, keys, fn, num_partitions: int = 8):
     )
 
 
-def grouped_aggregate(ds, keys, partial_fn, combine_fn, num_partitions: int = 8):
+def grouped_aggregate(ds, keys, partial_fn, combine_fn, num_partitions: int | None = None):
     """Exact high-cardinality groupby-aggregate: ``partial_fn``
     aggregates raw rows to ≤1 row per key per block; ``combine_fn``
     merges partials (it sees all partials of a key together)."""
