@@ -188,8 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IR / statistical-LM text analysis
         "doc_tfidf_top_terms": Q.doc_tfidf_top_terms,
         "doc_rare_bigram_score": Q.doc_rare_bigram_score,
-        # tokenizer training (BPE merge rules; rows-only — greedy
-        # within-word remerge isn't SQL-expressible, see tests/test_bpe.py)
+        # tokenizer training (BPE merge rules): VALUE-exact oracle —
+        # the unrolled materialized-CTE replay expresses the greedy
+        # within-word remerge via consecutive-run islands (_bpe_merges_sql)
         "doc_bpe_merges": Q.doc_bpe_merges,
         "doc_bpe_encode": Q.doc_bpe_encode,
         # embedding training (A8/A10): trained-KV pass-through + exact
@@ -2129,10 +2130,106 @@ GROUP BY c.label""",
         "conll_token_table": _conll_sql(),
         "balance_targets": _balance_targets_sql(),
         "balance_assign": _balance_assign_sql(),
+        "doc_bpe_merges": _bpe_merges_sql(),
+        "doc_bpe_encode": _bpe_encode_sql(),
         # balance_augmented intentionally has NO oracle entry: its word
         # substitutions come from the trained model's top-k neighbors
         # (not SQL-expressible); the driver records the rows-only check
     }
+
+
+def _bpe_replay_ctes() -> str:
+    """Unrolled BPE training replay (the k-core/pagerank materialized-
+    CTE trick applied to tokenizer training): per round, weighted
+    adjacent-pair counts over the symbol table → the arg-best pair
+    under the engine's total tie-break (count desc, left, right) →
+    GREEDY NON-OVERLAPPING within-word remerge in pure SQL — match
+    positions grouped into consecutive-run islands (pos − row_number),
+    keeping every other position per island (overlaps only arise for
+    left==right runs), then the survivor rows are renumbered. Each
+    round's state is AS MATERIALIZED (DuckDB inlines non-materialized
+    iterate chains exponentially — the emb_power_iteration lesson)."""
+    from biomedical_ner_ray.queries import BPE_MERGES
+
+    parts = [
+        """WITH words AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS w FROM documents)
+  GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT word, n,
+         CAST(generate_subscripts(str_split(word, ''), 1) AS BIGINT) AS pos,
+         unnest(str_split(word, '')) AS sym
+  FROM words)"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT a.sym AS l, b.sym AS rr, CAST(sum(a.n) AS BIGINT) AS c
+  FROM s{r - 1} a JOIN s{r - 1} b ON a.word = b.word AND b.pos = a.pos + 1
+  GROUP BY a.sym, b.sym),
+b{r} AS MATERIALIZED (
+  SELECT l, rr, c FROM p{r} ORDER BY c DESC, l, rr LIMIT 1),
+mm{r} AS MATERIALIZED (
+  SELECT a.word, a.pos
+  FROM s{r - 1} a JOIN s{r - 1} b ON a.word = b.word AND b.pos = a.pos + 1, b{r} w
+  WHERE a.sym = w.l AND b.sym = w.rr),
+mg{r} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS isl
+    FROM mm{r}) t
+  QUALIFY (pos - MIN(pos) OVER (PARTITION BY word, isl)) % 2 = 0),
+s{r} AS MATERIALIZED (
+  SELECT word, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         sym
+  FROM (
+    SELECT s.word, s.n, s.pos,
+           CASE WHEN g.pos IS NOT NULL THEN s.sym || nx.sym ELSE s.sym END AS sym
+    FROM s{r - 1} s
+    LEFT JOIN mg{r} g ON g.word = s.word AND g.pos = s.pos
+    LEFT JOIN mg{r} g2 ON g2.word = s.word AND g2.pos = s.pos - 1
+    LEFT JOIN s{r - 1} nx ON nx.word = s.word AND nx.pos = s.pos + 1
+    WHERE g2.pos IS NULL) t)""")
+    return "".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    """Rank-ordered merge-rule table from the training replay."""
+    from biomedical_ner_ray.queries import BPE_MERGES
+
+    sel = " UNION ALL ".join(
+        f'SELECT CAST({r} AS BIGINT) AS rank, l AS "left", rr AS "right",'
+        f" c AS pair_count FROM b{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return f"{_bpe_replay_ctes()}\nSELECT * FROM ({sel}) ORDER BY rank"
+
+
+def _bpe_encode_sql() -> str:
+    """Per-doc token accounting from the replay's FINAL symbol table:
+    training state after round M equals rank-ordered encode of every
+    corpus word (each round applies one rule to the then-current state
+    — the same process bpe_encode_stage replays per word), so tokens
+    per word = that word's surviving symbol rows."""
+    from biomedical_ner_ray.queries import BPE_MERGES
+
+    return f"""{_bpe_replay_ctes()},
+tokc AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS t FROM s{BPE_MERGES} GROUP BY word),
+docw AS MATERIALIZED (
+  SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+        FROM documents)
+  GROUP BY doc_id, w)
+SELECT d.doc_id,
+       CAST(COALESCE(sum(w.k), 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(sum(w.k * t.t), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN docw w ON w.doc_id = d.doc_id
+LEFT JOIN tokc t ON t.word = w.word
+GROUP BY d.doc_id"""
 
 
 def _kcore_sql(k: int, rounds: int) -> str:

@@ -703,9 +703,16 @@ def doc_bigram_counts(sf_dir: str):
 
 
 TFIDF_TOP_K = 5
+# df-table broadcast budget (words): the engine's broadcast-small
+# standard (~10⁷ entries ≈ 300MB per worker); past it the df table
+# stays distributed and the salted word-keyed join tier runs
+TFIDF_BROADCAST_LIMIT = 10_000_000
+TFIDF_SALT = 16  # stopword-row salt lanes in the join tier
 
 
-def doc_tfidf_top_terms(sf_dir: str):
+def doc_tfidf_top_terms(
+    sf_dir: str, broadcast_limit: int = TFIDF_BROADCAST_LIMIT
+):
     """Rarity-weighted top terms per document — the log-free TF-IDF
     variant (score = tf/df, monotone in tf·(1/df)), chosen so both
     engines score in IEEE doubles computed from exact integers and the
@@ -713,15 +720,30 @@ def doc_tfidf_top_terms(sf_dir: str):
 
     Shape: document frequency needs ONE keyed exchange (each doc is a
     single row, so per-block distinct-word doc counts are exact
-    partials); the df table is then broadcast once via ``ray.put`` as a
-    sorted word array + int64 df array (binary-search lookup per batch),
-    and term frequency + top-k are ROW-LOCAL — no second shuffle. The
-    broadcast holds to the engine's broadcast-small standard (~10⁷
-    words); past that, swap the lookup for a ``Dataset.join`` on word
-    (the doc_rare_bigram_score operator exercises exactly that shape)."""
+    partials); the df table lands in a parquet handoff whose FOOTER
+    ROW COUNT — no column read — picks the serving tier:
+
+    - ``n_words ≤ broadcast_limit`` (the engine's ~10⁷ broadcast-small
+      standard): the table is collected once, broadcast via ``ray.put``
+      as a sorted word array + int64 df array, and term frequency +
+      top-k are ROW-LOCAL binary-search lookups — no second shuffle.
+    - past the limit the df table NEVER touches the driver: a salted
+      (word, salt)-keyed exchange attaches df to each document's
+      per-(doc, word) tf rows (df rows replicated to TFIDF_SALT lanes,
+      candidates laned by hash(doc_id) — a stopword's rows spread over
+      TFIDF_SALT partitions instead of one), and a doc-keyed exchange
+      computes the identical lexsort top-k per document.
+
+    Both tiers compute the same IEEE doubles from the same exact
+    integers, so results are bit-identical (a pytest forces the
+    fallback and asserts it)."""
+    import tempfile
+
     from .stages.exchange import keyed_exchange
+    from .state.manifest import list_parquet_files, sweep_stale_handoffs
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    nparts = _xparts(sf_dir, "documents")
 
     def df_partial(batch: pa.Table) -> pd.DataFrame:
         from .kernels.textstats import WORD_RE
@@ -736,61 +758,155 @@ def doc_tfidf_top_terms(sf_dir: str):
         return df.groupby("word", sort=False, as_index=False)["df"].sum()
 
     parts = ds.map_batches(df_partial, batch_format="pyarrow")
-    dft = keyed_exchange(parts, ["word"], df_combine, _xparts(sf_dir, "documents")).to_pandas()
-    dft = dft.sort_values("word", ignore_index=True)
-    ref = ray.put(
-        (dft["word"].to_numpy(), dft["df"].to_numpy().astype(np.int64))
+    handoff = sweep_stale_handoffs(
+        os.path.join(tempfile.gettempdir(), "graft_tfidf_df")
     )
+    keyed_exchange(parts, ["word"], df_combine, nparts).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    ).write_parquet(handoff)
+    df_files = list_parquet_files(handoff)
+    n_words = sum(pq.ParquetFile(f).metadata.num_rows for f in df_files)
 
-    def topk(batch: pa.Table) -> pd.DataFrame:
+    if n_words <= broadcast_limit:
+        dft = pq.read_table(handoff).to_pandas()
+        dft = dft.sort_values("word", ignore_index=True)
+        ref = ray.put(
+            (dft["word"].to_numpy(), dft["df"].to_numpy().astype(np.int64))
+        )
+
+        def topk(batch: pa.Table) -> pd.DataFrame:
+            from collections import Counter
+
+            from .kernels.textstats import WORD_RE
+            from .state.broadcast import resolve
+
+            words_sorted, dfs = resolve(ref)
+            out_doc, out_w, out_tf, out_df, out_rank = [], [], [], [], []
+            for doc_id, t in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                c = Counter(WORD_RE.findall(t.lower()))
+                if not c:
+                    continue
+                ws = np.array(list(c.keys()))
+                tf = np.array(list(c.values()), dtype=np.int64)
+                df_ = dfs[np.searchsorted(words_sorted, ws)]
+                score = tf.astype(np.float64) / df_.astype(np.float64)
+                order = np.lexsort((ws, -score))[:TFIDF_TOP_K]
+                for r, j in enumerate(order, start=1):
+                    out_doc.append(doc_id)
+                    out_w.append(ws[j])
+                    out_tf.append(int(tf[j]))
+                    out_df.append(int(df_[j]))
+                    out_rank.append(r)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_doc, dtype="int64"),
+                    "word": out_w,
+                    "tf": pd.array(out_tf, dtype="int64"),
+                    "df": pd.array(out_df, dtype="int64"),
+                    "rank": pd.array(out_rank, dtype="int64"),
+                }
+            )
+
+        return ds.map_batches(topk, batch_format="pyarrow")
+
+    # -- JOIN fallback: df table stays distributed --
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
         from collections import Counter
 
         from .kernels.textstats import WORD_RE
-        from .state.broadcast import resolve
 
-        words_sorted, dfs = resolve(ref)
-        out_doc, out_w, out_tf, out_df, out_rank = [], [], [], [], []
+        docs, words, tfs = [], [], []
         for doc_id, t in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            c = Counter(WORD_RE.findall(t.lower()))
-            if not c:
-                continue
-            ws = np.array(list(c.keys()))
-            tf = np.array(list(c.values()), dtype=np.int64)
-            df_ = dfs[np.searchsorted(words_sorted, ws)]
-            score = tf.astype(np.float64) / df_.astype(np.float64)
-            order = np.lexsort((ws, -score))[:TFIDF_TOP_K]
-            for r, j in enumerate(order, start=1):
-                out_doc.append(doc_id)
-                out_w.append(ws[j])
-                out_tf.append(int(tf[j]))
-                out_df.append(int(df_[j]))
-                out_rank.append(r)
+            for w, k in Counter(WORD_RE.findall(t.lower())).items():
+                docs.append(doc_id)
+                words.append(w)
+                tfs.append(k)
+        ids = np.asarray(docs, dtype=np.int64)
         return pd.DataFrame(
             {
-                "doc_id": pd.array(out_doc, dtype="int64"),
-                "word": out_w,
-                "tf": pd.array(out_tf, dtype="int64"),
-                "df": pd.array(out_df, dtype="int64"),
-                "rank": pd.array(out_rank, dtype="int64"),
+                "word": words,
+                "salt": (pd.util.hash_array(ids) % np.uint64(TFIDF_SALT)
+                         ).astype(np.int64),
+                "doc_id": ids,
+                "n": pd.array(tfs, dtype="int64"),
+                "kind": np.int64(0),
             }
         )
 
-    return ds.map_batches(topk, batch_format="pyarrow")
+    def df_lanes(batch: pa.Table) -> pd.DataFrame:
+        n = batch.num_rows
+        base = pd.DataFrame(
+            {"word": batch["word"].to_pylist(),
+             "n": batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)}
+        )
+        reps = base.loc[base.index.repeat(TFIDF_SALT)].reset_index(drop=True)
+        reps["salt"] = np.tile(np.arange(TFIDF_SALT, dtype=np.int64), n)
+        return reps.assign(doc_id=np.int64(-1), kind=np.int64(1))[
+            ["word", "salt", "doc_id", "n", "kind"]
+        ]
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        tf_part = df[df["kind"] == 0]
+        m = tf_part.merge(
+            df.loc[df["kind"] == 1, ["word", "salt", "n"]],
+            on=["word", "salt"], how="inner", suffixes=("", "_df"),
+        )
+        return pd.DataFrame(
+            {"doc_id": m["doc_id"].astype("int64"),
+             "word": m["word"],
+             "tf": m["n"].astype("int64"),
+             "df": m["n_df"].astype("int64")}
+        )
+
+    joined = keyed_exchange(
+        ds.map_batches(tf_rows, batch_format="pyarrow").union(
+            rd.read_parquet(handoff).map_batches(
+                df_lanes, batch_format="pyarrow"
+            )
+        ),
+        ["word", "salt"], attach_df, max(nparts, TFIDF_SALT),
+    )
+
+    def doc_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, g in df.groupby("doc_id", sort=False):
+            ws = g["word"].to_numpy()
+            tf = g["tf"].to_numpy(dtype=np.int64)
+            df_ = g["df"].to_numpy(dtype=np.int64)
+            score = tf.astype(np.float64) / df_.astype(np.float64)
+            order = np.lexsort((ws, -score))[:TFIDF_TOP_K]
+            for r, j in enumerate(order, start=1):
+                out.append((doc_id, ws[j], int(tf[j]), int(df_[j]), r))
+        if not out:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "word": pd.Series(dtype=object),
+                 "tf": pd.Series(dtype="int64"), "df": pd.Series(dtype="int64"),
+                 "rank": pd.Series(dtype="int64")}
+            )
+        o = pd.DataFrame(out, columns=["doc_id", "word", "tf", "df", "rank"])
+        return o.astype({"doc_id": "int64", "tf": "int64", "df": "int64",
+                         "rank": "int64"})
+
+    return keyed_exchange(joined, ["doc_id"], doc_topk, nparts)
 
 
 BPE_MERGES = 8
-
 
 def doc_bpe_merges(sf_dir: str):
     """BPE tokenizer training over the document corpus: one wordcount
     exchange, then BPE_MERGES rounds over the compact symbol table
     (stages/bpe.py — pair partials per block, driver top-1 combine with
     a total tie-break, broadcast merge rule, linear re-materialization).
-    Output: the rank-ordered merge-rule table. No SQL oracle (greedy
-    within-word remerge isn't SQL-expressible); tests/test_bpe.py pins
-    the result against an independent single-process reference."""
+    Output: the rank-ordered merge-rule table. VALUE-exact SQL oracle:
+    the unrolled materialized-CTE replay (__ray_entry__._bpe_merges_sql)
+    expresses the greedy non-overlapping remerge as consecutive-run
+    islands keeping every other match position; tests/test_bpe.py
+    additionally pins the result against an independent single-process
+    reference."""
     from .stages.bpe import bpe_train
     from .stages.exchange import keyed_exchange
 
@@ -856,10 +972,11 @@ def doc_bpe_encode(sf_dir: str):
     (n_words, n_bpe_tokens) — the token-budget accounting a training-
     data pipeline runs after tokenizer training. Merge rules broadcast
     once; per-batch distinct-word cache collapses the Zipf head; pure
-    row-local map (stages/bpe.bpe_encode_stage). No SQL oracle (greedy
-    rank-ordered remerge isn't SQL-expressible — rows-only driver
-    check); tests/test_bpe.py pins block results against the
-    single-process reference encode."""
+    row-local map (stages/bpe.bpe_encode_stage). VALUE-exact SQL
+    oracle: the training-replay CTEs' FINAL symbol table gives tokens
+    per corpus word (state after round M == rank-ordered encode —
+    __ray_entry__._bpe_encode_sql); tests/test_bpe.py pins block
+    results against the single-process reference encode."""
     from .stages.bpe import bpe_encode_stage
 
     merges = _ensure_bpe_merges(sf_dir)
@@ -924,6 +1041,10 @@ def doc_repetition_stats(sf_dir: str):
 
 LM_MIN_COUNT = 3  # bigrams below this corpus count carry no LM signal
 LM_PROB_SCALE = 1_000_000
+# hot-bigram salt lanes: each model row is replicated LM_SALT times and
+# each candidate row picks lane hash(doc_id) % LM_SALT, so the hottest
+# bigram's scoring spreads over LM_SALT partitions instead of one
+LM_SALT = 16
 
 
 def _batch_bigram_codes(texts):
@@ -978,94 +1099,190 @@ def doc_bigram_lm_score(sf_dir: str):
     with unmodeled bigrams contributing 0 and counted in
     ``n_bigrams - n_scored``.
 
-    Shape: ONE pass builds per-block partial bigram+unigram counts,
-    one keyed exchange each combines them; the ≥-threshold filter runs
-    IN the cluster so the driver only receives the modeled table
-    (bounded by the thresholded bigram vocabulary — Zipf guarantees
-    this is a sliver of occurrence volume; at a corpus where even that
-    overflows, the scoring join rides the rare-bigram exchange shape
-    instead of a broadcast). Scoring is a per-batch pandas merge
-    against the broadcast model — row-local, no shuffle."""
-    from .stages.exchange import grouped_aggregate
+    Fully distributed shape — the MODEL NEVER TOUCHES THE DRIVER (at
+    100TB the thresholded bigram table is itself billions of rows):
+    (A) one w1-keyed exchange over per-block unigram+bigram count
+    partials builds exact (bigram, prob_micro) model rows in the
+    cluster, each replicated to LM_SALT salt lanes; (B) one
+    (bigram, salt)-keyed exchange co-locates each document's
+    per-(doc, bigram) candidate rows — salted by hash(doc_id), so a
+    mega-hot bigram's occurrences spread over LM_SALT partitions
+    instead of one — with the matching model lane, scoring in a
+    vectorized merge; per-doc TOTAL rows ride the same exchange as
+    pass-through on a wide salt (no bigram key, no skew) so every doc
+    surfaces exactly once; (C) one doc-keyed exchange folds the
+    scored partials and totals. This is the doc_rare_bigram_score
+    split-stream pattern with the hot-key salt the rare-path only
+    documents."""
+    from .stages.exchange import keyed_exchange
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    nparts = _xparts(sf_dir, "documents")
 
-    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
-        # batch-level distinct-pair counting: one string join per
-        # DISTINCT bigram per batch (the winnowing/substring-dedup
-        # vectorization), not one per position
-        uniq, w1i, w2i, _, _, pcnt = _batch_bigram_codes(df["text"].tolist())
-        if uniq is None:
-            return pd.DataFrame({"w1": [], "bigram": [], "c12": []})
-        return pd.DataFrame(
-            {
-                "w1": uniq[w1i],
-                "bigram": [
-                    uniq[a] + " " + uniq[b] for a, b in zip(w1i, w2i)
-                ],
-                "c12": pcnt,
-            }
-        )
-
-    def unigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
         from .kernels.textstats import WORD_RE
 
-        ws = [w for t in df["text"] for w in WORD_RE.findall(t.lower())]
-        if not ws:
-            return pd.DataFrame({"w": [], "c1": []})
-        u, c = np.unique(np.array(ws, dtype=object), return_counts=True)
-        return pd.DataFrame({"w": u, "c1": c.astype(np.int64)})
+        frames = []
+        uniq, w1i, w2i, _, _, pcnt = _batch_bigram_codes(df["text"].tolist())
+        if uniq is not None:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.int64(1),
+                        "w1": uniq[w1i],
+                        "bigram": [
+                            uniq[a] + " " + uniq[b] for a, b in zip(w1i, w2i)
+                        ],
+                        "c": pcnt,
+                    }
+                )
+            )
+        ws = [w for t in df["text"] for w in WORD_RE.findall((t or "").lower())]
+        if ws:
+            u, c = np.unique(np.array(ws, dtype=object), return_counts=True)
+            frames.append(
+                pd.DataFrame(
+                    {"kind": np.int64(0), "w1": u, "bigram": "",
+                     "c": c.astype(np.int64)}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"kind": pd.Series(dtype="int64"),
+                 "w1": pd.Series(dtype=object),
+                 "bigram": pd.Series(dtype=object),
+                 "c": pd.Series(dtype="int64")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    bc = grouped_aggregate(
-        ds, ["bigram"], bigram_partial,
-        lambda df: df.groupby(["w1", "bigram"], sort=False, as_index=False)["c12"].sum(), _xparts(sf_dir, "documents"),
-    ).map_batches(
-        lambda df: df[df["c12"] >= LM_MIN_COUNT], batch_format="pandas"
+    _MODEL_EMPTY = pd.DataFrame(
+        {"bigram": pd.Series(dtype=object),
+         "salt": pd.Series(dtype="int64"),
+         "doc_id": pd.Series(dtype="int64"),
+         "c": pd.Series(dtype="int64"),
+         "p": pd.Series(dtype="int64"),
+         "kind": pd.Series(dtype="int64")}
     )
-    uc = grouped_aggregate(
-        ds, ["w"], unigram_partial,
-        lambda df: df.groupby("w", sort=False, as_index=False)["c1"].sum(), _xparts(sf_dir, "documents"),
+
+    def model_rows(df: pd.DataFrame) -> pd.DataFrame:
+        """Complete-by-w1 partition: exact c1/c12, threshold, integer
+        prob, then LM_SALT replicas of each model row."""
+        uni = df[df["kind"] == 0].groupby("w1", sort=False)["c"].sum()
+        bi = df[df["kind"] == 1].groupby(
+            ["w1", "bigram"], sort=False, as_index=False
+        )["c"].sum()
+        bi = bi[bi["c"] >= LM_MIN_COUNT]
+        if not len(bi):
+            return _MODEL_EMPTY.copy()
+        c1 = uni.reindex(bi["w1"]).to_numpy(dtype=np.int64)
+        prob = (LM_PROB_SCALE * bi["c"].to_numpy(dtype=np.int64)) // c1
+        m = pd.DataFrame({"bigram": bi["bigram"].to_numpy(), "p": prob})
+        reps = m.loc[m.index.repeat(LM_SALT)].reset_index(drop=True)
+        reps["salt"] = np.tile(np.arange(LM_SALT, dtype=np.int64), len(m))
+        return reps.assign(
+            doc_id=np.int64(-1), c=np.int64(0), kind=np.int64(4)
+        )[["bigram", "salt", "doc_id", "c", "p", "kind"]]
+
+    model = keyed_exchange(
+        ds.map_batches(count_partials, batch_format="pandas"),
+        ["w1"], model_rows, nparts,
     )
-    bdf = bc.to_pandas()
-    udf = uc.to_pandas()
-    model = bdf.merge(udf, left_on="w1", right_on="w")
-    model["prob_micro"] = (LM_PROB_SCALE * model["c12"]) // model["c1"]
-    model_ref = ray.put(model[["bigram", "prob_micro"]])
 
-    def score(batch: pa.Table) -> pd.DataFrame:
-        from .state.broadcast import resolve
-
-        m = resolve(model_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    def doc_rows(batch: pa.Table) -> pd.DataFrame:
+        """Candidate rows (per doc × distinct bigram, salted by doc)
+        plus one pass-through TOTAL row per doc on a wide salt."""
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n_docs = len(ids)
         uniq, w1i, w2i, pinv, doc_of, _ = _batch_bigram_codes(
             batch["text"].to_pylist()
         )
-        zeros = np.zeros(n_docs, dtype=np.int64)
+        wide = pd.util.hash_array(ids) % np.uint64(LM_SALT * 64)
+        totals = pd.DataFrame(
+            {"bigram": "", "salt": wide.astype(np.int64), "doc_id": ids,
+             "c": np.int64(0), "p": np.int64(0), "kind": np.int64(3)}
+        )
         if uniq is None:
-            return pd.DataFrame(
-                {"doc_id": ids, "n_bigrams": zeros, "n_scored": zeros,
-                 "lm_score_micro": zeros}
-            )
-        # model probs looked up once per DISTINCT pair, scattered to
-        # occurrences via the inverse index, summed per doc in int64
-        dist = pd.DataFrame(
-            {"bigram": [uniq[a] + " " + uniq[b] for a, b in zip(w1i, w2i)]}
-        ).merge(m, on="bigram", how="left")
-        prob = dist["prob_micro"].fillna(0).to_numpy().astype(np.int64)
-        modeled = dist["prob_micro"].notna().to_numpy().astype(np.int64)
-        n_bigrams = zeros.copy()
-        n_scored = zeros.copy()
-        lm = zeros.copy()
-        np.add.at(n_bigrams, doc_of, 1)
-        np.add.at(n_scored, doc_of, modeled[pinv])
-        np.add.at(lm, doc_of, prob[pinv])
-        return pd.DataFrame(
-            {"doc_id": ids, "n_bigrams": n_bigrams, "n_scored": n_scored,
-             "lm_score_micro": lm}
-        ).astype({"doc_id": ids.dtype})
+            return totals
+        totals["c"] = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+        # per-(doc, distinct pair) occurrence counts k
+        npairs = len(w1i)
+        code = doc_of * np.int64(npairs) + pinv
+        up, ucnt = np.unique(code, return_counts=True)
+        d_idx = (up // npairs).astype(np.int64)
+        p_idx = (up % npairs).astype(np.int64)
+        bstr = np.array(
+            [uniq[a] + " " + uniq[b] for a, b in zip(w1i, w2i)], dtype=object
+        )
+        cand_ids = ids[d_idx]
+        cands = pd.DataFrame(
+            {
+                "bigram": bstr[p_idx],
+                "salt": (pd.util.hash_array(cand_ids) % np.uint64(LM_SALT)
+                         ).astype(np.int64),
+                "doc_id": cand_ids,
+                "c": ucnt.astype(np.int64),
+                "p": np.int64(0),
+                "kind": np.int64(2),
+            }
+        )
+        return pd.concat([cands, totals], ignore_index=True)
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    _PARTIAL_EMPTY = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"),
+         "nb": pd.Series(dtype="int64"),
+         "ns": pd.Series(dtype="int64"),
+         "lm": pd.Series(dtype="int64")}
+    )
+
+    def score_partition(df: pd.DataFrame) -> pd.DataFrame:
+        thru = df[df["kind"] == 3]
+        cands = df[df["kind"] == 2]
+        out = []
+        if len(thru):
+            out.append(
+                pd.DataFrame(
+                    {"doc_id": thru["doc_id"].to_numpy(dtype=np.int64),
+                     "nb": thru["c"].to_numpy(dtype=np.int64),
+                     "ns": np.int64(0), "lm": np.int64(0)}
+                )
+            )
+        if len(cands):
+            m = cands.merge(
+                df.loc[df["kind"] == 4, ["bigram", "salt", "p"]],
+                on=["bigram", "salt"], how="inner", suffixes=("", "_m"),
+            )
+            if len(m):
+                k = m["c"].to_numpy(dtype=np.int64)
+                g = pd.DataFrame(
+                    {"doc_id": m["doc_id"].to_numpy(dtype=np.int64),
+                     "nb": np.int64(0),
+                     "ns": k,
+                     "lm": k * m["p_m"].to_numpy(dtype=np.int64)}
+                ).groupby("doc_id", sort=False, as_index=False).sum()
+                out.append(g)
+        if not out:
+            return _PARTIAL_EMPTY.copy()
+        return pd.concat(out, ignore_index=True).astype(
+            {"doc_id": "int64", "nb": "int64", "ns": "int64", "lm": "int64"}
+        )
+
+    scored = keyed_exchange(
+        ds.map_batches(doc_rows, batch_format="pyarrow").union(model),
+        ["bigram", "salt"], score_partition, nparts,
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False, as_index=False)[
+            ["nb", "ns", "lm"]
+        ].sum()
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].astype("int64"),
+             "n_bigrams": g["nb"].astype("int64"),
+             "n_scored": g["ns"].astype("int64"),
+             "lm_score_micro": g["lm"].astype("int64")}
+        )
+
+    return keyed_exchange(scored, ["doc_id"], finalize, nparts)
 
 
 def doc_rare_bigram_score(sf_dir: str):

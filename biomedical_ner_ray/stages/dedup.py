@@ -156,8 +156,10 @@ def minhash_pairs(docs_ds_factory, num_partitions: int = 8):
     (doc_id_a, doc_id_b, n_common, n_union), J ≥ 4/5, a < b.
 
     ``docs_ds_factory`` is a zero-arg callable building the documents
-    Dataset — the read must be constructed INSIDE the hash_shuffle scope
-    because a Dataset captures its DataContext at root creation."""
+    Dataset (the factory convention predates the exchange-based verify,
+    which needs no special DataContext; callers that still join under
+    ``hash_shuffle`` rely on construction-inside-scope, so the factory
+    stays)."""
     from .exchange import keyed_exchange
 
     bands = docs_ds_factory().map_batches(_minhash_band_rows, batch_format="pyarrow")
@@ -223,6 +225,22 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
 # broadcast the candidate id set only while 2·pairs stays under this;
 # beyond it the semi-join fallback path runs (see minhash_pairs_join)
 BROADCAST_ID_LIMIT = 50_000_000
+
+# PPJoin demotion threshold: every REPEATED shingle (df ≥ 2) sorts
+# after the df=1 tail, df-ascending among themselves — classic PPJoin
+# global frequency order. df=1 shingles can never collide, so their
+# relative order is irrelevant and they stay in cheap hash order.
+# Measured at sf0.1: candidates 81,620 → 43,367 at J ≥ 4/5 and
+# 290,947 → 193,033 at J ≥ 3/5 vs pure hash order, and the hottest
+# shingles (the O(df²) posting-bucket scale-killer at 100TB) always
+# fall out of prefixes first.
+HOT_DF_MIN = 2
+# global cap on the demoted hot set: bounds the per-partition partials,
+# the driver merge, and the broadcast at ~1MB regardless of corpus
+# size. Overflow only costs candidate-filter QUALITY (excess hot
+# shingles keep hash order), never correctness — the prefix guarantee
+# holds for any consistent total order.
+PPJOIN_HOT_LIMIT = 65_536
 
 
 def _list_parquet(path: str) -> list[str]:
@@ -301,10 +319,12 @@ def _fetch_verify(
     den: int = JACCARD_DEN,
 ):
     """Phase 2 shared by every candidate-pair self-join (MinHash bands,
-    PPJoin prefixes): fetch shingle blobs for candidate docs only —
-    broadcast id filter while bounded, distributed hash SEMI-join past
-    ``broadcast_id_limit`` — then exact integer Jaccard ≥ num/den via
-    two hash joins (``_join_verify``)."""
+    PPJoin prefixes): fetch shingle blobs for candidate docs only, then
+    exact integer Jaccard ≥ num/den. Two tiers on the handoff's footer
+    pair count: broadcast routing + single-exchange verify while the
+    pair list is driver-bounded (``_broadcast_verify``); distributed
+    hash SEMI-join id filter + two-exchange verify (``_join_verify``)
+    past ``broadcast_id_limit``."""
     from .exchange import hash_shuffle
 
     # Pair COUNT comes free from the handoff's parquet footers; it
@@ -330,28 +350,7 @@ def _fetch_verify(
         # ray.put once and each shingle task filters its batch locally,
         # so only candidate docs are ever shingled or shuffled.
         cand_tbl = _pq.read_table(handoff, columns=["doc_id_a", "doc_id_b"])
-        cand_ids = np.unique(
-            np.concatenate(
-                [
-                    cand_tbl["doc_id_a"].to_numpy(zero_copy_only=False),
-                    cand_tbl["doc_id_b"].to_numpy(zero_copy_only=False),
-                ]
-            )
-            if n_pairs
-            else [np.empty(0, np.int64)]
-        )
-        ids_ref = ray.put(cand_ids)
-
-        def _shingle_candidates(batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            mask = np.isin(ids, ray.get(ids_ref))
-            return _shingle_table(batch.filter(pa.array(mask)))
-
-        with hash_shuffle():
-            cands = rd.read_parquet(handoff)
-            docs = docs_ds_factory()
-            sh = docs.map_batches(_shingle_candidates, batch_format="pyarrow")
-            return _join_verify(cands, sh, join_parts, num, den)
+        return _broadcast_verify(cand_tbl, docs_ds_factory, join_parts, num, den)
 
     # SEMI-JOIN fallback (the SCALE.md promise): when the id set would
     # blow the broadcast budget (~10^8 ids = 800MB per worker), the
@@ -384,16 +383,26 @@ def _fetch_verify(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     ).write_parquet(ids_dir)
 
+    # the SEMI-join itself still rides Ray's hash-join backend; its
+    # (candidate-bounded) shingle output crosses back to the normal
+    # context through a parquet handoff — datasets rooted under
+    # HASH_SHUFFLE must never feed the groupby-based exchange (the
+    # documented deadlock), and the handoff doubles as a resumable
+    # checkpoint exactly like the candidate-pair one.
+    sh_dir = handoff + "_sh"
     with hash_shuffle():
-        cands = rd.read_parquet(handoff)
         ids_ds = rd.read_parquet(ids_dir)
         docs = docs_ds_factory()
         cand_docs = docs.join(
             ids_ds, join_type="inner", num_partitions=max(2, join_parts),
             on=("doc_id",),
         )
-        sh = cand_docs.map_batches(_shingle_table, batch_format="pyarrow")
-        return _join_verify(cands, sh, join_parts, num, den)
+        cand_docs.map_batches(_shingle_table, batch_format="pyarrow").map_batches(
+            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+        ).write_parquet(sh_dir)
+    cands = rd.read_parquet(handoff)
+    sh = rd.read_parquet(sh_dir)
+    return _join_verify(cands, sh, join_parts, num, den)
 
 
 def ppjoin_pairs(
@@ -409,37 +418,108 @@ def ppjoin_pairs(
     probabilistic MinHash path, and the scale-correct replacement for
     the blocked all-pairs baseline (``jaccard_pairs``).
 
-    Canonical token order = the md5 shingle HASH itself, ascending
-    (``shingle_hashes`` already returns sorted arrays): any fixed total
-    order preserves the prefix guarantee — two sets with J ≥ t share a
-    token among each one's first ``|d| - ceil(t·|d|) + 1`` tokens — and
-    hash order needs NO global frequency pass or broadcast rank map.
-    (df-ascending order is the candidate-minimizing upgrade when a
-    frequency pass is worth it; this corpus's shingle df is tiny, max
-    25 at sf0.1.) Shape: prefix rows (hash, doc, size) → hash-keyed
-    exchange emits candidate pairs with the integer length filter
-    (den·min ≥ num·max) → pair dedup → handoff → the SAME two-tier
-    candidate fetch + exact-Jaccard verify as minhash_pairs_join
-    (``_fetch_verify``). Output identical schema/semantics:
-    (doc_id_a, doc_id_b, n_common, n_union), a < b."""
+    Canonical token order = DOCUMENT-FREQUENCY ASCENDING (the PPJoin
+    papers' candidate-minimizing order): df=1 shingles first in hash
+    order (they can never collide, so their order is irrelevant), then
+    every repeated shingle df-ascending — so the hottest shingles, the
+    ones that would open O(df²) posting buckets at 100TB, fall out of
+    every prefix first. Any fixed total order preserves the prefix
+    guarantee — two sets with J ≥ t share a token among each one's
+    first ``|d| - ceil(t·|d|) + 1`` tokens — so order only moves
+    candidate volume (measured at sf0.1: 1.5-1.9× fewer candidates
+    than hash order, see HOT_DF_MIN).
+    The frequency pass stays bounded at any corpus size: one
+    shingle-keyed exchange computes exact global df, each partition
+    keeps only its df ≥ HOT_DF_MIN rows truncated to its share of
+    ``PPJOIN_HOT_LIMIT``, and the driver merges those bounded partials
+    into a global hot set broadcast as (sorted hashes, df-asc ranks) —
+    never a vocab-scale driver stream; overflow beyond the limit
+    degrades ORDER QUALITY (a few hot shingles keep hash order), never
+    correctness. Shape: df pass → prefix rows (hash, doc, size) →
+    hash-keyed exchange emits candidate pairs with the integer length
+    filter (den·min ≥ num·max) → pair dedup → handoff → the SAME
+    two-tier candidate fetch + exact-Jaccard verify as
+    minhash_pairs_join (``_fetch_verify``). Output identical
+    schema/semantics: (doc_id_a, doc_id_b, n_common, n_union), a < b."""
     import os
     import tempfile
+
+    import ray
 
     from ..state.manifest import sweep_stale_handoffs
     from .exchange import keyed_exchange
 
+    # -- pass 0: bounded global df table for the repeated shingles --
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        c: dict = {}
+        cache: dict = {}
+        for text in batch["text"].to_pylist():
+            for h in shingle_hashes(text, cache=cache).view(np.int64).tolist():
+                c[h] = c.get(h, 0) + 1
+        return pd.DataFrame(
+            {"h": np.fromiter(c.keys(), np.int64, len(c)),
+             "n": np.fromiter(c.values(), np.int64, len(c))}
+        )
+
+    # per-partition share of the hot budget: the driver merge then
+    # receives ≤ PPJOIN_HOT_LIMIT rows TOTAL at any partition count
+    # (the union of per-partition heads is a deterministic hot set —
+    # not exactly the global top-F, which only affects order quality)
+    per_part = max(1, PPJOIN_HOT_LIMIT // max(1, num_partitions))
+
+    def hot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", sort=False, as_index=False)["n"].sum()
+        g = g[g["n"] >= HOT_DF_MIN]
+        return g.sort_values(["n", "h"], ascending=[False, True]).head(per_part)
+
+    hot = keyed_exchange(
+        docs_ds_factory().map_batches(df_partial, batch_format="pyarrow"),
+        ["h"], hot_partial, num_partitions,
+    ).to_pandas()
+    if len(hot):
+        hot = hot.sort_values(["n", "h"], ascending=[False, True]).head(
+            PPJOIN_HOT_LIMIT
+        )
+        # rank = df-ASC position (hottest shingle gets the largest
+        # rank, i.e. sorts last); lookup arrays aligned on hash order
+        hot = hot.sort_values(["n", "h"], ascending=[True, True]).reset_index(
+            drop=True
+        )
+        hot["rank"] = np.arange(len(hot), dtype=np.int64)
+        hot = hot.sort_values("h", ignore_index=True)
+        hot_ref = ray.put(
+            (hot["h"].to_numpy(np.int64), hot["rank"].to_numpy(np.int64))
+        )
+    else:
+        hot_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
     def prefix_rows(batch: pa.Table) -> pd.DataFrame:
+        from ..state.broadcast import resolve
+
+        hot_sorted, hot_rank = resolve(hot_ref)
         hs, ids, sizes = [], [], []
         cache: dict = {}
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            hv = shingle_hashes(text, cache=cache)
+            hv = shingle_hashes(text, cache=cache).view(np.int64)
             n = len(hv)
             if n == 0:
                 continue
             p = n - (num * n + den - 1) // den + 1  # n - ceil(t·n) + 1
-            hs.append(hv[:p].view(np.int64))
+            if len(hot_sorted):
+                pos = np.searchsorted(hot_sorted, hv)
+                pos_c = np.minimum(pos, len(hot_sorted) - 1)
+                is_hot = hot_sorted[pos_c] == hv
+                cold = hv[~is_hot]  # already hash-ascending
+                hotv = hv[is_hot]
+                ordered = np.concatenate(
+                    [cold, hotv[np.argsort(hot_rank[pos_c[is_hot]],
+                                           kind="stable")]]
+                )
+            else:
+                ordered = hv
+            hs.append(ordered[:p])
             ids.append(np.full(p, doc_id, dtype=np.int64))
             sizes.append(np.full(p, n, dtype=np.int64))
         if not hs:
@@ -482,37 +562,201 @@ def ppjoin_pairs(
     )
 
 
-def _join_verify(cands, sh, num_partitions: int,
-                 num: int = JACCARD_NUM, den: int = JACCARD_DEN):
-    """Fetch packed shingle blobs for candidate pairs via two hash joins
-    and keep pairs passing the exact integer Jaccard ≥ num/den. Must be
-    called with BOTH input datasets built inside a hash_shuffle scope."""
-    j1 = cands.join(
-        sh, join_type="inner", num_partitions=num_partitions,
-        on=("doc_id_a",), right_on=("doc_id",),
-    )
-    j2 = j1.join(
-        sh, join_type="inner", num_partitions=num_partitions,
-        on=("doc_id_b",), right_on=("doc_id",),
-        left_suffix="_a", right_suffix="_b",
-    )
+def _broadcast_verify(cand_tbl, docs_ds_factory, num_partitions: int,
+                      num: int = JACCARD_NUM, den: int = JACCARD_DEN):
+    """Broadcast-tier verify in ONE doc-scan + ONE exchange: the pair
+    list is already driver-resident (it supplied the candidate-id
+    broadcast), so each pair is assigned a deterministic verify
+    partition, the doc→partitions routing map rides the same ``ray.put``
+    broadcast, and the shingle pass emits each candidate doc's blob
+    directly to every partition holding one of its pairs. The pair-keyed
+    second exchange of ``_join_verify`` disappears; volume is
+    |candidate shingle blobs| × (pairs-per-doc partition fan-out,
+    ~1 in practice)."""
+    import ray
+    import ray.data as rd
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    a = cand_tbl["doc_id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = cand_tbl["doc_id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(a) == 0:
+        return rd.from_pandas(_PAIR_EMPTY.copy())
+    P = max(1, num_partitions)
+    pid = ((a * np.int64(1_000_003) + b) % P).astype(np.int64)
+    # doc -> sorted unique (doc, pid) routing arrays (binary-searchable)
+    ids2 = np.concatenate([a, b])
+    pid2 = np.concatenate([pid, pid])
+    order = np.lexsort((pid2, ids2))
+    ids_s, pid_s = ids2[order], pid2[order]
+    keep = np.ones(len(ids_s), dtype=bool)
+    keep[1:] = (ids_s[1:] != ids_s[:-1]) | (pid_s[1:] != pid_s[:-1])
+    route_ref = ray.put((ids_s[keep], pid_s[keep], a, b, pid))
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        from ..state.broadcast import resolve
+
+        r_ids, r_pids, _a, _b, _pid = resolve(route_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, r_ids)
+        sh = _shingle_table(batch.filter(pa.array(mask)))
+        out_pid, out_doc, out_blob = [], [], []
+        for doc_id, blob in zip(sh["doc_id"].to_pylist(), sh["shingles"].to_pylist()):
+            lo = np.searchsorted(r_ids, doc_id, side="left")
+            hi = np.searchsorted(r_ids, doc_id, side="right")
+            for p in r_pids[lo:hi]:
+                out_pid.append(int(p))
+                out_doc.append(doc_id)
+                out_blob.append(blob)
+        return pd.DataFrame(
+            {"pid": pd.array(out_pid, dtype="int64"),
+             "doc_id": pd.array(out_doc, dtype="int64"),
+             "blob": out_blob}
+        )
+
+    def verify_part(df: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import resolve
+
+        _r_ids, _r_pids, a_, b_, pid_ = resolve(route_ref)
+        # blobs decode once per (pid, doc) — a doc in many pairs reuses
+        # its sorted-u64 array; intersections run as C-level merges on
+        # the already-sorted shingle arrays, not Python set ops
+        blobs = {
+            (int(p), int(d)): np.frombuffer(bl, dtype=np.uint64)
+            for p, d, bl in zip(df["pid"], df["doc_id"], df["blob"])
+        }
+        here = np.isin(pid_, df["pid"].unique())
         out = []
-        for a, b, sa, sb in zip(
-            df["doc_id_a"], df["doc_id_b"], df["shingles_a"], df["shingles_b"]
-        ):
-            xa = set(np.frombuffer(sa, dtype=np.uint64).tolist())
-            xb = set(np.frombuffer(sb, dtype=np.uint64).tolist())
-            inter = len(xa & xb)
-            union = len(xa) + len(xb) - inter
+        for pa_, pb_, pp_ in zip(a_[here], b_[here], pid_[here]):
+            xa = blobs.get((int(pp_), int(pa_)))
+            xb = blobs.get((int(pp_), int(pb_)))
+            if xa is None or xb is None:
+                continue
+            inter = np.intersect1d(xa, xb, assume_unique=True).size
+            union = xa.size + xb.size - inter
             if union and den * inter >= num * union:
-                out.append((a, b, inter, union))
+                out.append((pa_, pb_, inter, union))
+        if not out:
+            return _PAIR_EMPTY.copy()
         return pd.DataFrame(
             out, columns=["doc_id_a", "doc_id_b", "n_common", "n_union"]
         ).astype("int64")
 
-    return j2.map_batches(verify, batch_format="pandas")
+    from .exchange import keyed_exchange
+
+    rows = docs_ds_factory().map_batches(emit, batch_format="pyarrow")
+    return keyed_exchange(rows, ["pid"], verify_part, P)
+
+
+_PAIR_EMPTY = pd.DataFrame(
+    {
+        "doc_id_a": pd.Series(dtype="int64"),
+        "doc_id_b": pd.Series(dtype="int64"),
+        "n_common": pd.Series(dtype="int64"),
+        "n_union": pd.Series(dtype="int64"),
+    }
+)
+
+
+def _join_verify(cands, sh, num_partitions: int,
+                 num: int = JACCARD_NUM, den: int = JACCARD_DEN):
+    """Attach packed shingle blobs to candidate pairs and keep pairs
+    passing the exact integer Jaccard ≥ num/den.
+
+    Shape: two ``keyed_exchange`` passes instead of two Arrow hash
+    joins (the exchange is this engine's proven fast path; it also
+    frees the callers from the process-global ``hash_shuffle`` context
+    and its serialized construction window). Each pair row is shipped
+    to BOTH endpoints' doc-keyed partitions alongside the shingle rows
+    (side 0 = a-endpoint copy, side 1 = b-endpoint copy), so the
+    shingle stream is consumed exactly ONCE with no mid-pipeline
+    materialize; the second, pair-keyed exchange zips the two
+    half-pairs (each carrying one endpoint's blob) and verifies.
+    Shuffle volume: 2·|pairs| skinny rows + |candidate shingles| once,
+    then |pairs| rows carrying two blobs — same O() as the join
+    formulation, lower constant."""
+    parts = max(2, num_partitions)
+
+    def tag_pairs(t: pa.Table) -> pd.DataFrame:
+        a = t["doc_id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": np.concatenate([a, b]),
+                "doc_id_a": np.concatenate([a, a]),
+                "doc_id_b": np.concatenate([b, b]),
+                "side": np.concatenate(
+                    [np.zeros(len(a), np.int64), np.ones(len(b), np.int64)]
+                ),
+                "blob": [None] * (2 * len(a)),
+            }
+        )
+
+    def tag_shingles(t: pa.Table) -> pd.DataFrame:
+        n = t.num_rows
+        return pd.DataFrame(
+            {
+                "k": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "doc_id_a": np.full(n, -1, np.int64),
+                "doc_id_b": np.full(n, -1, np.int64),
+                "side": np.full(n, -1, np.int64),
+                "blob": t["shingles"].to_pylist(),
+            }
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        is_sh = df["side"] == -1
+        pr = df[~is_sh]
+        if not len(pr):
+            return pd.DataFrame(
+                {
+                    "doc_id_a": pd.Series(dtype="int64"),
+                    "doc_id_b": pd.Series(dtype="int64"),
+                    "side": pd.Series(dtype="int64"),
+                    "blob": pd.Series(dtype="object"),
+                }
+            )
+        m = pr.drop(columns=["blob"]).merge(
+            df.loc[is_sh, ["k", "blob"]], on="k", how="inner"
+        )
+        return m[["doc_id_a", "doc_id_b", "side", "blob"]]
+
+    def zip_verify(df: pd.DataFrame) -> pd.DataFrame:
+        a_side = df[df["side"] == 0]
+        b_side = df[df["side"] == 1]
+        m = a_side.merge(
+            b_side, on=["doc_id_a", "doc_id_b"], suffixes=("_a", "_b")
+        )
+        out = []
+        dec: dict = {}
+
+        def arr(bl):
+            v = dec.get(id(bl))
+            if v is None:
+                v = np.frombuffer(bl, dtype=np.uint64)
+                dec[id(bl)] = v
+            return v
+
+        for a, b, sa, sb in zip(
+            m["doc_id_a"], m["doc_id_b"], m["blob_a"], m["blob_b"]
+        ):
+            xa = arr(sa)
+            xb = arr(sb)
+            inter = np.intersect1d(xa, xb, assume_unique=True).size
+            union = xa.size + xb.size - inter
+            if union and den * inter >= num * union:
+                out.append((a, b, inter, union))
+        if not out:
+            return _PAIR_EMPTY.copy()
+        return pd.DataFrame(
+            out, columns=["doc_id_a", "doc_id_b", "n_common", "n_union"]
+        ).astype("int64")
+
+    from .exchange import keyed_exchange
+
+    tagged = cands.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sh.map_batches(tag_shingles, batch_format="pyarrow")
+    )
+    halves = keyed_exchange(tagged, ["k"], attach, parts)
+    return keyed_exchange(halves, ["doc_id_a", "doc_id_b"], zip_verify, parts)
 
 
 # ---------------------------------------------------------------------------
@@ -830,7 +1074,7 @@ def incremental_minhash_pairs(
     import ray.data as rd
 
     from ..state.manifest import sweep_stale_handoffs
-    from .exchange import hash_shuffle, keyed_exchange
+    from .exchange import keyed_exchange
 
     check_index_layout(index)
     base = os.path.join(tempfile.gettempdir(), "graft_minhash_incr")
@@ -932,18 +1176,20 @@ def incremental_minhash_pairs(
     old_b = ct.filter(pc.equal(ct.column("new_b"), 0)).column("doc_id_b")
     old_ids = sorted(set(old_a.to_pylist()) | set(old_b.to_pylist()))
 
-    # phase 2 (hash context): shingle fetch via the shared join-verify.
-    with hash_shuffle():
-        cands_ds = rd.read_parquet(
-            cands_dir, columns=["doc_id_a", "doc_id_b"]
+    # phase 2: shingle fetch via the shared exchange-based verify.
+    # NO hash_shuffle scope here — _join_verify is keyed_exchange
+    # (groupby) based now, and a groupby built under a HASH-rooted
+    # dataset deadlocks (the documented exchange.py constraint).
+    cands_ds = rd.read_parquet(
+        cands_dir, columns=["doc_id_a", "doc_id_b"]
+    )
+    sh_new = rd.read_parquet(ns_dir)
+    if old_ids:
+        sh_old = rd.read_parquet(
+            index["shingles"],
+            filter=pads.field("doc_id").isin(old_ids),
         )
-        sh_new = rd.read_parquet(ns_dir)
-        if old_ids:
-            sh_old = rd.read_parquet(
-                index["shingles"],
-                filter=pads.field("doc_id").isin(old_ids),
-            )
-            sh = sh_old.union(sh_new)
-        else:
-            sh = sh_new
-        return _join_verify(cands_ds, sh, num_partitions)
+        sh = sh_old.union(sh_new)
+    else:
+        sh = sh_new
+    return _join_verify(cands_ds, sh, num_partitions)

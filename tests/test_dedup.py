@@ -231,3 +231,66 @@ def test_ppjoin_superset_of_blocked_baseline(ray_session):
     gset = {(a, b) for a, b in zip(glob.doc_id_a, glob.doc_id_b)}
     bset = {(a, b) for a, b in zip(blocked.doc_id_a, blocked.doc_id_b)}
     assert bset <= gset
+
+
+def test_ppjoin_hot_demotion_shrinks_candidates(ray_session, tmp_path, monkeypatch):
+    """A mega-hot phrase (df >= HOT_DF_MIN) must fall out of every
+    prefix: candidate-pair volume with demotion is a small fraction of
+    pure hash order, and verified output is IDENTICAL (any total order
+    preserves the prefix guarantee)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import biomedical_ner_ray.stages.dedup as dd
+    from biomedical_ner_ray import queries as Q
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {}
+    for i in range(80):  # df(hot shingles) = 80+ >= HOT_DF_MIN
+        uniq = " ".join(f"u{i}x{j}" for j in range(8))
+        texts[i] = f"{hot} {uniq}"
+    # one genuine near-dup pair on top of the hot background
+    # (tail-extension keeps J = 8/9 >= 3/5; a mid-word swap would break
+    # three trigrams and fall below the threshold)
+    texts[100] = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts[101] = texts[100] + " lambda"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        ),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+
+    def run():
+        got = (
+            Q.doc_dedup_ppjoin(str(tmp_path))
+            .to_pandas()
+            .sort_values(["doc_id_a", "doc_id_b"], ignore_index=True)
+        )
+        hand = max(
+            glob.glob("/tmp/graft_ppjoin_cands/*/"), key=os.path.getmtime
+        )
+        n_cands = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(hand, "*.parquet"))
+        )
+        return got, n_cands
+
+    got_demoted, cands_demoted = run()
+    monkeypatch.setattr(dd, "HOT_DF_MIN", 10**9)  # pure hash order
+    got_hash, cands_hash = run()
+
+    assert got_demoted.equals(got_hash)
+    assert {(100, 101)} <= set(
+        map(tuple, got_demoted[["doc_id_a", "doc_id_b"]].to_numpy())
+    )
+    # hash order lets hot shingles into prefixes -> O(N^2) candidates;
+    # demotion keeps only the unique fillers there
+    assert cands_hash > 1000
+    assert cands_demoted < cands_hash / 5

@@ -1,0 +1,90 @@
+"""Scale-tier equivalence: operators with a broadcast fast path and a
+distributed fallback must produce BIT-IDENTICAL results on both tiers
+(the tier is a physical-plan choice, never a semantic one).
+
+- doc_tfidf_top_terms: broadcast df lookup vs the salted word-keyed
+  join tier (forced via broadcast_limit=0).
+- doc_bigram_lm_score: the fully-distributed salted-exchange rewrite
+  vs a brute-force pandas replay of the exact integer semantics.
+"""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frame(ds) -> pd.DataFrame:
+    if isinstance(ds, pd.DataFrame):
+        return ds
+    return ds.to_pandas()
+
+
+def test_tfidf_join_fallback_matches_broadcast(ray_session):
+    from biomedical_ner_ray import queries as Q
+
+    cols = ["doc_id", "rank"]
+    fast = _frame(Q.doc_tfidf_top_terms(SF)).sort_values(cols, ignore_index=True)
+    slow = _frame(Q.doc_tfidf_top_terms(SF, broadcast_limit=0)).sort_values(
+        cols, ignore_index=True
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow[fast.columns])
+
+
+def test_bigram_lm_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from biomedical_ner_ray import queries as Q
+    from biomedical_ner_ray.kernels.textstats import WORD_RE
+
+    got = _frame(Q.doc_bigram_lm_score(SF)).sort_values(
+        "doc_id", ignore_index=True
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        i: WORD_RE.findall(t.lower())
+        for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    c1: dict = {}
+    c12: dict = {}
+    for ws in toks.values():
+        for w in ws:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    model = {
+        k: (Q.LM_PROB_SCALE * v) // c1[k[0]]
+        for k, v in c12.items()
+        if v >= Q.LM_MIN_COUNT
+    }
+    rows = []
+    for i, ws in toks.items():
+        nb = max(len(ws) - 1, 0)
+        ns = lm = 0
+        for bg in zip(ws, ws[1:]):
+            if bg in model:
+                ns += 1
+                lm += model[bg]
+        rows.append((i, nb, ns, lm))
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "n_scored", "lm_score_micro"])
+        .astype("int64")
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns].astype("int64"), exp)
+
+
+def test_bigram_lm_salting_is_consistent():
+    # every candidate lane must have a matching model lane: lane ids
+    # come from hash(doc_id) % LM_SALT and the model replicates ALL
+    # lanes — structural invariant the exchange relies on
+    from biomedical_ner_ray import queries as Q
+
+    ids = np.arange(1000, dtype=np.int64)
+    lanes = pd.util.hash_array(ids) % np.uint64(Q.LM_SALT)
+    assert lanes.min() >= 0 and lanes.max() < Q.LM_SALT
+    # process-stable: recomputing gives the same lanes
+    assert (lanes == pd.util.hash_array(ids) % np.uint64(Q.LM_SALT)).all()
