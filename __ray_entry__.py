@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # output; oracle = SQL span-decode over the replayed checkpoint
         # tag artifact) ---
         "kg_mentions_learned": Q.kg_mentions_learned,
+        "kg_mentions_combinatorial": Q.kg_mentions_combinatorial,
         # new this round: Gopher repetition gates + corpus-LM scoring
         "doc_repetition_stats": Q.doc_repetition_stats,
         "doc_bigram_lm_score": Q.doc_bigram_lm_score,
@@ -768,19 +769,39 @@ FROM p WHERE nc > 0 AND {JACCARD_BLOCK_DEN} * nc >= {JACCARD_BLOCK_NUM} * nu"""
 
 
 def _mentions_learned_sql() -> str:
-    """Oracle for the TRAINED tagger: the checkpoint's tags enter SQL as
-    a sequential-replay artifact (the kg_embedding_matrix kv.parquet
-    pattern — trained weights + Viterbi aren't SQL-expressible), and the
-    SQL independently re-derives mention assembly from raw BIO tags with
-    the reference's extract_entities semantics (app.py:335-416): B-x
-    starts a span; I-x continues only after B-x/I-x (orphan/type-switch
-    I- repairs to a new span); O closes. Checks distributed serving ==
-    sequential replay AND the span decoder, per token."""
+    """Oracle for the TRAINED linear tagger: sequential-replay artifact
+    + SQL span assembly (see _replay_mentions_sql)."""
     from biomedical_ner_ray.pipelines.train_tagger import ensure_tagger_artifacts
 
     arts = ensure_tagger_artifacts(replay_sf="sf0.01")
+    return _replay_mentions_sql(arts["expected_tags"])
+
+
+def _mentions_combinatorial_sql() -> str:
+    """Oracle for the trained FULL CombinatorialNER: same replay-artifact
+    + SQL span-assembly contract as the linear tagger — the
+    non-SQL-expressible part (fitted char-CNN/char-BiLSTM/attention/CRF
+    weights + Viterbi) enters as the sequential replay, and SQL
+    re-derives mention assembly independently."""
+    from biomedical_ner_ray.pipelines.train_combinatorial import (
+        ensure_combinatorial_artifacts,
+    )
+
+    arts = ensure_combinatorial_artifacts(replay_sf="sf0.01")
+    return _replay_mentions_sql(arts["expected_tags"])
+
+
+def _replay_mentions_sql(expected_tags_path: str) -> str:
+    """The checkpoint's tags enter SQL as a sequential-replay artifact
+    (the kg_embedding_matrix kv.parquet pattern — trained weights +
+    Viterbi aren't SQL-expressible), and the SQL independently
+    re-derives mention assembly from raw BIO tags with the reference's
+    extract_entities semantics (app.py:335-416): B-x starts a span;
+    I-x continues only after B-x/I-x (orphan/type-switch I- repairs to
+    a new span); O closes. Checks distributed serving == sequential
+    replay AND the span decoder, per token."""
     return f"""
-WITH tags AS (SELECT * FROM read_parquet('{arts["expected_tags"]}')),
+WITH tags AS (SELECT * FROM read_parquet('{expected_tags_path}')),
 m AS (
   SELECT conv_id, turn_idx, tok_idx, token, tag,
          lag(tag) OVER (PARTITION BY conv_id, turn_idx ORDER BY tok_idx) AS prev
@@ -2124,6 +2145,7 @@ JOIN transcripts_fx f
 JOIN lab3 c ON c.cui = m.cui
 GROUP BY c.label""",
         "kg_mentions_learned": _mentions_learned_sql(),
+        "kg_mentions_combinatorial": _mentions_combinatorial_sql(),
         "doc_quality_classifier": _qualclf_scores_sql(),
         "doc_classifier_weights": _qualclf_weights_sql(),
         "kg_embedding_matrix": _embedding_matrix_sql(),

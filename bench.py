@@ -158,6 +158,7 @@ QUERY_NAMES = [
     "events_retention",
     "emb_semantic_keep",
     "kg_mentions_learned",
+    "kg_mentions_combinatorial",
     "doc_repetition_stats",
     "doc_bigram_lm_score",
     "doc_substring_dedup",
@@ -226,6 +227,17 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     ensure_tagger_artifacts()
     log(f"  [untimed] tagger checkpoint ready in {time.perf_counter() - t0:.2f}s")
+
+    # same policy for the trained FULL CombinatorialNER checkpoint:
+    # kg_mentions_combinatorial times actor-pool SERVING of the fitted
+    # model, not the one-off (cached) driver-side training
+    from biomedical_ner_ray.pipelines.train_combinatorial import (
+        ensure_combinatorial_artifacts,
+    )
+
+    t0 = time.perf_counter()
+    ensure_combinatorial_artifacts()
+    log(f"  [untimed] combinatorial checkpoint ready in {time.perf_counter() - t0:.2f}s")
 
     # same policy for the quality-classifier checkpoint: its first call
     # trains sequentially (one-off, cached under /tmp) — warm it so

@@ -275,7 +275,10 @@ def crf_nll(em, trans, y, w):
     dtrans [K,K]). Gradients via forward-backward marginals; forbidden
     transition cells get zero gradient (they stay -inf)."""
     B, L, K = em.shape
-    finite = np.isfinite(trans)
+    # "forbidden" = the hard BIO mask (crf._NEG_INF is a large FINITE
+    # constant, so isfinite() would never fire); exp() of those cells
+    # underflows to exactly 0 in the marginals
+    finite = trans > -1e7
     if L == 1:
         logZ = _logsumexp(em[:, 0], axis=1)
         gold = em[np.arange(B), 0, y[:, 0]]

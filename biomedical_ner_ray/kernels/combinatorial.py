@@ -139,6 +139,7 @@ class CombinatorialScorer:
         embedding_table: dict[str, np.ndarray] | None = None,
         embedding_matrix_path: str | None = None,
         checkpoint_path: str | None = None,
+        trained: bool = False,
     ):
         self.tags = bio_tagset(types)
         self.tag_index = {t: i for i, t in enumerate(self.tags)}
@@ -217,12 +218,24 @@ class CombinatorialScorer:
         self.out_dim = out_dim
         p["emission_W"] = rng.randn(out_dim, len(self.tags)) * s
         p["emission_b"] = rng.randn(len(self.tags)) * s
+        # TRAINED mode (pipelines/train_combinatorial.py): the
+        # checkpoint carries FITTED weights plus a learned score on
+        # every BIO-ALLOWED transition; emissions serve RAW (the tanh
+        # clamp exists only for decode-equivalence mode) and decode
+        # ignores the dictionary prior — weights decide (the
+        # kernels/learned.py contract, through the full architecture).
+        self.trained = trained
+        if trained:
+            k = len(self.tags)
+            p["trans_w"] = np.zeros((k, k), dtype=np.float64)
         self.params = p
         self.checkpoint_report: dict | None = None
         if checkpoint_path:
             from ..state.checkpoint import load_into
 
             self.checkpoint_report = load_into(checkpoint_path, self.params)
+        if trained:
+            self.trans = self.trans + self.params["trans_w"]
 
     # -- checkpoint surface (S5) ------------------------------------
     def parameters(self) -> dict[str, np.ndarray]:
@@ -344,11 +357,28 @@ class CombinatorialScorer:
             h = combined
 
         raw = h @ self.params["emission_W"] + self.params["emission_b"]
+        if self.trained:
+            return raw
         return FEATURE_SCALE * np.tanh(raw)
+
+    def decode_tokens(self, tokens: list[str]) -> list[str]:
+        """Pure-model Viterbi (trained mode): raw emissions + learned
+        transition scores under the hard BIO mask; no dictionary prior.
+        'O' beyond MAX_SEQ_LEN (reference truncation). Shared verbatim
+        by the distributed stage and the sequential oracle replay."""
+        limit = min(len(tokens), MAX_SEQ_LEN)
+        if limit == 0:
+            return ["O"] * len(tokens)
+        em = self.scores(tokens[:limit])
+        path = viterbi_decode(em, self.trans)
+        return [self.tags[i] for i in path] + ["O"] * (len(tokens) - limit)
 
     def decode(self, tokens: list[str], dict_tags: list[str]) -> list[str]:
         """Same decode contract as ``crf.CRFScorer.decode``: Viterbi over
-        dictionary-prior + model emissions, provably equal to dict_tags."""
+        dictionary-prior + model emissions, provably equal to dict_tags.
+        In TRAINED mode the prior is dropped — weights decide."""
+        if self.trained:
+            return self.decode_tokens(tokens)
         limit = min(len(tokens), MAX_SEQ_LEN)
         if limit == 0:
             return list(dict_tags)

@@ -207,6 +207,34 @@ def kg_mentions_learned(sf_dir: str):
     )
 
 
+def kg_mentions_combinatorial(sf_dir: str):
+    """Mention spans decoded by the TRAINED FULL CombinatorialNER —
+    gradient descent through char-CNN + char-BiLSTM + FC fusion +
+    context BiLSTM + Manhattan attention + CRF (reference
+    models/models.py:73-193, trained per JNLPBA.ipynb cell 11;
+    pipelines/train_combinatorial.py + kernels/combi_train.py), served
+    through the same annotate-stage actor pool as every other scorer.
+    Like kg_mentions_learned there is NO decode-equivalence — the
+    fitted weights decide (0.95 ≤ mention P,R < 1.0 asserted on the
+    held-out split in tests/test_combinatorial_trained.py) — so the
+    oracle is a SQL BIO-span decode over the checkpoint's sequential
+    replay artifact: it checks distributed-serving == sequential-replay
+    AND the span-assembly semantics, never a tautology."""
+    from .pipelines.train_combinatorial import ensure_combinatorial_artifacts
+
+    paths = _fixture(sf_dir)
+    arts = ensure_combinatorial_artifacts()  # canonical sf0.01 checkpoint
+    ref = ray.put(AliasDict(_alias_rows(paths)))
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "text"])
+    ann = annotate_stage(
+        ds, ref, scorer="combinatorial",
+        scorer_kwargs={"checkpoint_path": arts["checkpoint"], "trained": True},
+    )
+    return mentions_stage(ann).select_columns(
+        ["conv_id", "turn_idx", "mention_id", "text", "type", "start_tok", "end_tok"]
+    )
+
+
 def kg_highlight(sf_dir: str):
     """Entity-highlighted turn markup — the reference's M10
     ``highlight_text`` (app.py:517-538): every non-O token is wrapped
