@@ -108,6 +108,15 @@ class TurnAnnotator:
 
             types = sorted({e.type for e in self.alias_dict.by_key.values()})
             self.crf = LearnedScorer(types, **(scorer_kwargs or {}))
+        elif scorer == "combinatorial_torch":
+            # torch-backed serving of the SAME trained checkpoint —
+            # pairs with actor_pool_kwargs={"num_gpus": ...}; raises a
+            # clear ImportError where torch is absent (the numpy
+            # trained scorer serves the checkpoint identically)
+            from ..kernels.torch_scorer import TorchCombinatorialScorer
+
+            types = sorted({e.type for e in self.alias_dict.by_key.values()})
+            self.crf = TorchCombinatorialScorer(types, **(scorer_kwargs or {}))
         elif scorer != "dict":
             raise ValueError(f"unknown scorer {scorer!r}")
 
