@@ -72,7 +72,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # r2-green tail). All entries are equally supported — this is
     # coverage scheduling, not priority.
     return {
-        # --- round-3 additions (never driver-sampled) ---
+        # --- round-4 additions (never driver-sampled) ---
+        # trained FULL CombinatorialNER served through the actor pool
+        "kg_mentions_combinatorial": Q.kg_mentions_combinatorial,
+        # DSIR-style integer importance resampling (target-domain LM ratio)
+        "doc_importance_resample": Q.doc_importance_resample,
+        # cluster-balanced diversity sampling over k-means assignments
+        "emb_diverse_sample": Q.emb_diverse_sample,
+        # audio payload window chunking (overlapping fixed-size windows)
+        "mm_chunk_windows": Q.mm_chunk_windows,
+        # --- round-3 additions (driver-sampled in r03) ---
         # dialogue-dynamics: role-transition matrix over transcripts
         "kg_role_transitions": Q.kg_role_transitions,
         # assistant response-latency profile per conversation
@@ -208,7 +217,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # output; oracle = SQL span-decode over the replayed checkpoint
         # tag artifact) ---
         "kg_mentions_learned": Q.kg_mentions_learned,
-        "kg_mentions_combinatorial": Q.kg_mentions_combinatorial,
         # new this round: Gopher repetition gates + corpus-LM scoring
         "doc_repetition_stats": Q.doc_repetition_stats,
         "doc_bigram_lm_score": Q.doc_bigram_lm_score,
@@ -833,6 +841,27 @@ SELECT conv_id, turn_idx,
 FROM sp GROUP BY conv_id, turn_idx, span_id"""
 
 
+def _diverse_sample_sql() -> str:
+    """Cluster-balanced top-N over the unrolled k-means assignment CTE:
+    row_number per cluster ordered by the seeded md5 (engine-identical
+    stable_u64_md5) with vec_id tie-break."""
+    from biomedical_ner_ray.stages.kmeans import kmeans_oracle_sql
+
+    inner = kmeans_oracle_sql("embeddings", k=Q.KMEANS_K, iterations=Q.KMEANS_ITERS)
+    return f"""
+WITH asg AS ({inner}),
+r AS (
+  SELECT cluster_id, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY CAST(CAST(md5_number_lower('div:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
+                         - 9223372036854775808 AS BIGINT), vec_id
+         ) AS rank
+  FROM asg)
+SELECT cluster_id, CAST(rank AS BIGINT) AS rank, vec_id
+FROM r WHERE rank <= {Q.DIVERSE_PER_CLUSTER}"""
+
+
 def _kmeans_oracle() -> str:
     from biomedical_ner_ray.stages.kmeans import kmeans_oracle_sql
 
@@ -1344,6 +1373,51 @@ WITH m AS (
 SELECT doc_id, CAST(g.i AS BIGINT) AS frame_idx, CAST(g.i * 256 AS BIGINT) AS byte_offset
 FROM m, unnest(generate_series(0, (octet_length(payload) - 1) // 256)) AS g(i)
 WHERE media_type = 'video' AND octet_length(payload) > 0""",
+        "mm_chunk_windows": f"""
+WITH m AS (
+  SELECT doc_id, text, encode(text) AS payload
+  FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0
+)
+SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+       CAST(g.i * {Q.AUDIO_HOP_BYTES} AS BIGINT) AS byte_offset,
+       CAST(least({Q.AUDIO_WIN_BYTES},
+                  octet_length(payload) - g.i * {Q.AUDIO_HOP_BYTES}) AS BIGINT)
+         AS chunk_len,
+       CAST(CAST(md5_number_lower(substr(text, g.i * {Q.AUDIO_HOP_BYTES} + 1,
+                                         {Q.AUDIO_WIN_BYTES})) AS HUGEINT)
+            - 9223372036854775808 AS BIGINT) AS chunk_h
+FROM m, unnest(generate_series(
+       0, (octet_length(payload) - 1) // {Q.AUDIO_HOP_BYTES})) AS g(i)""",
+        "doc_importance_resample": f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS w
+  FROM documents),
+tgt AS (SELECT min(source) AS s FROM documents),
+b AS (SELECT doc_id, source,
+             CAST(md5_number_lower(w) % {Q.DSIR_BUCKETS} AS BIGINT) AS bk
+      FROM tok),
+cb AS (SELECT bk, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bk),
+tb AS (SELECT bk, CAST(count(*) AS BIGINT) AS t FROM b, tgt WHERE source = s GROUP BY bk),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS cn FROM b),
+ttot AS (SELECT CAST(count(*) AS BIGINT) AS tn FROM b, tgt WHERE source = s),
+ratio AS (
+  SELECT cb.bk,
+         CAST((CAST({Q.DSIR_SCALE} AS HUGEINT) * (COALESCE(tb.t, 0) + 1)
+               * (tot.cn + {Q.DSIR_BUCKETS}))
+              // ((cb.c + 1) * (ttot.tn + {Q.DSIR_BUCKETS})) AS BIGINT) AS r
+  FROM cb LEFT JOIN tb USING (bk), tot, ttot),
+imp AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS nw, CAST(sum(r.r) AS BIGINT) AS sr
+  FROM b JOIN ratio r USING (bk) GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(imp.nw, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(imp.sr // imp.nw, 0) AS BIGINT) AS importance_micro,
+       CAST(CASE WHEN md5_number_lower('dsir:' || d.doc_id) % {Q.DSIR_KEEP_MOD}
+                 < least({Q.DSIR_KEEP_MOD},
+                         COALESCE(imp.sr // imp.nw, 0) // {Q.DSIR_KEEP_DIV})
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN imp ON imp.doc_id = d.doc_id""",
+        "emb_diverse_sample": _diverse_sample_sql(),
         "doc_dedup_minhash": _minhash_sql(),
         "doc_dedup_minhash_join": _minhash_sql(),
         "doc_dedup_incremental": _minhash_incr_sql(),

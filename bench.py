@@ -207,6 +207,9 @@ QUERY_NAMES = [
     "part_random_walks",
     "kg_transe_weights",
     "kg_transe_ranks",
+    "mm_chunk_windows",
+    "doc_importance_resample",
+    "emb_diverse_sample",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

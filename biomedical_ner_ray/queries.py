@@ -2713,6 +2713,235 @@ def mm_frame_samples(sf_dir: str):
     return media.map_batches(frame_sample_batch, batch_format="pyarrow")
 
 
+AUDIO_WIN_BYTES = 512
+AUDIO_HOP_BYTES = 384
+
+
+def mm_chunk_windows(sf_dir: str):
+    """Fixed-size overlapping window chunking of AUDIO payloads (the
+    wav2vec/Whisper-style segmentation primitive: WIN-byte windows every
+    HOP bytes, last window truncated) with a content hash per chunk —
+    the multimodal analog of doc_pack_chunks. Row-local flat map over
+    the media table (payload = utf-8 text bytes, the deterministic fake
+    stand-in; a real pipeline slices decoded PCM the same way), so the
+    op is shuffle-free at any scale and the DuckDB oracle re-derives
+    every window from generate_series + substr + md5 (ASCII fixture ⇒
+    byte slices == char slices)."""
+    from .kernels.hashing import stable_u64_md5
+    from .stages.multimodal import media_from_documents
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    media = docs.map_batches(media_from_documents, batch_format="pyarrow")
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids, cidx, offs, lens, hs = [], [], [], [], []
+        for doc_id, mtype, payload in zip(
+            batch["doc_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mtype != "audio" or not payload:
+                continue
+            off = 0
+            i = 0
+            while off < len(payload):
+                chunk = payload[off : off + AUDIO_WIN_BYTES]
+                ids.append(doc_id)
+                cidx.append(i)
+                offs.append(off)
+                lens.append(len(chunk))
+                hs.append(stable_u64_md5(chunk) - (1 << 63))
+                off += AUDIO_HOP_BYTES
+                i += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "byte_offset": pa.array(offs, pa.int64()),
+                "chunk_len": pa.array(lens, pa.int64()),
+                "chunk_h": pa.array(hs, pa.int64()),
+            }
+        )
+
+    return media.map_batches(windows, batch_format="pyarrow")
+
+
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling") in exact integer
+# form: hashed-unigram bucket LMs for target domain vs corpus, per-doc
+# mean probability ratio, md5-coin resample proportional to the
+# clipped ratio.
+DSIR_BUCKETS = 4096
+DSIR_SCALE = 1_000_000
+DSIR_KEEP_MOD = 10_000  # keep coin denominator (permyriad)
+DSIR_KEEP_DIV = 200  # keep_permyriad = clamp(importance_micro // 200, ., 10000)
+
+
+def doc_importance_resample(sf_dir: str):
+    """DSIR-style importance resampling — the data-selection operator a
+    curation pipeline runs to up-weight target-domain-like text. Target
+    domain = the lexicographically smallest ``source`` (deterministic,
+    oracle-replayable); features = md5-hashed unigram buckets
+    (``stable_u64_md5 % DSIR_BUCKETS`` == the SQL's
+    ``md5_number_lower % B``); per-bucket ratio
+    ``1e6·(t+1)·(C+B) // ((c+1)·(T+B))`` (add-one smoothing, exact
+    Python-int arithmetic — the product overflows int64 at corpus
+    scale, matching the oracle's HUGEINT); per-doc importance = mean
+    ratio over word OCCURRENCES (the log-free integer analog of the
+    DSIR log-likelihood ratio, the doc_tfidf_top_terms convention);
+    keep coin ``md5('dsir:'+doc_id) % 10000 < clamp(imp//200)``.
+
+    Shape — ZERO shuffles: per-block dense bucket-count partials
+    (≤ DSIR_BUCKETS rows each) combine on the driver (bounded by the
+    bucket DIMENSION, never the vocabulary), the ratio table broadcasts
+    as one int64 array, and scoring + the keep gate are row-local."""
+    import pyarrow.compute as pc
+
+    from .kernels.hashing import stable_u64_md5
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def smin_part(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"s": [pc.min(t["source"]).as_py()]})
+
+    tgt_source = (
+        _tbl(sf_dir, "documents", columns=["source"])
+        .map_batches(smin_part, batch_format="pyarrow")
+        .to_pandas()["s"]
+        .min()
+    )
+
+    def bucket_partial(batch: pa.Table) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+
+        c = np.zeros(DSIR_BUCKETS, np.int64)
+        t = np.zeros(DSIR_BUCKETS, np.int64)
+        cache: dict = {}
+        for src, txt in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            is_t = src == tgt_source
+            for w in WORD_RE.findall(txt.lower()):
+                b = cache.get(w)
+                if b is None:
+                    b = stable_u64_md5(w.encode("utf-8")) % DSIR_BUCKETS
+                    cache[w] = b
+                c[b] += 1
+                if is_t:
+                    t[b] += 1
+        nz = np.nonzero(c)[0]
+        return pd.DataFrame(
+            {"bk": nz.astype(np.int64), "c": c[nz], "t": t[nz]}
+        )
+
+    stats = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bk", as_index=True)[["c", "t"]]
+        .sum()
+    )
+    C = int(stats["c"].sum())
+    T = int(stats["t"].sum())
+    ratio = np.zeros(DSIR_BUCKETS, np.int64)
+    for bk, row in stats.iterrows():
+        # Python ints: 1e6·(t+1)·(C+B) overflows int64 at corpus scale
+        ratio[int(bk)] = (
+            DSIR_SCALE * (int(row["t"]) + 1) * (C + DSIR_BUCKETS)
+        ) // ((int(row["c"]) + 1) * (T + DSIR_BUCKETS))
+    ratio_ref = ray.put(ratio)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+        from .state.broadcast import resolve
+
+        r = resolve(ratio_ref)
+        cache: dict = {}
+        ids, nws, imps, keeps = [], [], [], []
+        for doc_id, txt in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = WORD_RE.findall(txt.lower())
+            sr = 0
+            for w in ws:
+                b = cache.get(w)
+                if b is None:
+                    b = stable_u64_md5(w.encode("utf-8")) % DSIR_BUCKETS
+                    cache[w] = b
+                sr += int(r[b])
+            nw = len(ws)
+            imp = sr // nw if nw else 0
+            keep_p = min(DSIR_KEEP_MOD, imp // DSIR_KEEP_DIV)
+            coin = stable_u64_md5(f"dsir:{doc_id}".encode()) % DSIR_KEEP_MOD
+            ids.append(doc_id)
+            nws.append(nw)
+            imps.append(imp)
+            keeps.append(1 if coin < keep_p else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "n_words": pd.array(nws, dtype="int64"),
+                "importance_micro": pd.array(imps, dtype="int64"),
+                "keep": pd.array(keeps, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+DIVERSE_PER_CLUSTER = 20
+
+
+def emb_diverse_sample(sf_dir: str):
+    """Cluster-balanced diversity sampling (the cluster-then-sample
+    curation pattern behind SemDeDup-style prototype selection and
+    balanced eval subsets): per k-means cluster keep the
+    DIVERSE_PER_CLUSTER vectors with the smallest seeded md5 order —
+    every cluster contributes equally regardless of its size.
+
+    Shape: the bit-exact integer k-means assignment (stages/kmeans.py,
+    zero per-iteration shuffle) followed by per-block per-cluster local
+    top-N partials (each block ships ≤ k·N candidate rows) and a
+    bounded driver merge — no cluster-keyed shuffle; the oracle nests
+    the unrolled k-means CTE and re-derives the row_number order."""
+    from .kernels.hashing import stable_u64_md5
+    from .stages.kmeans import kmeans_int
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    asg = kmeans_int(ds, k=KMEANS_K, iterations=KMEANS_ITERS)
+
+    def part_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            h=pd.array(
+                [
+                    stable_u64_md5(f"div:{int(v)}".encode()) - (1 << 63)
+                    for v in df["vec_id"]
+                ],
+                dtype="int64",
+            )
+        )
+        return (
+            df.sort_values(["cluster_id", "h", "vec_id"])
+            .groupby("cluster_id", sort=False)
+            .head(DIVERSE_PER_CLUSTER)[["cluster_id", "vec_id", "h"]]
+        )
+
+    cands = asg.map_batches(part_top, batch_format="pandas").to_pandas()
+    out = (
+        cands.sort_values(["cluster_id", "h", "vec_id"], ignore_index=True)
+        .groupby("cluster_id", sort=False)
+        .head(DIVERSE_PER_CLUSTER)
+    )
+    out = out.assign(
+        rank=out.groupby("cluster_id", sort=False).cumcount() + 1
+    )
+    return out[["cluster_id", "rank", "vec_id"]].astype(
+        {"cluster_id": "int64", "rank": "int64", "vec_id": "int64"}
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Events: windowed + sessionized aggregates (streaming-shaped)
 # ---------------------------------------------------------------------------
