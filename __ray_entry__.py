@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_diverse_sample": Q.emb_diverse_sample,
         # audio payload window chunking (overlapping fixed-size windows)
         "mm_chunk_windows": Q.mm_chunk_windows,
+        # product quantization: codebook train + corpus encode
+        "emb_pq_codes": Q.emb_pq_codes,
+        # PQ/ADC approximate top-k over the codes
+        "ann_topk_pq": Q.ann_topk_pq,
         # --- round-3 additions (driver-sampled in r03) ---
         # dialogue-dynamics: role-transition matrix over transcripts
         "kg_role_transitions": Q.kg_role_transitions,
@@ -841,6 +845,83 @@ SELECT conv_id, turn_idx,
 FROM sp GROUP BY conv_id, turn_idx, span_id"""
 
 
+def _pq_base_ctes():
+    """Shared WITH-body for the PQ family: quantized table + seed ids +
+    one unrolled subspace-k-means chain per subspace (training AND the
+    final per-subspace assignment = the code). Returns
+    (sql, final_centroid_ctes, assignment_ctes)."""
+    from biomedical_ner_ray.stages.kmeans import subspace_kmeans_ctes
+
+    # embeddings are 64-d in every fixture scale (TESTDATA.md)
+    sub = 64 // Q.PQ_M
+    sql = f"""WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+),
+seeds AS MATERIALIZED (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {Q.PQ_K})
+)"""
+    cfins, asgs = [], []
+    for m in range(Q.PQ_M):
+        frag, cfin, asg = subspace_kmeans_ctes(
+            Q.PQ_K, Q.PQ_ITERS, m * sub, (m + 1) * sub, f"_s{m}"
+        )
+        sql += frag
+        cfins.append(cfin)
+        asgs.append(asg)
+    return sql, cfins, asgs
+
+
+def _pq_codes_sql() -> str:
+    sql, _cfins, asgs = _pq_base_ctes()
+    joins = " ".join(
+        f"JOIN {a} a{m} ON a{m}.vec_id = a0.vec_id" if m else ""
+        for m, a in enumerate(asgs)
+    )
+    cols = ", ".join(f"CAST(a{m}.cid AS BIGINT) AS code_{m}" for m in range(Q.PQ_M))
+    return f"""{sql}
+SELECT a0.vec_id, {cols}
+FROM {asgs[0]} a0 {joins}"""
+
+
+def _pq_topk_sql() -> str:
+    sql, cfins, asgs = _pq_base_ctes()
+    sub = 64 // Q.PQ_M
+    for m in range(Q.PQ_M):
+        sql += f""",
+t{m} AS MATERIALIZED (
+  SELECT qq.vec_id AS query_id, c.cid, SUM((qq.qv - c.qc) * (qq.qv - c.qc)) AS dd
+  FROM (SELECT * FROM q WHERE vec_id < {Q.ANN_N_QUERIES}
+        AND dim >= {m * sub} AND dim < {(m + 1) * sub}) qq
+  JOIN {cfins[m]} c USING (dim)
+  GROUP BY qq.vec_id, c.cid)"""
+    code_joins = " ".join(
+        f"JOIN {a} a{m} ON a{m}.vec_id = a0.vec_id" if m else ""
+        for m, a in enumerate(asgs)
+    )
+    t_joins = " ".join(
+        f"JOIN t{m} ON t{m}.query_id = t0.query_id AND t{m}.cid = a{m}.cid"
+        if m else ""
+        for m in range(Q.PQ_M)
+    )
+    dd_sum = " + ".join(f"t{m}.dd" for m in range(Q.PQ_M))
+    return f"""{sql},
+ad AS (
+  SELECT t0.query_id, a0.vec_id AS neighbor_id, {dd_sum} AS adist
+  FROM {asgs[0]} a0 {code_joins}
+  JOIN t0 ON t0.cid = a0.cid {t_joins}
+  WHERE a0.vec_id <> t0.query_id)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, CAST(adist AS BIGINT) AS adist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+  FROM ad)
+WHERE rn <= {Q.ANN_K}"""
+
+
 def _diverse_sample_sql() -> str:
     """Cluster-balanced top-N over the unrolled k-means assignment CTE:
     row_number per cluster ordered by the seeded md5 (engine-identical
@@ -1418,6 +1499,8 @@ SELECT d.doc_id,
             THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM documents d LEFT JOIN imp ON imp.doc_id = d.doc_id""",
         "emb_diverse_sample": _diverse_sample_sql(),
+        "emb_pq_codes": _pq_codes_sql(),
+        "ann_topk_pq": _pq_topk_sql(),
         "doc_dedup_minhash": _minhash_sql(),
         "doc_dedup_minhash_join": _minhash_sql(),
         "doc_dedup_incremental": _minhash_incr_sql(),

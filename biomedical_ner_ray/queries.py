@@ -2713,6 +2713,129 @@ def mm_frame_samples(sf_dir: str):
     return media.map_batches(frame_sample_batch, batch_format="pyarrow")
 
 
+# Product quantization (Jégou et al. TPAMI'11): PQ_M subspaces of the
+# embedding, PQ_K centroids each, trained with the bit-exact integer
+# k-means (stages/kmeans.py); codes are per-subspace assignment ids and
+# ANN runs as asymmetric distance computation (ADC) — table lookups,
+# never full-vector math.
+# M=16 4-dim subspaces × 32 centroids: measured the best
+# recall/SQL-size point on THIS corpus — the synthetic embeddings are
+# near-isotropic gaussians, PQ's worst case (no cluster structure to
+# exploit; real text embeddings quantize far better). ADC recall@5 vs
+# exact L2 is 0.45 here and asserted ≥ 0.4; the production answer to
+# PQ's coarse recall is the two-stage rerank (ann_topk_rerank).
+PQ_M = 16
+PQ_K = 32
+PQ_ITERS = 2
+
+
+def _pq_pinned_and_codebooks(sf_dir: str):
+    from .stages.kmeans import _quantize_df, subspace_centroids
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    pinned = ds.map_batches(_quantize_df, batch_format="pandas").materialize()
+    dim = len(pinned.take(1)[0]["q"])
+    sub = dim // PQ_M
+    cbs = [
+        subspace_centroids(pinned, PQ_K, PQ_ITERS, m * sub, (m + 1) * sub)
+        for m in range(PQ_M)
+    ]
+    return pinned, cbs, sub
+
+
+def emb_pq_codes(sf_dir: str):
+    """Product-quantization codebook training + corpus encode: the
+    compressed-store representation (PQ_M bytes/vector instead of d
+    floats) a 100TB vector store actually persists. Training = PQ_M
+    independent integer-k-means runs over the PINNED quantized table
+    (zero per-iteration shuffle, stages/kmeans.py); encode = one
+    row-local pass with the PQ_M×PQ_K×(d/PQ_M) codebook broadcast.
+    All-integer ⇒ the per-subspace unrolled-CTE oracle replays
+    training AND encode bit-for-bit."""
+    pinned, cbs, sub = _pq_pinned_and_codebooks(sf_dir)
+    cb_ref = ray.put(cbs)
+
+    def encode(df: pd.DataFrame) -> pa.Table:
+        from .stages.kmeans import _assign
+        from .state.broadcast import resolve
+
+        cb = resolve(cb_ref)
+        qmat = np.stack(df["q"].to_numpy()).astype(np.int64)
+        cols = {"vec_id": pa.array(df["vec_id"].to_numpy(), pa.int64())}
+        for m in range(PQ_M):
+            cid, _ = _assign(qmat[:, m * sub : (m + 1) * sub], cb[m])
+            cols[f"code_{m}"] = pa.array(cid, pa.int64())
+        return pa.table(cols)
+
+    return pinned.map_batches(encode, batch_format="pandas")
+
+
+def ann_topk_pq(sf_dir: str):
+    """PQ/ADC top-k (the FAISS IndexPQ search shape): per query one
+    PQ_M×PQ_K integer distance table against the codebooks, then the
+    corpus scan is pure TABLE LOOKUPS over the codes — approx distance
+    = Σ_m table[m][code_m]. Per-block partial top-k (adist asc, id asc
+    total tie-break) → bounded driver merge, the ann_topk pattern.
+    Exact-integer end to end, so the oracle re-derives training,
+    encode, tables, and the ranking value-for-value."""
+    pinned, cbs, sub = _pq_pinned_and_codebooks(sf_dir)
+
+    # query vectors: pushed-down read, quantized identically
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", ANN_N_QUERIES)],
+    ).to_pandas()
+    qt = qt[qt["vec_id"] < ANN_N_QUERIES].sort_values("vec_id")
+    qids = qt["vec_id"].to_numpy(dtype=np.int64)
+    qmat = np.floor(
+        np.stack(qt["embedding"].to_numpy()).astype(np.float64) * 1_000_000
+    ).astype(np.int64)
+    # ADC tables: [Q, PQ_M, PQ_K] int64
+    tables = np.empty((len(qids), PQ_M, PQ_K), dtype=np.int64)
+    for m in range(PQ_M):
+        qs = qmat[:, m * sub : (m + 1) * sub]
+        diff = qs[:, None, :] - cbs[m][None, :, :]
+        tables[:, m, :] = np.einsum("qkd,qkd->qk", diff, diff)
+    ref = ray.put((qids, tables, cbs))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .stages.kmeans import _assign
+        from .state.broadcast import resolve
+
+        qids_, tabs, cb = resolve(ref)
+        qm = np.stack(df["q"].to_numpy()).astype(np.int64)
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        adist = np.zeros((len(qids_), len(vids)), dtype=np.int64)
+        for m in range(PQ_M):
+            cid, _ = _assign(qm[:, m * sub : (m + 1) * sub], cb[m])
+            adist += tabs[:, m, :][:, cid]
+        rows = []
+        kk = min(ANN_K + 1, len(vids))
+        for qi, qid in enumerate(qids_):
+            order = np.lexsort((vids, adist[qi]))[:kk]
+            for j in order:
+                if vids[j] == qid:
+                    continue
+                rows.append((int(qid), int(vids[j]), int(adist[qi, j])))
+        return pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "adist"]
+        ).astype("int64")
+
+    parts = pinned.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.sort_values(
+        ["query_id", "adist", "neighbor_id"], ignore_index=True
+    )
+    out = out.groupby("query_id", sort=False).head(ANN_K)
+    out = out.assign(rank=out.groupby("query_id", sort=False).cumcount() + 1)
+    return out[["query_id", "rank", "neighbor_id", "adist"]].astype(
+        "int64"
+    ).reset_index(drop=True)
+
+
 AUDIO_WIN_BYTES = 512
 AUDIO_HOP_BYTES = 384
 

@@ -144,6 +144,57 @@ def kmeans_int(
     return pinned.map_batches(final, batch_format="pandas")
 
 
+def subspace_centroids(
+    pinned, k: int, iterations: int, lo: int, hi: int
+) -> np.ndarray:
+    """Lloyd centroids over the dim window [lo, hi) of an already
+    quantized+materialized table — the per-subspace trainer behind
+    product quantization (queries.emb_pq_codes). Identical semantics to
+    ``kmeans_int`` (same seeds-by-smallest-vec_id rule, first-hit
+    tie-break, toward-zero centroid division, empty-cluster carry), so
+    the per-subspace unrolled-CTE oracle replays it bit-for-bit."""
+    import ray
+
+    def smallest_k(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, "vec_id")
+
+    seed_df = (
+        pinned.map_batches(smallest_k, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(k, "vec_id")
+        .sort_values("vec_id", ignore_index=True)
+    )
+    cents = np.stack(seed_df["q"].to_numpy()).astype(np.int64)[:, lo:hi]
+
+    for _ in range(iterations):
+        cref = ray.put(cents)
+
+        def partial(df: pd.DataFrame, _c=cref) -> pd.DataFrame:
+            c = ray.get(_c)
+            qmat = np.stack(df["q"].to_numpy()).astype(np.int64)[:, lo:hi]
+            cid, _ = _assign(qmat, c)
+            out = []
+            for ci in np.unique(cid):
+                m = qmat[cid == ci]
+                out.append((int(ci), len(m), m.sum(axis=0, dtype=np.int64)))
+            return pd.DataFrame(
+                {
+                    "cid": [o[0] for o in out],
+                    "n": [o[1] for o in out],
+                    "s": [o[2] for o in out],
+                }
+            )
+
+        parts = pinned.map_batches(partial, batch_format="pandas").to_pandas()
+        nxt = cents.copy()
+        for ci, g in parts.groupby("cid"):
+            n = int(g["n"].sum())
+            s = np.sum(np.stack(g["s"].to_numpy()), axis=0, dtype=np.int64)
+            nxt[int(ci)] = _trunc_div(s, np.int64(n))
+        cents = nxt
+    return cents
+
+
 def kmeans_oracle_sql(table: str = "embeddings", k: int = 8, iterations: int = 3) -> str:
     """The unrolled-iteration DuckDB twin of ``kmeans_int`` — bit-exact
     because every step is integer arithmetic with identical semantics
@@ -208,3 +259,49 @@ FROM (
 ORDER BY vec_id
 """
     return sql
+
+
+def subspace_kmeans_ctes(k: int, iterations: int, lo: int, hi: int, sfx: str):
+    """CTE fragment replaying ``subspace_centroids`` + the final
+    assignment over dim window [lo, hi). Assumes ``q`` (quantized
+    table) and ``seeds`` CTEs exist in the enclosing WITH. Returns
+    (sql_fragment, final_centroid_cte, assignment_cte). Every iterate
+    is AS MATERIALIZED (each is referenced 3× per round — inlining
+    grows 3^i, the power-iteration lesson)."""
+    trunc = (
+        "CASE WHEN SUM(w.qv) < 0 THEN -((-SUM(w.qv)) // COUNT(*)) "
+        "ELSE SUM(w.qv) // COUNT(*) END"
+    )
+    sql = f""",
+qw{sfx} AS MATERIALIZED (
+  SELECT vec_id, dim, qv FROM q WHERE dim >= {lo} AND dim < {hi}),
+c{sfx}_0 AS MATERIALIZED (
+  SELECT s.cid, w.dim, w.qv AS qc FROM seeds s JOIN qw{sfx} w USING (vec_id))"""
+    prev = f"c{sfx}_0"
+    for i in range(iterations):
+        sql += f""",
+d{sfx}_{i} AS MATERIALIZED (
+  SELECT w.vec_id, c.cid, SUM((w.qv - c.qc) * (w.qv - c.qc)) AS dist
+  FROM qw{sfx} w JOIN {prev} c USING (dim) GROUP BY w.vec_id, c.cid),
+a{sfx}_{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{sfx}_{i}) WHERE rn = 1),
+u{sfx}_{i} AS MATERIALIZED (
+  SELECT a.cid, w.dim, {trunc} AS qc
+  FROM a{sfx}_{i} a JOIN qw{sfx} w USING (vec_id) GROUP BY a.cid, w.dim),
+c{sfx}_{i + 1} AS MATERIALIZED (
+  SELECT p.cid, p.dim, COALESCE(u.qc, p.qc) AS qc
+  FROM {prev} p LEFT JOIN u{sfx}_{i} u ON u.cid = p.cid AND u.dim = p.dim)"""
+        prev = f"c{sfx}_{i + 1}"
+    sql += f""",
+asg{sfx} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT w.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY w.vec_id
+             ORDER BY SUM((w.qv - c.qc) * (w.qv - c.qc)), c.cid) AS rn
+    FROM qw{sfx} w JOIN {prev} c USING (dim)
+    GROUP BY w.vec_id, c.cid) WHERE rn = 1)"""
+    return sql, prev, f"asg{sfx}"

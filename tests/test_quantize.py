@@ -115,3 +115,59 @@ def test_rerank_recall_and_stages(ray_session):
     # order genuinely re-ranked: some (query, rank) pair differs
     m = rr.merge(quant, on=["query_id", "rank"], suffixes=("_r", "_q"))
     assert (m["neighbor_id_r"] != m["neighbor_id_q"]).any()
+
+
+def test_pq_codes_domain_and_determinism(ray_session):
+    from biomedical_ner_ray import queries as Q
+
+    a = Q.emb_pq_codes("/root/testdata/sf0.001").to_pandas().sort_values(
+        "vec_id", ignore_index=True
+    )
+    b = Q.emb_pq_codes("/root/testdata/sf0.001").to_pandas().sort_values(
+        "vec_id", ignore_index=True
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    for m in range(Q.PQ_M):
+        col = a[f"code_{m}"]
+        assert col.between(0, Q.PQ_K - 1).all()
+        assert col.nunique() > 1  # codebooks are actually used
+
+
+def test_pq_adc_recall_vs_exact(ray_session):
+    """ADC over PQ codes approximates EUCLIDEAN distance (the metric PQ
+    is defined on) — recall is measured against the exact L2 top-5,
+    not the cosine ranking. Lossy by design; on this corpus recall is
+    0.45 (pinned ≥ 0.4 — near-isotropic gaussian embeddings are PQ's
+    worst case, see the PQ_M note in queries.py)."""
+    from biomedical_ner_ray import queries as Q
+
+    approx = Q.ann_topk_pq("/root/testdata/sf0.001")
+    t = (
+        pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        .to_pandas()
+    )
+    ids = t["vec_id"].to_numpy()
+    M = np.floor(
+        np.stack(t["embedding"].to_numpy()).astype(np.float64) * 1_000_000
+    ).astype(np.int64)
+    hits = 0
+    total = 0
+    for qid, g in approx.groupby("query_id"):
+        qv = M[ids == qid][0]
+        d = ((M - qv) ** 2).sum(axis=1)
+        exact = [
+            int(ids[j]) for j in np.lexsort((ids, d)) if ids[j] != qid
+        ][: Q.ANN_K]
+        a = set(g["neighbor_id"].astype(int))
+        hits += len(a & set(exact))
+        total += len(exact)
+    assert total > 0
+    assert hits / total >= 0.4, f"PQ recall {hits}/{total}"
+    per = approx.groupby("query_id")["rank"].agg(["min", "max", "size"])
+    assert (per["min"] == 1).all()
+    assert (per["max"] == per["size"]).all()
