@@ -85,6 +85,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pq_codes": Q.emb_pq_codes,
         # PQ/ADC approximate top-k over the codes
         "ann_topk_pq": Q.ann_topk_pq,
+        # contrastive hard-negative mining (label-excluded kNN)
+        "emb_hard_negatives": Q.emb_hard_negatives,
+        # kNN auto-labeling with majority vote + correctness audit
+        "emb_knn_classify": Q.emb_knn_classify,
+        # CCNet head/middle/tail LM-quality buckets per language
+        "doc_ccnet_buckets": Q.doc_ccnet_buckets,
+        # first-occurrence bigram novelty along the training order
+        "doc_ngram_novelty": Q.doc_ngram_novelty,
         # --- round-3 additions (driver-sampled in r03) ---
         # dialogue-dynamics: role-transition matrix over transcripts
         "kg_role_transitions": Q.kg_role_transitions,
@@ -632,6 +640,74 @@ SELECT doc_id, chunk_idx,
        ws[chunk_idx * {n} + 1] AS first_tok,
        ws[least(len(ws), (chunk_idx + 1) * {n})] AS last_tok
 FROM c"""
+
+
+def _lm_score_ctes() -> str:
+    """Shared WITH-stack deriving the exact-integer corpus bigram LM
+    and the per-doc score CTE ``per`` (doc_id, n_bigrams, n_scored,
+    lm_score_micro) — reused verbatim by doc_bigram_lm_score and
+    doc_ccnet_buckets so both oracles score identically."""
+    return f"""
+WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
+b AS (
+  SELECT doc_id, ws[g.i] AS w1, ws[g.i] || ' ' || ws[g.i + 1] AS bigram
+  FROM f, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+),
+uc AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ws) AS w FROM f) GROUP BY w
+),
+bcm AS (
+  SELECT w1, bigram, count(*) AS c12 FROM b GROUP BY w1, bigram
+  HAVING count(*) >= {Q.LM_MIN_COUNT}
+),
+model AS (
+  SELECT bcm.bigram, ({Q.LM_PROB_SCALE} * bcm.c12) // uc.c1 AS prob_micro
+  FROM bcm JOIN uc ON uc.w = bcm.w1
+),
+per AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(m.prob_micro) AS BIGINT) AS n_scored,
+         CAST(coalesce(sum(m.prob_micro), 0) AS BIGINT) AS lm_score_micro
+  FROM b LEFT JOIN model m ON m.bigram = b.bigram
+  GROUP BY b.doc_id
+)"""
+
+
+def _ccnet_buckets_sql() -> str:
+    """CCNet tercile buckets over the shared LM score: per-language
+    ascending score histogram, integer boundary ranks ceil(n/3) and
+    ceil(2n/3) (no float quantiles), threshold compare — replays
+    queries.doc_ccnet_buckets value-for-value."""
+    return (
+        _lm_score_ctes()
+        + """,
+sc AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(per.lm_score_micro, 0) AS BIGINT) AS lm_score_micro
+  FROM documents d LEFT JOIN per USING (doc_id)
+),
+h AS (SELECT lang, lm_score_micro AS s, count(*) AS n FROM sc GROUP BY lang, lm_score_micro),
+c AS (
+  SELECT lang, s,
+         sum(n) OVER (PARTITION BY lang ORDER BY s) AS cum,
+         sum(n) OVER (PARTITION BY lang) AS tot
+  FROM h
+),
+t AS (
+  SELECT lang,
+         min(CASE WHEN cum >= (tot + 2) // 3 THEN s END) AS t1,
+         min(CASE WHEN cum >= (2 * tot + 2) // 3 THEN s END) AS t2
+  FROM c GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, sc.lm_score_micro,
+       CASE WHEN sc.lm_score_micro > t.t2 THEN 'head'
+            WHEN sc.lm_score_micro > t.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN t USING (lang)"""
+    )
 
 
 def _training_order_sql() -> str:
@@ -1744,38 +1820,81 @@ spans AS (SELECT doc_id, min(pos) - 1 AS s,
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
 FROM spans GROUP BY doc_id""",
-        "doc_bigram_lm_score": f"""
-WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
-b AS (
-  SELECT doc_id, ws[g.i] AS w1, ws[g.i] || ' ' || ws[g.i + 1] AS bigram
-  FROM f, unnest(generate_series(1, len(ws) - 1)) AS g(i)
-  WHERE len(ws) >= 2
-),
-uc AS (
-  SELECT w, count(*) AS c1
-  FROM (SELECT unnest(ws) AS w FROM f) GROUP BY w
-),
-bcm AS (
-  SELECT w1, bigram, count(*) AS c12 FROM b GROUP BY w1, bigram
-  HAVING count(*) >= {Q.LM_MIN_COUNT}
-),
-model AS (
-  SELECT bcm.bigram, ({Q.LM_PROB_SCALE} * bcm.c12) // uc.c1 AS prob_micro
-  FROM bcm JOIN uc ON uc.w = bcm.w1
-),
-per AS (
-  SELECT b.doc_id,
-         CAST(count(*) AS BIGINT) AS n_bigrams,
-         CAST(count(m.prob_micro) AS BIGINT) AS n_scored,
-         CAST(coalesce(sum(m.prob_micro), 0) AS BIGINT) AS lm_score_micro
-  FROM b LEFT JOIN model m ON m.bigram = b.bigram
-  GROUP BY b.doc_id
-)
+        "doc_bigram_lm_score": _lm_score_ctes()
+        + """
 SELECT d.doc_id,
        coalesce(per.n_bigrams, 0) AS n_bigrams,
        coalesce(per.n_scored, 0) AS n_scored,
        coalesce(per.lm_score_micro, 0) AS lm_score_micro
 FROM documents d LEFT JOIN per USING (doc_id)""",
+        "doc_ccnet_buckets": _ccnet_buckets_sql(),
+        "doc_ngram_novelty": f"""
+WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
+b AS (
+  SELECT DISTINCT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS bigram
+  FROM f, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+),
+o AS (
+  SELECT doc_id,
+         CAST((md5_number_lower('shuf:{Q.TRAIN_ORDER_SEED}:' || doc_id) >> 63) AS BIGINT) AS hi,
+         CAST((md5_number_lower('shuf:{Q.TRAIN_ORDER_SEED}:' || doc_id) & 9223372036854775807) AS BIGINT) AS lo
+  FROM documents
+),
+w AS (
+  SELECT b.bigram, b.doc_id,
+         row_number() OVER (PARTITION BY b.bigram ORDER BY o.hi, o.lo, b.doc_id) AS rn
+  FROM b JOIN o USING (doc_id)
+),
+nv AS (SELECT doc_id, count(*) AS n_novel FROM w WHERE rn = 1 GROUP BY doc_id),
+tt AS (SELECT doc_id, count(*) AS n_distinct FROM b GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(tt.n_distinct, 0) AS BIGINT) AS n_distinct_bigrams,
+       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN coalesce(tt.n_distinct, 0) = 0 THEN 0
+                 ELSE (1000 * coalesce(nv.n_novel, 0)) // tt.n_distinct
+            END AS BIGINT) AS novelty_permille
+FROM documents d LEFT JOIN tt USING (doc_id) LEFT JOIN nv USING (doc_id)""",
+        "emb_hard_negatives": f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlab, embedding AS qe
+  FROM embeddings WHERE vec_id < {Q.ANN_N_QUERIES}
+), sc AS (
+  SELECT q.qid, e.vec_id AS vid, e.label AS vlab,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM q, embeddings e WHERE e.label <> q.qlab
+), r AS (
+  SELECT qid, vid, vlab,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk
+  FROM sc
+)
+SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, vid AS neighbor_id,
+       CAST(vlab AS BIGINT) AS neighbor_label
+FROM r WHERE rnk <= {Q.HARDNEG_K}""",
+        "emb_knn_classify": f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlab, embedding AS qe
+  FROM embeddings WHERE vec_id < {Q.ANN_N_QUERIES}
+), sc AS (
+  SELECT q.qid, q.qlab, e.vec_id AS vid, e.label AS vlab,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+), r AS (
+  SELECT qid, qlab, vid, vlab,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk
+  FROM sc
+), v AS (
+  SELECT qid, qlab, vlab, count(*) AS n
+  FROM r WHERE rnk <= {Q.KNN_K} GROUP BY qid, qlab, vlab
+), p AS (
+  SELECT qid, qlab, vlab, n,
+         row_number() OVER (PARTITION BY qid ORDER BY n DESC, vlab ASC) AS pr
+  FROM v
+)
+SELECT qid AS query_id, CAST(qlab AS BIGINT) AS true_label,
+       CAST(vlab AS BIGINT) AS pred_label, CAST(n AS BIGINT) AS n_votes,
+       CAST(CASE WHEN vlab = qlab THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM p WHERE pr = 1""",
         "doc_rare_bigram_score": f"""
 WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
 b AS (

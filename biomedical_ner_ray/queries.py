@@ -8217,3 +8217,328 @@ def ann_topk_rerank(sf_dir: str):
             "rank": top["rank"].astype("int64"),
         }
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Label-aware kNN: contrastive hard-negative mining + kNN auto-labeling
+# ---------------------------------------------------------------------------
+
+HARDNEG_K = 5  # hard negatives mined per query
+KNN_K = 10  # neighbourhood size for the kNN label vote
+
+
+def _ann_label_scan(sf_dir: str, k: int, exclude_same_label: bool):
+    """Shared label-aware brute-force scan (the ann_topk shape with the
+    label column threaded through): broadcast query matrix+labels, per
+    block a numpy matmul and a PREDICATE-MASKED partial top-k — the
+    candidate stream stays O(blocks x Q x k) regardless of how selective
+    the predicate is, because the mask applies before the partial cut."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(
+        emb_path,
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", ANN_N_QUERIES)],
+    ).to_pandas()
+    qt = qt[qt["vec_id"] < ANN_N_QUERIES].sort_values("vec_id")
+    qids = qt["vec_id"].to_numpy(dtype=np.int64)
+    qlab = qt["label"].to_numpy(dtype=np.int64)
+    qm = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    ref = ray.put((qids, qlab, qn))
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding", "label"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        qids_, qlab_, qn_ = resolve(ref)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vlab = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        mat = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in batch["embedding"].to_pylist()]
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = qn_ @ mat.T  # [Q, B]
+        rows = []
+        for qi in range(len(qids_)):
+            if exclude_same_label:
+                idx = np.nonzero(vlab != qlab_[qi])[0]
+            else:
+                idx = np.nonzero(vids != qids_[qi])[0]
+            if not len(idx):
+                continue
+            if len(idx) > k:
+                idx = idx[np.argpartition(-cos[qi, idx], k - 1)[:k]]
+            for j in idx:
+                rows.append(
+                    (
+                        int(qids_[qi]),
+                        int(qlab_[qi]),
+                        int(vids[j]),
+                        int(vlab[j]),
+                        float(cos[qi, j]),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "query_label", "neighbor_id", "neighbor_label", "cos"],
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+
+
+def emb_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining (the retrieval-training data
+    op: for each anchor, the most similar vectors with a DIFFERENT
+    label are the hardest negatives for a triplet/InfoNCE batch).
+    Top-HARDNEG_K by cosine among label<>anchor rows, deterministic
+    (cos desc, neighbor_id asc) tie-break — the ann_topk discipline
+    with a label predicate pushed inside the per-block partial."""
+    parts = _ann_label_scan(sf_dir, HARDNEG_K + 1, exclude_same_label=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True]
+        ).head(HARDNEG_K)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "rank", "neighbor_id", "neighbor_label"]].astype(
+            "int64"
+        )
+
+    return _combine(parts, 4).groupby("query_id").map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def emb_knn_classify(sf_dir: str):
+    """kNN auto-labeling (the semi-supervised data-labeling pass a
+    curation pipeline runs to extend a small labeled seed set):
+    majority label over the KNN_K nearest neighbours (self excluded),
+    ties broken toward the smallest label id. Emits the vote count and
+    a correctness flag against the held label, so the same query doubles
+    as the label-quality audit. Same partial-top-k scan as ann_topk."""
+    parts = _ann_label_scan(sf_dir, KNN_K + 1, exclude_same_label=False)
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(
+            KNN_K
+        )
+        vc = (
+            g.groupby("neighbor_label").size().reset_index(name="n")
+            .sort_values(["n", "neighbor_label"], ascending=[False, True])
+        )
+        pred = int(vc["neighbor_label"].iloc[0])
+        true = int(g["query_label"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": [int(g["query_id"].iloc[0])],
+                "true_label": [true],
+                "pred_label": [pred],
+                "n_votes": [int(vc["n"].iloc[0])],
+                "correct": [1 if pred == true else 0],
+            }
+        ).astype("int64")
+
+    return _combine(parts, 4).groupby("query_id").map_groups(
+        vote, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet LM-quality buckets + training-order n-gram novelty
+# ---------------------------------------------------------------------------
+
+
+def doc_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail quality buckets (Wenzek et al.,
+    LREC'20): per LANGUAGE, documents split into terciles of the corpus
+    LM score — CCNet keeps head+middle and drops the tail. Scores are
+    the exact-integer ``doc_bigram_lm_score`` (higher = more natural);
+    tercile boundaries are the integer ranks ceil(n/3) / ceil(2n/3)
+    over each language's ascending score histogram, so bucket edges are
+    value-exact in both engines (no float quantiles).
+
+    Shape: the fully distributed LM pass (doc_bigram_lm_score), one
+    doc-keyed exchange to attach the language column, then a per-block
+    (lang, score) value-count histogram combined on the driver —
+    bounded by langs x distinct scores, the lineitem_price_quantiles
+    contract; for an UNBOUNDED score domain the DDSketch tier
+    (lineitem_price_quantiles_sketch) is the declared scale path.
+    Thresholds (5 langs x 2 ints) broadcast; bucketing is row-local."""
+    from .stages.exchange import keyed_exchange
+
+    nparts = _xparts(sf_dir, "documents")
+    scores = doc_bigram_lm_score(sf_dir)
+    langs = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": "",
+                "score": df["lm_score_micro"].astype("int64"),
+                "kind": np.int64(0),
+            }
+        )
+
+    def lang_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "score": np.int64(0),
+                "kind": np.int64(1),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        sc = df[df["kind"] == 0][["doc_id", "score"]]
+        la = df[df["kind"] == 1][["doc_id", "lang"]]
+        m = la.merge(sc, on="doc_id", how="left")
+        m["score"] = m["score"].fillna(0).astype("int64")
+        return m
+
+    joined = keyed_exchange(
+        scores.map_batches(score_rows, batch_format="pandas").union(
+            langs.map_batches(lang_rows, batch_format="pandas")
+        ),
+        ["doc_id"],
+        merge,
+        nparts,
+    ).materialize()
+
+    hist = (
+        joined.map_batches(
+            lambda df: df.groupby(["lang", "score"], as_index=False).size(
+            ).rename(columns={"size": "n"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["lang", "score"], as_index=False)["n"]
+        .sum()
+    )
+    th = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("score", kind="mergesort")
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        vals = g["score"].to_numpy(dtype=np.int64)
+        tot = int(cum[-1])
+        r1 = (tot + 2) // 3  # ceil(n/3), pure integers
+        r2 = (2 * tot + 2) // 3
+        th[lang] = (
+            int(vals[np.searchsorted(cum, r1)]),
+            int(vals[np.searchsorted(cum, r2)]),
+        )
+    ref = ray.put(th)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        th_ = resolve(ref)
+        t1 = df["lang"].map(lambda s: th_[s][0]).to_numpy(dtype=np.int64)
+        t2 = df["lang"].map(lambda s: th_[s][1]).to_numpy(dtype=np.int64)
+        sc = df["score"].to_numpy(dtype=np.int64)
+        b = np.where(sc > t2, "head", np.where(sc > t1, "middle", "tail"))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "lm_score_micro": sc,
+                "bucket": b,
+            }
+        )
+
+    return joined.map_batches(bucket, batch_format="pandas")
+
+
+def doc_ngram_novelty(sf_dir: str):
+    """N-gram novelty along the training order: for each document, how
+    many of its DISTINCT word bigrams appear for the FIRST time at its
+    position in the deterministic ``doc_training_order`` schedule (the
+    seeded-md5 global shuffle). The per-position novelty curve is the
+    standard diminishing-returns / dataset-redundancy diagnostic for
+    training-data curation.
+
+    Shape: one text pass emits per-doc distinct (bigram, order-key)
+    rows plus one per-doc total row under a unique sentinel key; ONE
+    bigram-keyed exchange keeps each bigram's order-minimal occurrence
+    (argmin, not a sort of the corpus); one doc-keyed exchange folds
+    winner counts with the totals. No driver state, no broadcast —
+    both exchanges are the high-cardinality keyed pattern."""
+    from .stages.exchange import keyed_exchange
+
+    nparts = _xparts(sf_dir, "documents")
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from .kernels.textstats import WORD_RE
+
+        ids = batch["doc_id"].to_pylist()
+        his, los = _md5_order_parts(ids, f"shuf:{TRAIN_ORDER_SEED}")
+        bk, di, bh, bl, kind, v = [], [], [], [], [], []
+        for i, t, hi, lo in zip(ids, batch["text"].to_pylist(), his, los):
+            ws = WORD_RE.findall((t or "").lower())
+            bgs = {ws[j] + " " + ws[j + 1] for j in range(len(ws) - 1)}
+            for bg in bgs:
+                bk.append(bg)
+                di.append(i)
+                bh.append(hi)
+                bl.append(lo)
+                kind.append(1)
+                v.append(1)
+            # per-doc total row: sentinel key is unique per doc ('#'
+            # cannot occur in a WORD_RE bigram; NUL would be truncated
+            # by pandas' C-string hashtable and collide), so it rides
+            # the same exchange without creating a hot key
+            bk.append("#%d" % i)
+            di.append(i)
+            bh.append(0)
+            bl.append(0)
+            kind.append(0)
+            v.append(len(bgs))
+        return pd.DataFrame(
+            {
+                "bkey": bk,
+                "doc_id": np.asarray(di, dtype=np.int64),
+                "hi": np.asarray(bh, dtype=np.int64),
+                "lo": np.asarray(bl, dtype=np.int64),
+                "kind": np.asarray(kind, dtype=np.int64),
+                "v": np.asarray(v, dtype=np.int64),
+            }
+        )
+
+    def first_occurrence(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["hi", "lo", "doc_id"], kind="mergesort")
+        w = df.groupby("bkey", sort=False, as_index=False).head(1)
+        return w[["doc_id", "kind", "v"]]
+
+    winners = keyed_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bkey"],
+        first_occurrence,
+        nparts,
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            df[df["kind"] == 0]
+            .groupby("doc_id", as_index=False)["v"]
+            .sum()
+            .rename(columns={"v": "n_distinct_bigrams"})
+        )
+        nv = (
+            df[df["kind"] == 1]
+            .groupby("doc_id", as_index=False)["v"]
+            .sum()
+            .rename(columns={"v": "n_novel"})
+        )
+        m = t.merge(nv, on="doc_id", how="left")
+        m["n_novel"] = m["n_novel"].fillna(0).astype("int64")
+        nd = m["n_distinct_bigrams"].to_numpy(dtype=np.int64)
+        nn = m["n_novel"].to_numpy(dtype=np.int64)
+        m["novelty_permille"] = np.where(
+            nd == 0, 0, (1000 * nn) // np.maximum(nd, 1)
+        ).astype("int64")
+        return m.astype("int64")
+
+    return keyed_exchange(winners, ["doc_id"], fold, nparts)
