@@ -93,6 +93,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ccnet_buckets": Q.doc_ccnet_buckets,
         # first-occurrence bigram novelty along the training order
         "doc_ngram_novelty": Q.doc_ngram_novelty,
+        # relation-composition (meta-path) counts over the canonical KG
+        "kg_two_hop_paths": Q.kg_two_hop_paths,
+        # predicate-signature (domain/range) audit with violation flags
+        "kg_predicate_domain_check": Q.kg_predicate_domain_check,
+        # blocked entity resolution (Levenshtein + components) over surfaces
+        "kg_er_blocked_lev": Q.kg_er_blocked_lev,
+        # per-language tokenizer fertility under the trained BPE
+        "doc_bpe_fertility": Q.doc_bpe_fertility,
+        # integer NDCG@k of the PQ index vs the exact ranking
+        "emb_eval_ndcg": Q.emb_eval_ndcg,
         # --- round-3 additions (driver-sampled in r03) ---
         # dialogue-dynamics: role-transition matrix over transcripts
         "kg_role_transitions": Q.kg_role_transitions,
@@ -708,6 +718,172 @@ SELECT sc.doc_id, sc.lang, sc.lm_score_micro,
             ELSE 'tail' END AS bucket
 FROM sc JOIN t USING (lang)"""
     )
+
+
+def _ann_exact_sql() -> str:
+    """Exact brute-force cosine top-k (the ann_topk oracle; also the
+    relevance set for _ndcg_sql)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {Q.ANN_N_QUERIES}
+), sc AS (
+  SELECT q.qid, e.vec_id AS vid,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+), r AS (
+  SELECT qid, vid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk
+  FROM sc
+)
+SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= {Q.ANN_K}"""
+
+
+# canonical weighted edge table as a CTE suffix over the _kg_prefix
+# bank (same construction as the kg_edges / kg_edge_lift oracles)
+_EDGESQ_CTE = """
+, edgesq AS (
+  SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM triplesq t
+  JOIN lab3 cs ON cs.cui = t.subj_cui
+  JOIN lab3 co ON co.cui = t.obj_cui
+  WHERE cs.label <> co.label
+  GROUP BY cs.label, t.pred, co.label)"""
+
+
+def _two_hop_sql() -> str:
+    """Relation-composition counts: edgesq self-joined on the shared
+    mid node, grouped by the ordered predicate pair — replays
+    queries.kg_two_hop_paths (mid-keyed exchange join) value-for-value."""
+    return (
+        _EDGESQ_CTE
+        + """
+SELECT e1.pred AS pred1, e2.pred AS pred2,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(sum(e1.weight * e2.weight) AS BIGINT) AS weight_sum
+FROM edgesq e1 JOIN edgesq e2 ON e1.obj_cui = e2.subj_cui
+GROUP BY e1.pred, e2.pred"""
+    )
+
+
+def _domain_check_sql() -> str:
+    """Predicate-signature audit: majority (subject_type, object_type)
+    per predicate (edge count desc, type pair asc), each edge flagged
+    against it — replays queries.kg_predicate_domain_check."""
+    return (
+        _EDGESQ_CTE
+        + """,
+et AS (
+  SELECT e.subj_cui, e.pred, e.obj_cui, e.weight,
+         ts.type AS subj_type, tob.type AS obj_type
+  FROM edgesq e
+  JOIN metaq ts ON ts.cui = e.subj_cui
+  JOIN metaq tob ON tob.cui = e.obj_cui),
+sig AS (
+  SELECT pred, subj_type, obj_type, count(*) AS n
+  FROM et GROUP BY pred, subj_type, obj_type),
+mj AS (
+  SELECT pred, subj_type AS mst, obj_type AS mot FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY pred ORDER BY n DESC, subj_type ASC, obj_type ASC) AS rn
+    FROM sig) WHERE rn = 1)
+SELECT et.subj_cui, et.pred, et.obj_cui, et.weight,
+       et.subj_type, et.obj_type,
+       CAST(CASE WHEN et.subj_type = mj.mst AND et.obj_type = mj.mot
+                 THEN 0 ELSE 1 END AS BIGINT) AS violates
+FROM et JOIN mj USING (pred)"""
+    )
+
+
+def _er_lev_sql() -> str:
+    """Blocked entity resolution over mention surfaces: blocking key
+    (type, first char, length band), DuckDB levenshtein <= ER_LEV_MAX
+    within blocks, EXACT recursive closure for components (strictly
+    stronger than the Ray side's bounded-round propagation — an
+    unconverged chain surfaces as a mismatch, the _clusters_sql
+    discipline)."""
+    from biomedical_ner_ray.queries import ER_LEV_MAX
+
+    return f"""
+, er AS (
+  WITH RECURSIVE
+  sur AS (SELECT DISTINCT text AS surface, type FROM mentionsq),
+  blk AS (
+    SELECT surface, type, substr(lower(surface), 1, 1) AS bc,
+           length(surface) // 4 AS bl
+    FROM sur),
+  pr AS (
+    SELECT a.surface AS sa, b.surface AS sb
+    FROM blk a JOIN blk b
+      ON a.type = b.type AND a.bc = b.bc AND a.bl = b.bl
+     AND a.surface < b.surface
+    WHERE levenshtein(a.surface, b.surface) <= {ER_LEV_MAX}),
+  ed AS (
+    SELECT sa AS a, sb AS b FROM pr
+    UNION SELECT sb, sa FROM pr
+    UNION SELECT surface, surface FROM sur),
+  reach(src, dst) AS (
+    SELECT a, a FROM ed
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a),
+  cl AS (SELECT src AS surface, min(dst) AS rep FROM reach GROUP BY src)
+  SELECT s.surface, s.type, c.rep
+  FROM sur s JOIN cl c USING (surface))
+SELECT surface, type, rep FROM er"""
+
+
+def _bpe_fertility_sql() -> str:
+    """Per-language fertility over the BPE replay's final symbol table
+    (the _bpe_encode_sql state), aggregated lang-wise with the same
+    integer micro division."""
+    from biomedical_ner_ray.queries import BPE_MERGES
+
+    return f"""{_bpe_replay_ctes()},
+tokc AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS t FROM s{BPE_MERGES} GROUP BY word),
+docw AS MATERIALIZED (
+  SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+        FROM documents)
+  GROUP BY doc_id, w),
+perdoc AS (
+  SELECT d.doc_id, d.lang,
+         CAST(COALESCE(sum(w.k), 0) AS BIGINT) AS nw,
+         CAST(COALESCE(sum(w.k * t.t), 0) AS BIGINT) AS nt
+  FROM documents d
+  LEFT JOIN docw w ON w.doc_id = d.doc_id
+  LEFT JOIN tokc t ON t.word = w.word
+  GROUP BY d.doc_id, d.lang)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+       CAST((1000000 * sum(nt)) // greatest(sum(nw), 1) AS BIGINT)
+         AS fertility_micro
+FROM perdoc GROUP BY lang"""
+
+
+def _ndcg_sql() -> str:
+    """Integer NDCG@K of the PQ/ADC ranking against the exact cosine
+    top-k: both rankings re-derived by their own oracle stacks (nested
+    WITH), binary gains, harmonic integer discounts 10⁶ // (rank+1),
+    idcg inlined as the Python-computed constant."""
+    idcg = sum(1_000_000 // (r + 1) for r in range(1, Q.ANN_K + 1))
+    return f"""
+WITH ex AS MATERIALIZED ({_ann_exact_sql()}),
+pqr AS MATERIALIZED ({_pq_topk_sql()}),
+g AS (
+  SELECT p.query_id, p.rank,
+         CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM pqr p LEFT JOIN ex e
+    ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id),
+a AS (
+  SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+         CAST(sum(hit * (1000000 // (rank + 1))) AS BIGINT) AS dcg
+  FROM g GROUP BY query_id)
+SELECT query_id, n_hits, dcg,
+       CAST((1000000 * dcg) // {idcg} AS BIGINT) AS ndcg_micro
+FROM a"""
 
 
 def _training_order_sql() -> str:
@@ -1915,20 +2091,7 @@ SELECT doc_id, n_bigrams, n_rare,
        CAST(CASE WHEN n_bigrams = 0 THEN 0
                  ELSE (1000 * n_rare) // n_bigrams END AS BIGINT) AS rare_permille
 FROM per""",
-        "ann_topk": f"""
-WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {Q.ANN_N_QUERIES}
-), sc AS (
-  SELECT q.qid, e.vec_id AS vid,
-         list_cosine_similarity(q.qe, e.embedding) AS cos
-  FROM q, embeddings e WHERE e.vec_id <> q.qid
-), r AS (
-  SELECT qid, vid,
-         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk
-  FROM sc
-)
-SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
-FROM r WHERE rnk <= {Q.ANN_K}""",
+        "ann_topk": _ann_exact_sql(),
         "emb_power_iteration": _power_iteration_sql(),
         "doc_dedup_ppjoin": """
 WITH f AS (
@@ -2170,6 +2333,11 @@ FROM edgesq e
 JOIN margq ms ON ms.node = e.subj_cui
 JOIN margq mo ON mo.node = e.obj_cui
 CROSS JOIN totq t""",
+        "kg_two_hop_paths": pre + _two_hop_sql(),
+        "kg_predicate_domain_check": pre + _domain_check_sql(),
+        "kg_er_blocked_lev": pre + _er_lev_sql(),
+        "doc_bpe_fertility": _bpe_fertility_sql(),
+        "emb_eval_ndcg": _ndcg_sql(),
         "doc_profile": """
 SELECT 'doc_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT) AS n_null,

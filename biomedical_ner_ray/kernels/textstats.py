@@ -125,3 +125,30 @@ def detect_lang(text: str) -> str:
             best = scores[lang]
             best_lang = lang
     return best_lang
+
+
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Exact unit-cost edit distance (insert/delete/substitute) —
+    semantics identical to DuckDB's ``levenshtein`` on the same
+    strings, which the ER oracle relies on. ``cap`` enables the
+    standard banded early exit: once every cell in a row exceeds it,
+    the true distance is > cap and cap+1 is returned (callers only
+    ever threshold at <= cap, so the exact value past the band is
+    irrelevant)."""
+    if a == b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    if cap is not None and len(b) - len(a) > cap:
+        return cap + 1
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cur.append(
+                min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb))
+            )
+        if cap is not None and min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]

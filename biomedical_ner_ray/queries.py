@@ -8542,3 +8542,356 @@ def doc_ngram_novelty(sf_dir: str):
         return m.astype("int64")
 
     return keyed_exchange(winners, ["doc_id"], fold, nparts)
+
+
+# ---------------------------------------------------------------------------
+# KG structure ops: relation composition, predicate-signature audit,
+# blocked entity resolution
+# ---------------------------------------------------------------------------
+
+
+def kg_two_hop_paths(sf_dir: str):
+    """Relation composition counts over the canonical KG: for every
+    ordered predicate pair (p1, p2), how many edge pairs
+    s -[p1]-> m -[p2]-> o share a mid node, and the total evidence
+    weight (Σ w1·w2) — the meta-path statistics that feed link
+    prediction / rule mining (AMIE-style p1∘p2 ⇒ p3 support counts).
+
+    Shape: each edge ships to its TWO endpoints' partitions (side-tagged
+    in/out rows), ONE mid-node keyed exchange joins in×out locally, and
+    the (p1, p2) partials — bounded by |preds|² per partition — fold
+    through a tiny second exchange. At a billion-edge KG the only
+    all-to-all is the mid-node exchange; nothing is broadcast and the
+    driver never sees an edge."""
+    from .stages.exchange import keyed_exchange
+
+    edges = kg_edges(sf_dir)
+    nparts = _xparts(sf_dir, "transcripts")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        # side 0: the edge is the FIRST hop (mid = its object);
+        # side 1: the edge is the SECOND hop (mid = its subject)
+        a = pd.DataFrame(
+            {"mid": df["obj_cui"], "side": np.int64(0),
+             "pred": df["pred"], "weight": df["weight"].astype("int64")}
+        )
+        b = pd.DataFrame(
+            {"mid": df["subj_cui"], "side": np.int64(1),
+             "pred": df["pred"], "weight": df["weight"].astype("int64")}
+        )
+        return pd.concat([a, b], ignore_index=True)
+
+    def compose(df: pd.DataFrame) -> pd.DataFrame:
+        ins = df[df["side"] == 0][["mid", "pred", "weight"]]
+        outs = df[df["side"] == 1][["mid", "pred", "weight"]]
+        if ins.empty or outs.empty:
+            return pd.DataFrame(
+                {"pred1": pd.array([], dtype="string"),
+                 "pred2": pd.array([], dtype="string"),
+                 "n_paths": np.array([], dtype=np.int64),
+                 "weight_sum": np.array([], dtype=np.int64)}
+            )
+        pairs = ins.merge(outs, on="mid", suffixes=("_1", "_2"))
+        pairs["weight_sum"] = pairs["weight_1"] * pairs["weight_2"]
+        out = (
+            pairs.groupby(["pred_1", "pred_2"], as_index=False)
+            .agg(n_paths=("weight_sum", "size"), weight_sum=("weight_sum", "sum"))
+            .rename(columns={"pred_1": "pred1", "pred_2": "pred2"})
+        )
+        return out.astype({"n_paths": "int64", "weight_sum": "int64"})
+
+    partials = keyed_exchange(
+        edges.map_batches(emit, batch_format="pandas"), ["mid"], compose, nparts
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["pred1", "pred2"], as_index=False)[
+            ["n_paths", "weight_sum"]
+        ].sum()
+
+    return keyed_exchange(partials, ["pred1", "pred2"], fold, 8)
+
+
+def kg_predicate_domain_check(sf_dir: str):
+    """Predicate-signature (domain/range) audit — the SHACL-lite schema
+    check a KG-construction pipeline runs on its own output: each
+    predicate's MAJORITY (subject_type, object_type) signature (edge
+    count desc, type-pair asc tie-break) becomes the inferred schema;
+    every edge is flagged against it. Violations are the curation
+    queue for relation-extraction errors.
+
+    Shape: node→type map is the canonical-label meta dict (node-
+    dimension bounded, the kg_nodes broadcast argument); per-block
+    (pred, styp, otyp) partials — ≤ |preds|·|types|² rows each — fold
+    on the driver; majorities broadcast; flagging is row-local. Zero
+    shuffles beyond kg_edges' own."""
+    _, rows = _annotations_cache(sf_dir)
+    comp = canonical_components(rows)
+    meta = node_meta(rows)
+    type_ref = ray.put({c: meta[c][1] for c in set(comp.values())})
+
+    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        tm = resolve(type_ref)
+        return df.assign(
+            subj_type=df["subj_cui"].map(tm), obj_type=df["obj_cui"].map(tm)
+        )
+
+    edges = kg_edges(sf_dir).map_batches(typed, batch_format="pandas").materialize()
+
+    sig = (
+        edges.map_batches(
+            lambda df: df.groupby(
+                ["pred", "subj_type", "obj_type"], as_index=False
+            ).size().rename(columns={"size": "n"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["pred", "subj_type", "obj_type"], as_index=False)["n"]
+        .sum()
+    )
+    sig = sig.sort_values(
+        ["pred", "n", "subj_type", "obj_type"],
+        ascending=[True, False, True, True],
+        kind="mergesort",
+    ).groupby("pred", as_index=False).head(1)
+    maj_ref = ray.put(
+        {p: (s, o) for p, s, o in zip(sig["pred"], sig["subj_type"], sig["obj_type"])}
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        mj = resolve(maj_ref)
+        ms = df["pred"].map(lambda p: mj[p][0])
+        mo = df["pred"].map(lambda p: mj[p][1])
+        return df.assign(
+            violates=(
+                (df["subj_type"] != ms) | (df["obj_type"] != mo)
+            ).astype("int64")
+        )
+
+    return edges.map_batches(flag, batch_format="pandas")
+
+
+# blocked entity resolution: max edit distance within a block
+ER_LEV_MAX = 2
+
+
+def kg_er_blocked_lev(sf_dir: str):
+    """Blocked entity resolution over mention SURFACE FORMS — the
+    string-similarity canonicalization pass that complements the alias-
+    dict linker (catches typo/inflection variants the dictionary
+    misses). Classic ER shape: blocking key (type, first char, length
+    band) bounds the candidate set, exact Levenshtein ≤ ER_LEV_MAX
+    within each block yields match edges, connected components assign
+    each surface its cluster representative (component-min string).
+
+    Shape: distinct surfaces via ONE surface-keyed exchange (map-side
+    per-block dedup first); ONE block-keyed exchange runs the O(block²)
+    DP comparisons locally — the blocking key caps block size by
+    construction, the standard ER scaling argument; components reuse
+    stages/canonicalize.connected_components_ds (pair edges + self
+    edges as the bipartite cui↔edge-key graph). The oracle replays
+    blocking + DuckDB levenshtein + an EXACT recursive closure, so any
+    unconverged propagation would surface as a mismatch."""
+    from .kernels.textstats import levenshtein
+    from .stages.canonicalize import connected_components_ds
+    from .stages.exchange import keyed_exchange
+
+    ann, _ = _annotations_ds(sf_dir)
+    ments = mentions_stage(ann)
+    nparts = _xparts(sf_dir, "transcripts")
+
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["text", "type"]].drop_duplicates()
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    surfaces = keyed_exchange(
+        ments.map_batches(local_distinct, batch_format="pandas"),
+        ["text", "type"],
+        distinct,
+        nparts,
+    ).materialize()
+
+    def with_block(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str)
+        return df.assign(
+            bc=s.str.slice(0, 1).str.lower(),
+            bl=(s.str.len() // 4).astype("int64"),
+        )
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby(["type", "bc", "bl"], sort=False):
+            ss = sorted(g["text"].tolist())
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    if levenshtein(ss[i], ss[j], ER_LEV_MAX) <= ER_LEV_MAX:
+                        rows.append((ss[i], ss[j]))
+        return pd.DataFrame(rows, columns=["a", "b"])
+
+    pairs = keyed_exchange(
+        surfaces.map_batches(with_block, batch_format="pandas"),
+        ["type", "bc", "bl"],
+        block_pairs,
+        nparts,
+    )
+
+    # bipartite cui↔edge-key graph: each pair edge links its two
+    # surfaces through a unique key; self edges keep singletons. '\x1f'
+    # cannot occur in TOKEN_RE surfaces (and NUL would be truncated by
+    # pandas' C-string hashtable — the doc_ngram_novelty lesson).
+    def pair_edges(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["a"] + "\x1f" + df["b"]
+        return pd.concat(
+            [pd.DataFrame({"cui": df["a"], "alias_key": key}),
+             pd.DataFrame({"cui": df["b"], "alias_key": key})],
+            ignore_index=True,
+        )
+
+    def self_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cui": df["text"], "alias_key": "\x1f" + df["text"]}
+        )
+
+    graph = pairs.map_batches(pair_edges, batch_format="pandas").union(
+        surfaces.map_batches(self_edges, batch_format="pandas")
+    )
+    labels = connected_components_ds(graph, rounds=4, num_partitions=8)
+
+    def as_label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "text": pd.array(df["cui"], dtype="string"),
+                "type": pd.array([None] * len(df), dtype="string"),
+                "rep": pd.array(df["label"], dtype="string"),
+            }
+        )
+
+    def as_surface_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "text": pd.array(df["text"], dtype="string"),
+                "type": pd.array(df["type"], dtype="string"),
+                "rep": pd.array([None] * len(df), dtype="string"),
+            }
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        sur = df[df["rep"].isna()][["text", "type"]]
+        lab = df[df["rep"].notna()][["text", "rep"]]
+        out = sur.merge(lab, on="text", how="left").rename(
+            columns={"text": "surface"}
+        )
+        return out[["surface", "type", "rep"]]
+
+    tagged = surfaces.map_batches(as_surface_rows, batch_format="pandas").union(
+        labels.map_batches(as_label_rows, batch_format="pandas")
+    )
+    return keyed_exchange(tagged, ["text"], attach, nparts)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility + retrieval-quality evaluation
+# ---------------------------------------------------------------------------
+
+
+def doc_bpe_fertility(sf_dir: str):
+    """Per-language tokenizer fertility (tokens per word, the
+    multilingual tokenizer-quality diagnostic — a language whose
+    fertility is far above the corpus mean is under-served by the
+    trained BPE vocabulary and will burn context budget at training
+    time). fertility_micro = 10⁶ · Σ bpe_tokens // Σ words per lang.
+
+    Shape: merge rules broadcast once (artifact-sized); each block
+    encodes its DISTINCT words only (the Zipf-head cache of
+    stages/bpe.bpe_encode_stage) and reduces straight to per-lang
+    partials — ≤ |langs| rows per block, zero shuffles, driver combine
+    bounded by the language dimension."""
+    from .kernels.textstats import WORD_RE
+    from .stages.bpe import encode_word
+
+    merges = _ensure_bpe_merges(sf_dir)
+    ranked = list(
+        zip(
+            merges.sort_values("rank")["left"],
+            merges.sort_values("rank")["right"],
+        )
+    )
+    rules = ray.put(ranked)
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        rl = resolve(rules)
+        cache: dict[str, int] = {}
+        acc: dict[str, list[int]] = {}
+        for text, lang in zip(
+            batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            ws = WORD_RE.findall((text or "").lower())
+            total = 0
+            for w in ws:
+                n = cache.get(w)
+                if n is None:
+                    n = len(encode_word(w, rl))
+                    cache[w] = n
+                total += n
+            a = acc.setdefault(lang, [0, 0, 0])
+            a[0] += 1
+            a[1] += len(ws)
+            a[2] += total
+        return pd.DataFrame(
+            [(k, v[0], v[1], v[2]) for k, v in sorted(acc.items())],
+            columns=["lang", "n_docs", "n_words", "n_bpe_tokens"],
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False)[
+            ["n_docs", "n_words", "n_bpe_tokens"]
+        ].sum()
+        out["fertility_micro"] = (
+            1_000_000 * out["n_bpe_tokens"]
+        ) // np.maximum(out["n_words"], 1)
+        return out.astype(
+            {c: "int64" for c in out.columns if c != "lang"}
+        )
+
+    return _combine(parts, 4).groupby("lang").map_groups(
+        fold, batch_format="pandas"
+    )
+
+
+def emb_eval_ndcg(sf_dir: str):
+    """Retrieval-quality evaluation of the PQ/ADC index against the
+    exact brute-force ranking: binary-relevance NDCG@ANN_K per query,
+    where the relevant set is the exact cosine top-k (ann_topk) and
+    the ranking under evaluation is ann_topk_pq. Discounts are the
+    log-free integer harmonic weights 10⁶ // (rank+1) — a declared
+    integer NDCG variant so both engines agree bit-for-bit (float log2
+    rounding is engine-specific). The eval consumes two BOUNDED result
+    tables (Q·k rows each, products of already-distributed scans), so
+    the driver-side join is the legitimate small-results pattern."""
+    exact = ann_topk(sf_dir).to_pandas()
+    pqr = ann_topk_pq(sf_dir)
+    rel = {
+        q: set(g["neighbor_id"]) for q, g in exact.groupby("query_id")
+    }
+    disc = {r: 1_000_000 // (r + 1) for r in range(1, ANN_K + 1)}
+    idcg = sum(disc.values())
+    rows = []
+    for q, g in pqr.groupby("query_id"):
+        rset = rel.get(q, set())
+        hits = g["neighbor_id"].isin(rset)
+        dcg = int(sum(disc[int(r)] for r, h in zip(g["rank"], hits) if h))
+        rows.append((int(q), int(hits.sum()), dcg, 1_000_000 * dcg // idcg))
+    return pd.DataFrame(
+        rows, columns=["query_id", "n_hits", "dcg", "ndcg_micro"]
+    ).astype("int64")
