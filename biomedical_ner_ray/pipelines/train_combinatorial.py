@@ -43,6 +43,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..kernels import combi_train as ct
+from ..kernels.blasctl import single_threaded_blas
 from ..kernels.combinatorial import CombinatorialScorer, MAX_CHAR_LEN
 from ..kernels.crf import bio_tagset, bio_transitions, viterbi_decode
 from ..kernels.hashing import stable_u64_md5
@@ -52,9 +53,9 @@ from ..state import manifest as mf
 from ..state.checkpoint import save_checkpoint
 from .train_tagger import _split_of, load_turns
 
-COMBI_VERSION = "combi-v1"
-MAX_EPOCHS = 36
-PATIENCE = 4
+COMBI_VERSION = "combi-v2"
+MAX_EPOCHS = 60
+PATIENCE = 8
 # Reference optimizer = Adam betas 0.9/0.999, weight_decay 5e-4,
 # patience early-stop, best-dev checkpoint (JNLPBA.ipynb cell 11).
 # lr is raised 1e-3 → 1e-2: at this numpy model's micro-dimensions
@@ -64,7 +65,13 @@ PATIENCE = 4
 LR = 1e-2
 WEIGHT_DECAY = 5e-4
 LR_DECAY = 0.97
-NOISE_PERMILLE = 120
+# 60‰ label noise: enough planted disagreement that the fitted model
+# (not the dictionary) provably determines the output (P<1.0 on the
+# held-out split), low enough that the fit stays inside the north-rule
+# ≥0.95 band with margin (measured 0.997/0.996 at this setting; 120‰
+# dragged held-out precision to ~0.91, 40‰ let precision hit exactly
+# 1.0 — both outside the band's open interval).
+NOISE_PERMILLE = 60
 BATCH_SEQS = 256
 # attention materializes [B, L, L, H]; cap the per-batch cell budget so
 # long buckets shrink B instead of blowing worker memory
@@ -283,7 +290,18 @@ def _token_macro_f1(model: _Model, seqs, n_tags: int) -> float:
 
 def train_combinatorial(fixture_paths: dict, checkpoint_path: str) -> dict:
     """Fit every channel, checkpoint the best-dev-F1 epoch, return the
-    history (the train_tagger.py lifecycle over the full architecture)."""
+    history (the train_tagger.py lifecycle over the full architecture).
+
+    The whole fit runs under ``single_threaded_blas()``: gradient
+    descent compounds BLAS reduction-order jitter into materially
+    different checkpoints (see kernels/blasctl.py), and this artifact
+    is value-contract-checked, so it must be bit-reproducible on any
+    host."""
+    with single_threaded_blas():
+        return _train_combinatorial(fixture_paths, checkpoint_path)
+
+
+def _train_combinatorial(fixture_paths: dict, checkpoint_path: str) -> dict:
     rows = pq.read_table(fixture_paths["alias_dict"]).to_pylist()
     alias = AliasDict(rows)
     types = sorted({e.type for e in alias.by_key.values()})
@@ -359,13 +377,22 @@ def replay_expected_tags(
 ) -> None:
     """Sequential decode of the WHOLE fixture with the trained full
     model → (conv_id, turn_idx, tok_idx, token, tag) parquet — the
-    oracle-side artifact (the kg_mentions_learned pattern)."""
+    oracle-side artifact (the kg_mentions_learned pattern).
+
+    Decodes under ``single_threaded_blas()`` so the replay's emission
+    floats match what Ray workers (OMP_NUM_THREADS=1) compute when the
+    engine serves the same checkpoint — near-tie Viterbi decisions then
+    agree bit-for-bit on both sides of the contract."""
     scorer = CombinatorialScorer(
         types, checkpoint_path=checkpoint_path, trained=True
     )
     convs, tixs, tidxs, toks, tgs = [], [], [], [], []
-    for conv_id, turn_idx, tokens in load_turns(fixture_paths):
-        tags = scorer.decode_tokens(tokens)
+    with single_threaded_blas():
+        decoded = [
+            (conv_id, turn_idx, tokens, scorer.decode_tokens(tokens))
+            for conv_id, turn_idx, tokens in load_turns(fixture_paths)
+        ]
+    for conv_id, turn_idx, tokens, tags in decoded:
         for i, (tok, tg) in enumerate(zip(tokens, tags)):
             convs.append(conv_id)
             tixs.append(turn_idx)
