@@ -103,6 +103,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_fertility": Q.doc_bpe_fertility,
         # integer NDCG@k of the PQ index vs the exact ranking
         "emb_eval_ndcg": Q.emb_eval_ndcg,
+        # SCD-Type-2 state intervals (change-detection islands per user)
+        "events_state_intervals": Q.events_state_intervals,
+        # TPC-H-Q5-shape: cross-branch nation equality, fact-fact exchange
+        "region_local_volume": Q.region_local_volume,
+        # conditional-aggregation PIVOT of event types to wide columns
+        "events_type_pivot": Q.events_type_pivot,
+        # JSON props field extraction + per-type aggregate
+        "events_props_extract": Q.events_props_extract,
         # --- round-3 additions (driver-sampled in r03) ---
         # dialogue-dynamics: role-transition matrix over transcripts
         "kg_role_transitions": Q.kg_role_transitions,
@@ -1498,6 +1506,59 @@ WITH j AS (
     ON p.user_id = c.user_id AND c.ts <= p.ts)
 SELECT event_id, user_id, ts, value, click_event_id, gap_us
 FROM j WHERE rn = 1""",
+        "events_state_intervals": """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_idx
+  FROM e
+), r AS (
+  SELECT user_id, run_idx, min(event_type) AS event_type,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, run_idx
+)
+SELECT user_id, run_idx, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_idx) AS valid_to,
+       n_events
+FROM r""",
+        "region_local_volume": """
+SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c100,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name""",
+        "events_type_pivot": """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                     FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+         AS purchase_cents
+FROM events GROUP BY user_id""",
+        "events_props_extract": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type""",
         "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_events,

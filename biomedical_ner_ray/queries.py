@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .fixtures import ensure_fixture, sf_name_from_dir
 from .kernels.tagger import AliasDict
@@ -8895,3 +8895,221 @@ def emb_eval_ndcg(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["query_id", "n_hits", "dcg", "ndcg_micro"]
     ).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# warehouse-shape operators (round 4, second wave)
+# ---------------------------------------------------------------------------
+
+
+def events_state_intervals(sf_dir: str):
+    """SCD-Type-2 state history per user: the ts-ordered event_type
+    stream collapsed into validity intervals [valid_from, valid_to)
+    via change-detection islands (run-length encoding over time) —
+    the dimension-history build every warehouse load needs, distinct
+    from events_sessions' GAP islands (state CHANGE closes an interval
+    here, not inactivity). One keyed shuffle on user_id, per-user
+    pandas pass; a user's history is bounded, so a whole group fits
+    one worker at any corpus scale. The open (latest) interval carries
+    a NULL valid_to, like the asof join's unmatched rows."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new = (g["event_type"] != g["event_type"].shift()).astype("int64")
+        g = g.assign(run_idx=new.cumsum())
+        r = (
+            g.groupby("run_idx", sort=True)
+            .agg(
+                event_type=("event_type", "first"),
+                valid_from=("ts", "min"),
+                n_events=("event_id", "size"),
+            )
+            .reset_index()
+        )
+        r = r.assign(
+            user_id=g["user_id"].iat[0],
+            valid_to=r["valid_from"].shift(-1),
+            n_events=r["n_events"].astype("int64"),
+        )
+        return r[["user_id", "run_idx", "event_type", "valid_from", "valid_to", "n_events"]]
+
+    return _combine(ds, 16).groupby("user_id").map_groups(
+        intervals, batch_format="pandas"
+    )
+
+
+def region_local_volume(sf_dir: str):
+    """TPC-H-Q5-shaped local-supplier volume: revenue per (region,
+    nation) over order lines whose CUSTOMER and SUPPLIER sit in the
+    same nation — the multi-way join with an equality constraint
+    ACROSS two join branches (c_nationkey = s_nationkey), which no
+    single broadcast lookup can express. customer/supplier/nation/
+    region are dimension tables, shipped once via ray.put; the
+    fact-fact orders⋈lineitem join is ONE side-tagged keyed exchange
+    on the order key (the user_day_purchase_click_outer co-partition
+    pattern). Revenue is integer-exact: cents × (100 − discount_pct),
+    summed as int64."""
+    from .stages.exchange import keyed_exchange
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pylist()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pylist()
+    rname = {r["r_regionkey"]: r["r_name"] for r in reg}
+    dims_ref = ray.put(
+        (
+            dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())),
+            dict(zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())),
+            {n["n_nationkey"]: n["n_name"] for n in nat},
+            {n["n_nationkey"]: rname[n["n_regionkey"]] for n in nat},
+        )
+    )
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        cnat = resolve(dims_ref)[0]
+        return pd.DataFrame(
+            {
+                "okey": df["o_orderkey"].astype("int64"),
+                "side": np.int64(0),
+                "nat": df["o_custkey"].map(cnat).astype("int64"),
+                "rev": np.int64(0),
+            }
+        )
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        snat = resolve(dims_ref)[1]
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc = (df["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "okey": df["l_orderkey"].astype("int64"),
+                "side": np.int64(1),
+                "nat": df["l_suppkey"].map(snat).astype("int64"),
+                "rev": cents * (100 - disc),
+            }
+        )
+
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        o_side, batch_format="pandas"
+    )
+    lines = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(l_side, batch_format="pandas")
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.loc[df["side"] == 0, ["okey", "nat"]].rename(columns={"nat": "c_nat"})
+        li = df.loc[df["side"] == 1, ["okey", "nat", "rev"]]
+        m = li.merge(o, on="okey", how="inner")
+        m = m.loc[m["nat"] == m["c_nat"]]
+        return (
+            m.groupby("nat", sort=False)
+            .agg(revenue_c100=("rev", "sum"), n_rows=("rev", "size"))
+            .reset_index()
+        )
+
+    parts = keyed_exchange(
+        orders.union(lines),
+        ["okey"],
+        join_part,
+        num_partitions=_xparts(sf_dir, "lineitem", "orders"),
+    )
+
+    def name_it(df: pd.DataFrame) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        _c, _s, nation_name, region_of = resolve(dims_ref)
+        return pd.DataFrame(
+            {
+                "r_name": df["nat"].map(region_of),
+                "n_name": df["nat"].map(nation_name),
+                "revenue_c100": df["revenue_c100"].astype("int64"),
+                "n_rows": df["n_rows"].astype("int64"),
+            }
+        )
+
+    return (
+        _combine(parts.map_batches(name_it, batch_format="pandas"))
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum("revenue_c100", alias_name="revenue_c100"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str):
+    """Wide pivot of the event stream: one row per user with the count
+    of each event_type as its own column plus integer purchase cents —
+    conditional aggregation (PIVOT) expressed as a partial+combine
+    grouped aggregate so the per-type indicator columns collapse
+    map-side before the single user-keyed exchange (user cardinality
+    is corpus-sized; event_type cardinality is the fixed pivot width)."""
+    from .stages.exchange import grouped_aggregate
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    cols = [f"n_{t}" for t in EVENT_TYPES] + ["purchase_cents"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["value"] * 100).round().astype("int64")
+        wide = df[["user_id"]].assign(
+            **{f"n_{t}": (df["event_type"] == t).astype("int64") for t in EVENT_TYPES},
+            purchase_cents=cents.where(df["event_type"] == "purchase", 0),
+        )
+        return wide.groupby("user_id", sort=False)[cols].sum().reset_index()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", sort=False)[cols].sum().reset_index()
+
+    return grouped_aggregate(
+        ds, ["user_id"], partial, combine, num_partitions=_xparts(sf_dir, "events")
+    )
+
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured ETL: extract the integer ``k`` field from the
+    JSON ``props`` column (vectorized — one compiled-regex pass per
+    batch, no per-row json.loads in the hot path) and aggregate per
+    event_type. Declared contract: props is flat one-level JSON with
+    an integer ``k`` (the events fixture shape, TESTDATA.md); nested
+    or escaped payloads swap the regex for a per-batch Arrow JSON
+    parse behind the same plumbing. Low-cardinality group key → native
+    groupby.aggregate on the pre-combined partials."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("int64")
+        )
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "k": k})
+            .groupby("event_type", sort=False)
+            .agg(n=("k", "size"), sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max"))
+            .reset_index()
+        )
+
+    return (
+        _combine(ds.map_batches(partial, batch_format="pandas"))
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
