@@ -68,9 +68,10 @@ LR_DECAY = 0.97
 # 60‰ label noise: enough planted disagreement that the fitted model
 # (not the dictionary) provably determines the output (P<1.0 on the
 # held-out split), low enough that the fit stays inside the north-rule
-# ≥0.95 band with margin (measured 0.997/0.996 at this setting; 120‰
-# dragged held-out precision to ~0.91, 40‰ let precision hit exactly
-# 1.0 — both outside the band's open interval).
+# ≥0.95 band with margin (measured P 0.9665 / R 0.9954 under the pinned
+# single-thread BLAS this fit now always runs with; 120‰ dragged
+# held-out precision to ~0.91, 40‰ let precision hit exactly 1.0 —
+# both outside the band's open interval).
 NOISE_PERMILLE = 60
 BATCH_SEQS = 256
 # attention materializes [B, L, L, H]; cap the per-batch cell budget so
