@@ -111,6 +111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": Q.events_type_pivot,
         # JSON props field extraction + per-type aggregate
         "events_props_extract": Q.events_props_extract,
+        # trailing time-range window features (RANGE frame semantics)
+        "events_rolling_features": Q.events_rolling_features,
+        # Q17-shape correlated aggregate filter (self-join collapsed)
+        "part_small_qty_revenue": Q.part_small_qty_revenue,
         # --- round-3 additions (driver-sampled in r03) ---
         # dialogue-dynamics: role-transition matrix over transcripts
         "kg_role_transitions": Q.kg_role_transitions,
@@ -1559,6 +1563,26 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
        CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type""",
+        "events_rolling_features": """
+SELECT user_id, event_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+        "part_small_qty_revenue": """
+WITH p AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_returnflag,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN p ON l.l_partkey = p.l_partkey
+WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * p.n < p.sum_qty_c
+GROUP BY l.l_returnflag""",
         "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_events,

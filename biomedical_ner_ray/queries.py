@@ -9113,3 +9113,90 @@ def events_props_extract(sf_dir: str):
             Max("max_k", alias_name="max_k"),
         )
     )
+
+
+def events_rolling_features(sf_dir: str):
+    """Per-event trailing-window ML features: for every event, the
+    count and integer value-cents sum of the SAME user's events inside
+    the preceding hour (RANGE-frame window semantics — time-offset
+    frames, not row counts; peers at the exact boundary ts are all
+    included, so ties can't reorder results). One user-keyed shuffle;
+    inside each bounded per-user group the window is two vectorized
+    searchsorted cursors over the ts-sorted stream plus a cumsum
+    difference — O(n log n) per user, no per-row rescan."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        cents = (g["value"] * 100).round().astype("int64").to_numpy()
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        lo = np.searchsorted(ts, ts - np.timedelta64(1, "h"), side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "ts": ts,
+                "n_1h": (hi - lo).astype("int64"),
+                "sum_cents_1h": csum[hi] - csum[lo],
+            }
+        )
+
+    return _combine(ds, 16).groupby("user_id").map_groups(
+        roll, batch_format="pandas"
+    )
+
+
+def part_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped correlated aggregate filter: revenue from order
+    lines whose quantity is below 20% of their part's average quantity.
+    The textbook plan is aggregate + self-join; under a keyed exchange
+    the self-join COLLAPSES — all rows of a part land in one partition,
+    so the per-part average and the filter against it run locally in
+    the same pass (zero extra data movement vs the plain aggregate).
+    Integer-exact predicate: 5·qty_c·n < Σqty_c avoids the 0.2·avg
+    float; revenue in summed int64 cents, grouped by return flag."""
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "qty_c": (df["l_quantity"] * 100).round().astype("int64"),
+                "price_c": (df["l_extendedprice"] * 100).round().astype("int64"),
+                "l_returnflag": df["l_returnflag"],
+            }
+        )
+
+    def small_qty(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey")["qty_c"].agg(["sum", "size"])
+        sums = df["l_partkey"].map(g["sum"]).to_numpy()
+        ns = df["l_partkey"].map(g["size"]).to_numpy()
+        keep = df.loc[5 * df["qty_c"].to_numpy() * ns < sums]
+        return (
+            keep.groupby("l_returnflag", sort=False)
+            .agg(revenue_cents=("price_c", "sum"), n_rows=("price_c", "size"))
+            .reset_index()
+        )
+
+    parts = keyed_exchange(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["l_partkey"],
+        small_qty,
+        num_partitions=_xparts(sf_dir, "lineitem"),
+    )
+    return (
+        _combine(parts)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )

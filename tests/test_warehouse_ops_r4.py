@@ -129,3 +129,51 @@ def test_props_extract_matches_json_loads(ray_session):
     for col in ("n", "sum_k", "min_k", "max_k"):
         exp[col] = exp[col].astype("int64")
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_rolling_features_match_bruteforce(ray_session):
+    from biomedical_ner_ray import queries as Q
+
+    got = _frame(Q.events_rolling_features(SF)).sort_values(
+        ["user_id", "event_id"], ignore_index=True
+    )
+    ev = _events()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    exp_rows = []
+    for _uid, g in ev.groupby("user_id", sort=True):
+        g = g.sort_values(["ts", "event_id"])
+        for _, row in g.iterrows():
+            win = g[(g["ts"] >= row["ts"] - pd.Timedelta(hours=1)) & (g["ts"] <= row["ts"])]
+            exp_rows.append(
+                (row["user_id"], row["event_id"], row["ts"], len(win), win["cents"].sum())
+            )
+    exp = pd.DataFrame(
+        exp_rows, columns=["user_id", "event_id", "ts", "n_1h", "sum_cents_1h"]
+    ).sort_values(["user_id", "event_id"], ignore_index=True)
+    exp["n_1h"] = exp["n_1h"].astype("int64")
+    exp["sum_cents_1h"] = exp["sum_cents_1h"].astype("int64")
+    exp["ts"] = exp["ts"].astype("datetime64[us]")
+    assert (got["n_1h"] >= 1).all()  # frame includes the row itself
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_small_qty_revenue_matches_bruteforce(ray_session):
+    from biomedical_ner_ray import queries as Q
+
+    got = _frame(Q.part_small_qty_revenue(SF)).sort_values(
+        "l_returnflag", ignore_index=True
+    )
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    li["qty_c"] = (li["l_quantity"] * 100).round().astype("int64")
+    li["price_c"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    g = li.groupby("l_partkey")["qty_c"].agg(["sum", "size"])
+    keep = li[5 * li["qty_c"] * li["l_partkey"].map(g["size"]) < li["l_partkey"].map(g["sum"])]
+    assert 0 < len(keep) < len(li)  # the predicate genuinely filters
+    exp = (
+        keep.groupby("l_returnflag")
+        .agg(revenue_cents=("price_c", "sum"), n_rows=("price_c", "size"))
+        .reset_index()
+        .sort_values("l_returnflag", ignore_index=True)
+    )
+    exp["n_rows"] = exp["n_rows"].astype("int64")
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
