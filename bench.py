@@ -210,6 +210,23 @@ QUERY_NAMES = [
     "mm_chunk_windows",
     "doc_importance_resample",
     "emb_diverse_sample",
+    "emb_pq_codes",
+    "ann_topk_pq",
+    "emb_eval_ndcg",
+    "emb_hard_negatives",
+    "emb_knn_classify",
+    "doc_ccnet_buckets",
+    "doc_ngram_novelty",
+    "doc_bpe_fertility",
+    "kg_two_hop_paths",
+    "kg_predicate_domain_check",
+    "kg_er_blocked_lev",
+    "events_state_intervals",
+    "events_type_pivot",
+    "events_props_extract",
+    "events_rolling_features",
+    "region_local_volume",
+    "part_small_qty_revenue",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the
