@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pq_codes": Q.emb_pq_codes,
         # PQ/ADC approximate top-k over the codes
         "ann_topk_pq": Q.ann_topk_pq,
+        # incremental IVF index upsert (touched-bucket merge + footer stats)
+        "emb_ivf_upsert": Q.emb_ivf_upsert,
         # contrastive hard-negative mining (label-excluded kNN)
         "emb_hard_negatives": Q.emb_hard_negatives,
         # kNN auto-labeling with majority vote + correctness audit
@@ -1838,6 +1840,26 @@ FROM documents d LEFT JOIN imp ON imp.doc_id = d.doc_id""",
         "emb_diverse_sample": _diverse_sample_sql(),
         "emb_pq_codes": _pq_codes_sql(),
         "ann_topk_pq": _pq_topk_sql(),
+        # full-corpus recompute of the incremental IVF upsert: assign
+        # every vector (max-cos centroid, cid-asc ties; md5 sub-bucket)
+        # and aggregate per part — value-checks the touched-bucket merge
+        # AND the untouched-bucket footer-stats path
+        "emb_ivf_upsert": f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {Q.IVF_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+k AS (
+  SELECT CAST(cid AS BIGINT) AS bucket,
+         CAST(md5_number_lower('embsub:' || CAST(vec_id AS VARCHAR)) % {Q.EMB_IVF_SUB} AS BIGINT) AS sub,
+         vec_id
+  FROM assign)
+SELECT bucket, sub, COUNT(*) AS n_vecs,
+       MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+FROM k GROUP BY bucket, sub""",
         "doc_dedup_minhash": _minhash_sql(),
         "doc_dedup_minhash_join": _minhash_sql(),
         "doc_dedup_incremental": _minhash_incr_sql(),

@@ -9200,3 +9200,210 @@ def part_small_qty_revenue(sf_dir: str):
             Sum("n_rows", alias_name="n_rows"),
         )
     )
+
+
+EMB_IVF_SUB = 4  # md5 sub-buckets per centroid bucket (hive part = cid*SUB+sub)
+EMB_IVF_DELTA_PCT = 10  # ingest-delta share of vectors (md5 coin)
+
+
+def _emb_ivf_coin(vec_ids: np.ndarray) -> np.ndarray:
+    from .kernels.hashing import stable_u64_md5
+
+    return np.fromiter(
+        (stable_u64_md5(f"embivf:{int(v)}".encode("utf-8")) % 100 for v in vec_ids),
+        dtype=np.int64,
+        count=len(vec_ids),
+    )
+
+
+def _emb_ivf_sub(vec_ids: np.ndarray) -> np.ndarray:
+    from .kernels.hashing import stable_u64_md5
+
+    return np.fromiter(
+        (
+            stable_u64_md5(f"embsub:{int(v)}".encode("utf-8")) % EMB_IVF_SUB
+            for v in vec_ids
+        ),
+        dtype=np.int64,
+        count=len(vec_ids),
+    )
+
+
+def _emb_centroid_ref(sf_dir: str):
+    """Normalized [C, D] centroid matrix (the vectors with vec_id <
+    IVF_N_CENTROIDS, read via parquet filter pushdown) as an object ref."""
+    cent = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", IVF_N_CENTROIDS)],
+    )
+    cdf = cent.to_pandas().sort_values("vec_id")
+    cmat = np.stack([np.asarray(e, dtype=np.float64) for e in cdf["embedding"]])
+    return ray.put(cmat / np.linalg.norm(cmat, axis=1, keepdims=True))
+
+
+def _emb_ivf_assignments(sf_dir: str, ref, delta: bool, with_embedding: bool):
+    """(ppart, vec_id[, embedding]) rows for the base or delta shard of
+    the vector stream: ppart = max-cosine centroid id (first-max = lowest
+    cid on ties, the ann_topk_ivf convention) × EMB_IVF_SUB + md5
+    sub-bucket. The md5 coin splits the corpus into the persisted base
+    (coin < 100-EMB_IVF_DELTA_PCT) and the ingest delta."""
+    thr = 100 - EMB_IVF_DELTA_PCT
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        cm = resolve(ref)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype="int64")
+        coin = _emb_ivf_coin(vids)
+        mask = coin >= thr if delta else coin < thr
+        keep = np.nonzero(mask)[0]
+        if keep.size == 0:
+            out = {"ppart": pd.Series([], dtype="int64"),
+                   "vec_id": pd.Series([], dtype="int64")}
+            if with_embedding:
+                out["embedding"] = pd.Series([], dtype=object)
+            return pd.DataFrame(out)
+        embs = batch["embedding"].to_pylist()
+        vids = vids[keep]
+        mat = np.stack([np.asarray(embs[i], dtype=np.float64) for i in keep])
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bucket = np.argmax(nm @ cm.T, axis=1).astype("int64")
+        out = {"ppart": bucket * EMB_IVF_SUB + _emb_ivf_sub(vids), "vec_id": vids}
+        if with_embedding:
+            out["embedding"] = [embs[i] for i in keep]
+        return pd.DataFrame(out)
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow", batch_size=1024)
+
+
+def _emb_ivf_index_cache(sf_dir: str) -> str:
+    """Persisted IVF index of the BASE vector shard: hive-partitioned
+    parquet, one directory per (centroid, md5-sub) part, each file
+    carrying (ppart, vec_id, embedding) — the vector store an ANN scan
+    would read bucket-by-bucket. One part-keyed exchange gives one file
+    per part (the _kg_base_edges_cache layout); manifest-guarded per
+    fixture so every query run after the first streams, never rebuilds."""
+    import tempfile
+
+    from .state import manifest as mf
+    from .stages.exchange import keyed_exchange
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    fp = mf.fingerprint(
+        "emb-ivf-index-v1",
+        mf.input_fingerprint([emb_path]),
+        str(EMB_IVF_SUB),
+        str(EMB_IVF_DELTA_PCT),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "graft_query_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "emb_ivf_index",
+    )
+    if not mf.is_complete(out, fp):
+
+        def build(tmp):
+            ref = _emb_centroid_ref(sf_dir)
+            rows = _emb_ivf_assignments(sf_dir, ref, delta=False, with_embedding=True)
+            # pdir duplicates ppart: partition_cols strips its column from
+            # the file data, and readers need ppart as a data column
+            rows = rows.map_batches(
+                lambda df: df.assign(pdir=df["ppart"]), batch_format="pandas"
+            )
+            keyed_exchange(rows, ["ppart"], lambda df: df, 16).write_parquet(
+                tmp, partition_cols=["pdir"]
+            )
+
+        mf.run_stage("emb-ivf-index", out, fp, build)
+    return out
+
+
+def emb_ivf_upsert(sf_dir: str):
+    """Incremental ANN-index maintenance — the doc_dedup_incremental /
+    kg_update_edges pattern applied to the vector store: upsert an
+    ingest delta (EMB_IVF_DELTA_PCT of vectors by deterministic md5
+    coin) into the PERSISTED hive-bucketed IVF index without touching
+    untouched buckets. Delta vectors are assigned in-stream to their
+    (centroid, md5-sub) part; the ≤ C·SUB touched part ids reach the
+    driver as a bounded aggregate; ONLY touched part files are read and
+    merged with the delta through one part-keyed exchange; untouched
+    parts contribute their per-part stats from parquet FOOTER metadata
+    alone (num_rows + exact int64 vec_id min/max column statistics) —
+    zero data rows read outside the touched set. Output = per-part
+    index summary (bucket, sub, n_vecs, min_vec_id, max_vec_id); the
+    oracle is the FULL-corpus recompute (assign every vector in SQL),
+    so the no-recompute claim is itself driver-checked."""
+    from .state.manifest import list_parquet_files
+    from .stages.exchange import keyed_exchange
+
+    base_dir = _emb_ivf_index_cache(sf_dir)
+    ref = _emb_centroid_ref(sf_dir)
+    delta = _emb_ivf_assignments(
+        sf_dir, ref, delta=True, with_embedding=False
+    ).materialize()  # consumed twice: touched-part probe + merge
+    touched = set(
+        delta.map_batches(
+            lambda df: pd.DataFrame({"ppart": df["ppart"].unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()["ppart"]
+        .unique()
+        .tolist()
+    )
+
+    parts: dict[int, list] = {}
+    for f in list_parquet_files(base_dir):
+        b = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        parts.setdefault(b, []).append(f)
+    touched_files = [f for b, fs in parts.items() if b in touched for f in fs]
+
+    # untouched parts: footer stats only — no data read
+    unt_rows = []
+    for b, fs in parts.items():
+        if b in touched:
+            continue
+        n, mn, mx = 0, None, None
+        for f in fs:
+            pf = pq.ParquetFile(f)
+            ci = pf.schema_arrow.names.index("vec_id")
+            md = pf.metadata
+            n += md.num_rows
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        unt_rows.append((b, n, mn, mx))
+    unt = pd.DataFrame(
+        unt_rows, columns=["ppart", "n_vecs", "min_vec_id", "max_vec_id"]
+    )
+
+    merged = delta.select_columns(["ppart", "vec_id"])
+    if touched_files:
+        merged = merged.union(
+            rd.read_parquet(touched_files, columns=["ppart", "vec_id"]).map_batches(
+                lambda df: df, batch_format="pandas"
+            )
+        )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("ppart", sort=False)["vec_id"]
+            .agg(n_vecs="size", min_vec_id="min", max_vec_id="max")
+            .reset_index()
+        )
+
+    tch = keyed_exchange(merged, ["ppart"], agg, 8).to_pandas()  # ≤ C·SUB rows
+    out = pd.concat([tch, unt], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "bucket": (out["ppart"] // EMB_IVF_SUB).astype("int64"),
+            "sub": (out["ppart"] % EMB_IVF_SUB).astype("int64"),
+            "n_vecs": out["n_vecs"].astype("int64"),
+            "min_vec_id": out["min_vec_id"].astype("int64"),
+            "max_vec_id": out["max_vec_id"].astype("int64"),
+        }
+    )

@@ -171,3 +171,67 @@ def test_pq_adc_recall_vs_exact(ray_session):
     per = approx.groupby("query_id")["rank"].agg(["min", "max", "size"])
     assert (per["min"] == 1).all()
     assert (per["max"] == per["size"]).all()
+
+
+def test_ivf_upsert_equals_recompute(ray_session):
+    """The delta upsert over the persisted IVF index must equal a
+    sequential full-corpus recompute; the md5 split must be a real
+    partition; the footer-stats path must actually be exercised
+    (untouched parts exist at this scale); and every persisted part
+    file must hold only its own part's vectors."""
+    import os
+
+    import pandas as pd
+
+    import biomedical_ner_ray.queries as Q
+    from biomedical_ner_ray.state.manifest import list_parquet_files
+
+    sf = "/root/testdata/sf0.01"
+    got = Q.emb_ivf_upsert(sf)
+
+    # sequential reference: assign every vector with the same kernels
+    t = (
+        pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    vids = t["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"]])
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cm = nm[vids < Q.IVF_N_CENTROIDS]
+    bucket = np.argmax(nm @ cm.T, axis=1).astype("int64")
+    part = bucket * Q.EMB_IVF_SUB + Q._emb_ivf_sub(vids)
+    ref = (
+        pd.DataFrame({"ppart": part, "vec_id": vids})
+        .groupby("ppart")["vec_id"]
+        .agg(n_vecs="size", min_vec_id="min", max_vec_id="max")
+        .reset_index()
+    )
+    ref = ref.assign(
+        bucket=ref["ppart"] // Q.EMB_IVF_SUB, sub=ref["ppart"] % Q.EMB_IVF_SUB
+    ).drop(columns="ppart")
+
+    k = ["bucket", "sub"]
+    m = ref.merge(got, on=k, how="outer", indicator=True, suffixes=("_r", "_g"))
+    assert (m["_merge"] == "both").all()
+    for c in ("n_vecs", "min_vec_id", "max_vec_id"):
+        assert (m[f"{c}_r"] == m[f"{c}_g"]).all()
+
+    # real split + footer path exercised
+    coin = Q._emb_ivf_coin(vids)
+    thr = 100 - Q.EMB_IVF_DELTA_PCT
+    assert (coin < thr).any() and (coin >= thr).any()
+    delta_parts = set(part[coin >= thr].tolist())
+    base_dir = Q._emb_ivf_index_cache(sf)
+    base_parts = {
+        int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        for f in list_parquet_files(base_dir)
+    }
+    assert base_parts - delta_parts, "no untouched parts — footer path dead"
+
+    # part-file soundness: each persisted file holds only its part's rows
+    for f in list_parquet_files(base_dir):
+        b = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        df = pq.read_table(f, columns=["ppart"]).to_pandas()
+        assert (df["ppart"] == b).all()
