@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG edge temporal provenance (weight, distinct convs, first/last
         # supporting timestamp — per-edge lineage)
         "kg_edge_provenance": Q.kg_edge_provenance,
+        # recency-decayed edge confidence (integer half-life shifts)
+        "kg_decay_edges": Q.kg_decay_edges,
         # cross-turn (windowed) relation extraction
         "kg_cross_turn_edges": Q.kg_cross_turn_edges,
         # incremental KG maintenance: delta upsert into the persisted
@@ -2682,6 +2684,25 @@ JOIN transcripts_fx f
   ON f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
 JOIN lab3 cs ON cs.cui = t.subj_cui
 JOIN lab3 co ON co.cui = t.obj_cui
+WHERE cs.label <> co.label
+GROUP BY cs.label, t.pred, co.label""",
+        # recency decay: per-occurrence 1e6 >> k with k = corpus-span
+        # half-lives of age — all-integer, so bit-exact on both engines
+        "kg_decay_edges": pre
+        + f"""
+, mmq AS (SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM transcripts_fx)
+SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,
+       CAST(count(*) AS BIGINT) AS weight,
+       CAST(sum(1000000 >> LEAST(
+         CASE WHEN mmq.mx > mmq.mn
+              THEN ({Q.KG_DECAY_HALVES} * (mmq.mx - epoch_us(f.ts))) // (mmq.mx - mmq.mn)
+              ELSE 0 END, {Q.KG_DECAY_MAX_SHIFT})) AS BIGINT) AS decayed_micro
+FROM triplesq t
+JOIN transcripts_fx f
+  ON f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
+JOIN lab3 cs ON cs.cui = t.subj_cui
+JOIN lab3 co ON co.cui = t.obj_cui
+CROSS JOIN mmq
 WHERE cs.label <> co.label
 GROUP BY cs.label, t.pred, co.label""",
         "kg_node_provenance": pre

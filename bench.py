@@ -228,6 +228,7 @@ QUERY_NAMES = [
     "region_local_volume",
     "part_small_qty_revenue",
     "emb_ivf_upsert",
+    "kg_decay_edges",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -9407,3 +9407,106 @@ def emb_ivf_upsert(sf_dir: str):
             "max_vec_id": out["max_vec_id"].astype("int64"),
         }
     )
+
+
+KG_DECAY_HALVES = 8  # half-lives spanning the corpus time range
+KG_DECAY_MAX_SHIFT = 30  # shift cap (1e6 >> 20 == 0 already; both engines agree)
+
+
+def _corpus_minmax_us(ts_ds) -> tuple[int, int]:
+    """Exact corpus (min_ts, max_ts) in epoch-µs from a pruned streaming
+    pass — the two integer aggregates the decay arithmetic hangs off."""
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"mn": pd.Series(dtype="int64"), "mx": pd.Series(dtype="int64")}
+            )
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        return pd.DataFrame({"mn": [us.min()], "mx": [us.max()]})
+
+    mm = ts_ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
+    return int(mm["mn"].min()), int(mm["mx"].max())
+
+
+def kg_decay_edges(sf_dir: str):
+    """Recency-decayed KG edge confidence — the freshness signal a
+    continuously-ingested graph ranks by: every supporting triple
+    occurrence contributes ``1e6 >> k`` micro-units where ``k`` is its
+    age in corpus-relative half-lives, ``k = (KG_DECAY_HALVES ·
+    (max_ts − ts)) // (max_ts − min_ts)`` — all-integer (epoch-µs
+    subtraction, floor division, bit shift), so both engines produce
+    the identical decayed weight bit-for-bit. Half-life is defined in
+    units of the corpus span (derived from the same pruned min/max
+    aggregates on both sides), so the operator is scale-free: no wall
+    clock, no data-dependent float.
+
+    Shape — the kg_edge_provenance union exchange: triple partials and
+    pruned turn timestamps meet in ONE turn-keyed exchange (per-
+    partition vectorized merge, decay applied per occurrence group),
+    then one edge-keyed combine sums raw weight and decayed micro-
+    weight. Canonical remap = the kg_edges broadcast component map."""
+    from .stages.exchange import keyed_exchange
+    from .state.broadcast import resolve
+    from .state.manifest import list_parquet_files
+
+    ann_dir, rows = _annotations_cache(sf_dir)
+    comp_ref = ray.put(canonical_components(rows))
+    paths = _fixture(sf_dir)
+
+    ts_ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"])
+    mn_us, mx_us = _corpus_minmax_us(ts_ds)
+    span = mx_us - mn_us
+
+    ann = rd.read_parquet(
+        list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "triples"]
+    )
+
+    def tr_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = _canonical_triple_partials(df, resolve(comp_ref))
+        g["ts_us"] = np.int64(0)
+        return g
+
+    def ts_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].astype(str),
+                "turn_idx": df["turn_idx"].astype("int64"),
+                "subj_cui": "",
+                "pred": "",
+                "obj_cui": "",
+                "n": np.int64(0),
+                "ts_us": df["ts"].to_numpy(dtype="datetime64[us]").astype("int64"),
+            }
+        )
+
+    tri = triples_stage(ann).map_batches(tr_partial, batch_format="pandas")
+    ts = ts_ds.map_batches(ts_rows, batch_format="pandas")
+
+    def join_decay(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.loc[df["n"] == 0, ["conv_id", "turn_idx", "ts_us"]]
+        tr = df.loc[df["n"] > 0].drop(columns=["ts_us"])
+        m = tr.merge(t, on=["conv_id", "turn_idx"], how="inner")
+        if span > 0:
+            k = (KG_DECAY_HALVES * (mx_us - m["ts_us"].to_numpy())) // span
+        else:
+            k = np.zeros(len(m), dtype="int64")
+        k = np.minimum(k, KG_DECAY_MAX_SHIFT)
+        m["dec"] = m["n"].to_numpy() * np.right_shift(np.int64(1_000_000), k)
+        return (
+            m.groupby(["subj_cui", "pred", "obj_cui"], sort=False)
+            .agg(n=("n", "sum"), dec=("dec", "sum"))
+            .reset_index()
+        )
+
+    partials = keyed_exchange(tri.union(ts), ["conv_id", "turn_idx"], join_decay, 16)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["subj_cui", "pred", "obj_cui"], sort=False)
+            .agg(weight=("n", "sum"), decayed_micro=("dec", "sum"))
+            .reset_index()
+        )
+        return g.astype({"weight": "int64", "decayed_micro": "int64"})
+
+    return keyed_exchange(partials, ["subj_cui", "pred", "obj_cui"], final, 8)

@@ -504,3 +504,75 @@ def test_kg_turn_dedup_sf001(ray_session, tiny_fixture):
     # gate is load-bearing: some text repeats only within one conversation
     only_within = g[(g["n_turns"] >= 2) & (g["n_convs"] == 1)]
     assert len(only_within) > 0 or len(g[g["n_convs"] >= 2]) < len(g)
+
+
+def test_kg_decay_edges_sequential_replay(ray_session, tiny_fixture):
+    """Decayed weights == a sequential integer replay over the oracle
+    triple stream; raw weights == kg_edge_provenance's; decay is
+    load-bearing (some edge has decayed_micro < 1e6 · weight)."""
+    sf = "/root/testdata/sf0.001"
+    out = Q.kg_decay_edges(sf).to_pandas()
+    prov = Q.kg_edge_provenance(sf).to_pandas()
+
+    k = ["subj_cui", "pred", "obj_cui"]
+    m = prov[k + ["weight"]].merge(
+        out, on=k, how="outer", indicator=True, suffixes=("_p", "_d")
+    )
+    assert (m["_merge"] == "both").all()
+    assert (m["weight_p"] == m["weight_d"]).all()
+
+    # sequential decay replay from the provenance pipeline's own inputs:
+    # rebuild per-occurrence (edge, ts) rows with the shared kernels
+    files = sorted(glob.glob(os.path.join(tiny_fixture["transcripts"], "*.parquet")))
+    ts = pd.concat(
+        [
+            pq.read_table(f, columns=["conv_id", "turn_idx", "ts"]).to_pandas()
+            for f in files
+        ],
+        ignore_index=True,
+    )
+    us = ts["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+    mn, mx = int(us.min()), int(us.max())
+    span = mx - mn
+    ts = ts.assign(ts_us=us, conv_id=ts["conv_id"].astype(str))
+
+    ann_dir, rows = Q._annotations_cache(sf)
+    from biomedical_ner_ray.oracle import canonical_components
+    from biomedical_ner_ray.state.manifest import list_parquet_files
+    from biomedical_ner_ray.stages.explode import triples_stage
+
+    import ray.data as rd
+
+    comp = canonical_components(rows)
+    ann = rd.read_parquet(
+        list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "triples"]
+    )
+    tri = triples_stage(ann).to_pandas()
+    tri = tri.assign(
+        subj_cui=tri["subj_cui"].map(comp),
+        obj_cui=tri["obj_cui"].map(comp),
+        conv_id=tri["conv_id"].astype(str),
+        turn_idx=tri["turn_idx"].astype("int64"),
+    )
+    tri = tri[tri["subj_cui"] != tri["obj_cui"]]
+    j = tri.merge(
+        ts[["conv_id", "turn_idx", "ts_us"]], on=["conv_id", "turn_idx"], how="inner"
+    )
+    if span > 0:
+        kk = (Q.KG_DECAY_HALVES * (mx - j["ts_us"].to_numpy())) // span
+    else:
+        kk = np.zeros(len(j), dtype="int64")
+    kk = np.minimum(kk, Q.KG_DECAY_MAX_SHIFT)
+    j["dec"] = np.right_shift(np.int64(1_000_000), kk)
+    exp = (
+        j.groupby(["subj_cui", "pred", "obj_cui"])
+        .agg(weight=("dec", "size"), decayed_micro=("dec", "sum"))
+        .reset_index()
+        .astype({"weight": "int64", "decayed_micro": "int64"})
+    )
+    me = exp.merge(out, on=k, suffixes=("_e", "_g"))
+    assert len(me) == len(exp) == len(out)
+    assert (me["weight_e"] == me["weight_g"]).all()
+    assert (me["decayed_micro_e"] == me["decayed_micro_g"]).all()
+    # decay is load-bearing
+    assert (out["decayed_micro"] < 1_000_000 * out["weight"]).any()
