@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": Q.doc_pii_scrub,
         "doc_boilerplate_scrub": Q.doc_boilerplate_scrub,
         "doc_quantile_filter": Q.doc_quantile_filter,
+        # Hampel 3·MAD robust length-outlier flag
+        "doc_mad_outliers": Q.doc_mad_outliers,
         "doc_source_mix": Q.doc_source_mix,
         # packing + deterministic training order
         "doc_pack_chunks": Q.doc_pack_chunks,
@@ -1908,6 +1910,19 @@ WITH m AS (
 )
 SELECT doc_id, n_tokens, swr_milli FROM m, t
 WHERE n_tokens >= lo_tok AND swr_milli >= lo_swr""",
+        # Hampel 3·MAD robust outlier gate; quantile_disc == the engine's
+        # ceil(n/2) rank, MAD derived from the same distribution
+        "doc_mad_outliers": f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+  FROM documents),
+med AS (SELECT quantile_disc(n_tokens, 0.5) AS v FROM m),
+mad AS (SELECT quantile_disc(abs(n_tokens - med.v), 0.5) AS v FROM m CROSS JOIN med)
+SELECT m.doc_id, m.n_tokens,
+       CAST(CASE WHEN abs(m.n_tokens - med.v) > {Q.MAD_K} * mad.v
+            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM m CROSS JOIN med CROSS JOIN mad""",
         "doc_length_percentile": f"""
 SELECT doc_id, n_tokens,
        CAST((1000000 * (rank() OVER (ORDER BY n_tokens) - 1))

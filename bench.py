@@ -229,6 +229,7 @@ QUERY_NAMES = [
     "part_small_qty_revenue",
     "emb_ivf_upsert",
     "kg_decay_edges",
+    "doc_mad_outliers",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

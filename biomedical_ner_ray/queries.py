@@ -9510,3 +9510,74 @@ def kg_decay_edges(sf_dir: str):
         return g.astype({"weight": "int64", "decayed_micro": "int64"})
 
     return keyed_exchange(partials, ["subj_cui", "pred", "obj_cui"], final, 8)
+
+
+MAD_K = 3  # Hampel rule: outlier iff |x − median| > 3 · MAD
+
+
+def doc_mad_outliers(sf_dir: str):
+    """Robust length-outlier gate (the Hampel 3·MAD rule — the
+    quality-filter variant that survives heavy-tailed corpora where
+    mean/stddev gates saturate): flag docs whose token count deviates
+    from the corpus median by more than MAD_K median-absolute-
+    deviations. Exact integer order statistics: ONE metrics scan feeds
+    a bounded value-count histogram (driver combine — domain-bounded,
+    the lineitem_price_quantiles contract); the MAD histogram is
+    DERIVED from it on the driver (group |v − med|, sum counts), so the
+    second order statistic costs zero extra passes. quantile_disc rank
+    semantics (1-based ceil(n·q), the shared q_disc convention);
+    (median, MAD) broadcast; flagging row-local."""
+    import math
+
+    from .kernels.textstats import quality_features
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        ids, ntok = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ids.append(i)
+            ntok.append(quality_features(t)["n_tokens"])
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "n_tokens": pa.array(ntok, pa.int64())}
+        )
+
+    mds = ds.map_batches(metrics, batch_format="pyarrow").materialize()
+
+    hist = (
+        mds.map_batches(
+            lambda df: df["n_tokens"]
+            .value_counts()
+            .rename_axis("value")
+            .reset_index(name="n"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("value", as_index=False)["n"]
+        .sum()
+    )
+
+    def q_disc(h: pd.DataFrame) -> int:
+        h = h.sort_values("value")
+        cum = h["n"].cumsum().to_numpy()
+        rank = math.ceil(0.5 * int(cum[-1]))
+        return int(h["value"].to_numpy()[np.searchsorted(cum, rank)])
+
+    med = q_disc(hist)
+    mad = q_disc(
+        hist.assign(value=(hist["value"] - med).abs())
+        .groupby("value", as_index=False)["n"]
+        .sum()
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        dev = (df["n_tokens"].to_numpy() - med)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": df["n_tokens"].astype("int64"),
+                "is_outlier": (np.abs(dev) > MAD_K * mad).astype("int64"),
+            }
+        )
+
+    return mds.map_batches(flag, batch_format="pandas")

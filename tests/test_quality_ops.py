@@ -174,3 +174,39 @@ def test_curriculum_order_tiers_monotone(ray_session):
     ]
     assert keys == sorted(keys)
     assert not top["doc_id"].is_monotonic_increasing  # genuinely shuffled
+
+
+def test_mad_outliers_planted_and_replay(ray_session, tmp_path):
+    """Planted corpus: one 400-token giant and one 1-token runt among
+    40 ~10-token docs — exactly those two must flag. Sequential replay
+    of the DuckDB quantile_disc rank (ceil(n/2)) must reproduce the
+    engine's median/MAD bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    from biomedical_ner_ray.queries import MAD_K, doc_mad_outliers
+
+    texts = [f"plain body with roughly ten tokens here number {i} ok" for i in range(40)]
+    texts.append(" ".join(f"w{j}" for j in range(400)))  # giant
+    texts.append("x")  # runt
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+
+    out = doc_mad_outliers(str(tmp_path)).to_pandas().sort_values("doc_id")
+    flagged = set(out.loc[out["is_outlier"] == 1, "doc_id"].tolist())
+    assert flagged == {40, 41}
+
+    # sequential replay of median/MAD with quantile_disc rank semantics
+    nt = out["n_tokens"].to_numpy()
+    v = np.sort(nt)
+    med = int(v[math.ceil(0.5 * len(v)) - 1])
+    dv = np.sort(np.abs(nt - med))
+    mad = int(dv[math.ceil(0.5 * len(dv)) - 1])
+    exp = (np.abs(out["n_tokens"].to_numpy() - med) > MAD_K * mad).astype("int64")
+    assert (out["is_outlier"].to_numpy() == exp).all()
