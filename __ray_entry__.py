@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_pq": Q.ann_topk_pq,
         # incremental IVF index upsert (touched-bucket merge + footer stats)
         "emb_ivf_upsert": Q.emb_ivf_upsert,
+        # signed-random-projection LSH near-dup (angle-hash complement to IVF)
+        "emb_srp_neardup": Q.emb_srp_neardup,
         # contrastive hard-negative mining (label-excluded kNN)
         "emb_hard_negatives": Q.emb_hard_negatives,
         # kNN auto-labeling with majority vote + correctness audit
@@ -2059,6 +2061,10 @@ sc AS (
 r AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk FROM sc)
 SELECT qid AS query_id, vid AS neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= {Q.ANN_K}""",
+        # SRP hyperplane LSH: integer micro-quantized dot signs →
+        # 16-bit signatures → 4-bit bands → shared-bucket candidates →
+        # exact cosine gate; every step replayed value-for-value
+        "emb_srp_neardup": _srp_neardup_sql(),
         "emb_kmeans": _kmeans_oracle(),
         "doc_tfidf_top_terms": f"""
 WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents),
@@ -3502,3 +3508,51 @@ SELECT v.word, v.word_id,
             WHEN k.kw IS NOT NULL THEN k.vector[d.j + 1]
             ELSE {rnd(SCALE_OOV)} END AS value
 FROM vocab v LEFT JOIN kv k ON v.word = k.kw CROSS JOIN dims d"""
+
+
+def _srp_neardup_sql() -> str:
+    """SQL replay of the SRP hyperplane LSH: micro quantization (the
+    _emb_quant_cte floor convention), md5-derived integer plane
+    coefficients, integer dot signs → signature bits, band split,
+    shared-bucket distinct candidate pairs, exact cosine verify."""
+    d = _emb_dim()
+    return f"""
+WITH x AS (
+  SELECT vec_id, d.j AS dim,
+         CAST(floor(CAST(embedding[d.j + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+  FROM embeddings,
+       (SELECT CAST(unnest(generate_series(0, {d - 1})) AS INTEGER) AS j) d
+),
+pl AS (
+  SELECT p.i AS plane, d.j AS dim,
+         CAST(md5_number_lower('srp:' || CAST(p.i AS VARCHAR) || ':' || CAST(d.j AS VARCHAR))
+              % {Q.SRP_COEF_MOD} AS BIGINT) - {Q.SRP_COEF_OFF} AS c
+  FROM (SELECT CAST(unnest(generate_series(0, {Q.SRP_PLANES - 1})) AS INTEGER) AS i) p,
+       (SELECT CAST(unnest(generate_series(0, {d - 1})) AS INTEGER) AS j) d
+),
+dots AS (
+  SELECT x.vec_id, pl.plane, sum(x.vm * pl.c) AS dot
+  FROM x JOIN pl ON pl.dim = x.dim
+  GROUP BY x.vec_id, pl.plane
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN 1 << plane ELSE 0 END) AS s
+  FROM dots GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, b.k AS band,
+         (s >> (b.k * {Q.SRP_BAND_BITS})) & {(1 << Q.SRP_BAND_BITS) - 1} AS bits
+  FROM sig,
+       (SELECT CAST(unnest(generate_series(0, {Q.SRP_BANDS - 1})) AS INTEGER) AS k) b
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b2.vec_id AS vb
+  FROM bands a
+  JOIN bands b2 ON a.band = b2.band AND a.bits = b2.bits AND a.vec_id < b2.vec_id
+)
+SELECT c.va AS vec_id_a, c.vb AS vec_id_b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.va
+JOIN embeddings eb ON eb.vec_id = c.vb
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {Q.EMB_COS_THRESHOLD}"""

@@ -230,6 +230,7 @@ QUERY_NAMES = [
     "emb_ivf_upsert",
     "kg_decay_edges",
     "doc_mad_outliers",
+    "emb_srp_neardup",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -9581,3 +9581,101 @@ def doc_mad_outliers(sf_dir: str):
         )
 
     return mds.map_batches(flag, batch_format="pandas")
+
+
+SRP_PLANES = 16  # signature bits (hyperplanes)
+SRP_BANDS = 4  # LSH bands over the signature
+SRP_BAND_BITS = SRP_PLANES // SRP_BANDS
+SRP_COEF_MOD = 2001  # md5-derived integer coefficients in [-1000, 1000]
+SRP_COEF_OFF = 1000
+
+
+def _srp_planes(dim: int) -> np.ndarray:
+    """[SRP_PLANES, dim] int64 hyperplane coefficients derived from md5
+    — deterministic and SQL-replayable (md5_number_lower % MOD − OFF)."""
+    from .kernels.hashing import stable_u64_md5
+
+    return np.array(
+        [
+            [
+                stable_u64_md5(f"srp:{p}:{d}".encode("utf-8")) % SRP_COEF_MOD
+                - SRP_COEF_OFF
+                for d in range(dim)
+            ]
+            for p in range(SRP_PLANES)
+        ],
+        dtype=np.int64,
+    )
+
+
+def emb_srp_neardup(sf_dir: str):
+    """Signed-random-projection LSH near-dup (Charikar STOC'02 — the
+    hyperplane-hash cousin of SimHash, for embedding columns): each
+    vector gets a SRP_PLANES-bit signature (bit p = sign of the INTEGER
+    dot product of the micro-quantized vector with md5-derived integer
+    hyperplane p — floor(v·1e6) enters int64 exactly on both engines,
+    so the sign, hence the signature, is bit-exact); signatures band
+    into SRP_BANDS buckets; candidate pairs share ≥1 (band, bits)
+    bucket; exact cosine ≥ EMB_COS_THRESHOLD verifies in-bucket
+    (vectorized matmul); a pair-keyed exchange dedupes across bands.
+    The angle-LSH complement to emb_neardup_pairs' IVF buckets: no
+    centroid training, candidates bounded per bucket, no stage O(N²).
+    The SQL oracle replays quantization, planes, signatures, banding
+    and the cosine gate value-for-value."""
+    from .kernels.quantize import micro_matrix
+    from .stages.exchange import keyed_exchange
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = len(
+        pq.read_table(emb_path, columns=["embedding"]).slice(0, 1)["embedding"][0]
+    )
+    planes = _srp_planes(dim)  # [P, D] int64 — dimension-bounded closure
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def signatures(batch: pa.Table) -> pd.DataFrame:
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype="int64")
+        embs = batch["embedding"].to_pylist()
+        vm = micro_matrix(embs)  # [B, D] int64
+        dots = vm @ planes.T  # [B, P] int64 (|vm|≤1e6, |c|≤1e3, D·1e9 < 2^63)
+        sig = ((dots >= 0).astype(np.int64) << np.arange(SRP_PLANES)).sum(axis=1)
+        frames = []
+        for k in range(SRP_BANDS):
+            bits = (sig >> (k * SRP_BAND_BITS)) & ((1 << SRP_BAND_BITS) - 1)
+            frames.append(
+                pd.DataFrame(
+                    {"band": np.int64(k), "bits": bits, "vec_id": vids, "emb": embs}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band", "bits"], sort=False):
+            if len(g) < 2:
+                continue
+            vids = g["vec_id"].to_numpy()
+            m = np.stack([np.asarray(e, dtype=np.float64) for e in g["emb"]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cos = m @ m.T
+            ii, jj = np.nonzero(
+                (cos >= EMB_COS_THRESHOLD) & (vids[:, None] < vids[None, :])
+            )
+            out_a.append(vids[ii])
+            out_b.append(vids[jj])
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype="int64")
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype="int64")
+        return pd.DataFrame(
+            {"vec_id_a": a.astype("int64"), "vec_id_b": b.astype("int64")}
+        )
+
+    pairs = keyed_exchange(
+        ds.map_batches(signatures, batch_format="pyarrow", batch_size=1024),
+        ["band", "bits"],
+        bucket_pairs,
+        _xparts(sf_dir, "embeddings"),
+    )
+    # a pair can collide in up to SRP_BANDS bands — dedupe on the pair key
+    return keyed_exchange(
+        pairs, ["vec_id_a", "vec_id_b"], lambda df: df.drop_duplicates(), 2
+    )

@@ -235,3 +235,54 @@ def test_ivf_upsert_equals_recompute(ray_session):
         b = int(os.path.basename(os.path.dirname(f)).split("=")[1])
         df = pq.read_table(f, columns=["ppart"]).to_pandas()
         assert (df["ppart"] == b).all()
+
+
+def test_srp_neardup_sequential_replay(ray_session, emb):
+    """SRP pairs == a sequential replay (signatures → band collisions →
+    cosine gate); the pair set is a SUBSET of the brute-force cosine
+    graph (banding can only drop, never invent); banding is
+    load-bearing (candidates < all pairs); output non-empty."""
+    import biomedical_ner_ray.queries as Q
+
+    t, vm = emb
+    vids = t["vec_id"].to_numpy()
+    planes = Q._srp_planes(vm.shape[1])
+    dots = vm @ planes.T
+    sig = ((dots >= 0).astype(np.int64) << np.arange(Q.SRP_PLANES)).sum(axis=1)
+
+    cand = set()
+    for k in range(Q.SRP_BANDS):
+        bits = (sig >> (k * Q.SRP_BAND_BITS)) & ((1 << Q.SRP_BAND_BITS) - 1)
+        import collections
+
+        by = collections.defaultdict(list)
+        for v, b in zip(vids, bits):
+            by[b].append(v)
+        for vs in by.values():
+            vs = sorted(vs)
+            for i in range(len(vs)):
+                for j in range(i + 1, len(vs)):
+                    cand.add((vs[i], vs[j]))
+
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"]])
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = nm @ nm.T
+    idx = {v: i for i, v in enumerate(vids)}
+    exp = {
+        (a, b) for a, b in cand if cos[idx[a], idx[b]] >= Q.EMB_COS_THRESHOLD
+    }
+
+    out = Q.emb_srp_neardup("/root/testdata/sf0.01").to_pandas()
+    got = set(zip(out["vec_id_a"].tolist(), out["vec_id_b"].tolist()))
+    assert got == exp
+    assert len(got) > 0
+    # subset of the brute-force cosine graph
+    brute = {
+        (int(vids[i]), int(vids[j]))
+        for i in range(len(vids))
+        for j in range(i + 1, len(vids))
+        if cos[i, j] >= Q.EMB_COS_THRESHOLD
+    }
+    assert got <= brute
+    # banding prunes: candidate set is far below all pairs
+    assert len(cand) < len(vids) * (len(vids) - 1) // 2
