@@ -316,6 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_collocations": Q.doc_collocations,
         "doc_heavy_hitters_cms": Q.doc_heavy_hitters_cms,
         "doc_decontaminate": Q.doc_decontaminate,
+        # asymmetric containment dedup (subset-duplication detector)
+        "doc_containment_dedup": Q.doc_containment_dedup,
         "doc_stratified_sample": Q.doc_stratified_sample,
         # events: windowed + sessionized + sliding; ordered per-key windows
         "events_hourly": Q.events_hourly,
@@ -1442,6 +1444,34 @@ SELECT ev.doc_id AS eval_doc_id, tr.doc_id AS train_doc_id,
        CAST(count(*) AS BIGINT) AS n_common
 FROM ev JOIN tr ON ev.h = tr.h
 GROUP BY 1, 2 HAVING count(*) >= {Q.DECON_MIN_COMMON}""",
+        # containment self-join over the same posting rule; totals from
+        # the distinct-shingle stream; integer micro ratios, floor div
+        "doc_containment_dedup": f"""
+WITH f AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([md5_number_lower(array_to_string(ws[i:i+{Q.CONTAIN_NGRAM - 1}], ' '))
+                        for i in generate_series(1, greatest(len(ws)-{Q.CONTAIN_NGRAM - 1}, 1))])) AS h
+  FROM f WHERE len(ws) > 0
+),
+tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+keepers AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) <= {Q.CONTAIN_DF_MAX}),
+shf AS (SELECT sh.doc_id, sh.h FROM sh JOIN keepers USING (h)),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {Q.CONTAIN_MIN_COMMON}
+)
+SELECT p.da AS doc_id_a, p.db AS doc_id_b,
+       CAST(p.n_common AS BIGINT) AS n_common,
+       CAST(ta.n_sh AS BIGINT) AS n_a, CAST(tb.n_sh AS BIGINT) AS n_b,
+       CAST(1000000 * p.n_common // ta.n_sh AS BIGINT) AS cont_a_micro,
+       CAST(1000000 * p.n_common // tb.n_sh AS BIGINT) AS cont_b_micro
+FROM p JOIN tot ta ON ta.doc_id = p.da JOIN tot tb ON tb.doc_id = p.db
+WHERE greatest(1000000 * p.n_common // ta.n_sh,
+               1000000 * p.n_common // tb.n_sh) >= {Q.CONTAIN_THRESH_MICRO}""",
         "doc_stratified_sample": """
 WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 mn AS (SELECT min(n) AS mn FROM cnt),

@@ -231,6 +231,7 @@ QUERY_NAMES = [
     "kg_decay_edges",
     "doc_mad_outliers",
     "emb_srp_neardup",
+    "doc_containment_dedup",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

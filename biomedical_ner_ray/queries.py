@@ -9679,3 +9679,96 @@ def emb_srp_neardup(sf_dir: str):
     return keyed_exchange(
         pairs, ["vec_id_a", "vec_id_b"], lambda df: df.drop_duplicates(), 2
     )
+
+
+CONTAIN_NGRAM = 5
+CONTAIN_DF_MAX = 50  # heavy-hitter posting cap (the DECON_DF_MAX contract)
+CONTAIN_MIN_COMMON = 2
+CONTAIN_THRESH_MICRO = 800_000  # max-direction containment >= 0.8
+
+
+def doc_containment_dedup(sf_dir: str):
+    """Asymmetric containment dedup — catches SUBSET duplication
+    (a doc embedded in a longer one) that symmetric Jaccard under-
+    weighs: for candidate pairs, containment C(A→B) = |S_A ∩ S_B| /
+    |S_A| over distinct 5-gram shingle sets, keep pairs whose MAX
+    direction ≥ 0.8 (exact integer micro ratios, floor division).
+
+    Shape — the doc_decontaminate posting exchange, self-join flavor:
+    one text pass explodes distinct (shingle-hash, doc) rows, each
+    carrying its doc's distinct-shingle TOTAL (row-local exact — a doc
+    lives whole in its batch row, so no extra pass and no doc-keyed
+    exchange for totals); the shingle-keyed exchange drops postings
+    with df > CONTAIN_DF_MAX (declared heavy-hitter cap, same contract
+    as decontamination) and emits a<b pair partials; one pair-keyed
+    exchange sums common counts and applies the integer gates. Work is
+    Σ_shingle df², capped — no all-pairs stage."""
+    from .kernels.hashing import shingles, stable_u64_md5
+    from .kernels.textstats import WORD_RE
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        hs, ids, tots = [], [], []
+        memo: dict[str, int] = {}
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ws = WORD_RE.findall((t or "").lower())
+            if not ws:
+                continue
+            ss = shingles(ws, n=CONTAIN_NGRAM)
+            for s in ss:
+                h = memo.get(s)
+                if h is None:
+                    h = memo[s] = stable_u64_md5(s.encode("utf-8"))
+                hs.append(h)
+                ids.append(i)
+                tots.append(len(ss))
+        return pd.DataFrame(
+            {
+                "h": np.array(hs, dtype=np.uint64),
+                "doc_id": np.array(ids, dtype=np.int64),
+                "n_sh": np.array(tots, dtype=np.int64),
+            }
+        )
+
+    def pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df.groupby("h")["doc_id"].transform("size") <= CONTAIN_DF_MAX]
+        m = df.merge(df, on="h", suffixes=("_a", "_b"))
+        m = m.loc[m["doc_id_a"] < m["doc_id_b"]]
+        return (
+            m.groupby(
+                ["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"],
+                sort=False,
+                as_index=False,
+            )
+            .size()
+            .rename(columns={"size": "n_common"})
+        )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"], sort=False, as_index=False
+        )["n_common"].sum()
+        g = g.loc[g["n_common"] >= CONTAIN_MIN_COMMON]
+        nc = g["n_common"].to_numpy(dtype="int64")
+        ca = 1_000_000 * nc // g["n_sh_a"].to_numpy(dtype="int64")
+        cb = 1_000_000 * nc // g["n_sh_b"].to_numpy(dtype="int64")
+        keep = np.maximum(ca, cb) >= CONTAIN_THRESH_MICRO
+        return pd.DataFrame(
+            {
+                "doc_id_a": g["doc_id_a"].to_numpy()[keep],
+                "doc_id_b": g["doc_id_b"].to_numpy()[keep],
+                "n_common": nc[keep],
+                "n_a": g["n_sh_a"].to_numpy(dtype="int64")[keep],
+                "n_b": g["n_sh_b"].to_numpy(dtype="int64")[keep],
+                "cont_a_micro": ca[keep],
+                "cont_b_micro": cb[keep],
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    partials = keyed_exchange(
+        exploded, ["h"], pairs_part, _xparts(sf_dir, "documents")
+    )
+    return keyed_exchange(partials, ["doc_id_a", "doc_id_b"], gate, 8)

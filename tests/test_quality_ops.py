@@ -210,3 +210,48 @@ def test_mad_outliers_planted_and_replay(ray_session, tmp_path):
     mad = int(dv[math.ceil(0.5 * len(dv)) - 1])
     exp = (np.abs(out["n_tokens"].to_numpy() - med) > MAD_K * mad).astype("int64")
     assert (out["is_outlier"].to_numpy() == exp).all()
+
+
+def test_containment_dedup_catches_subset_low_jaccard(ray_session, tmp_path):
+    """A short doc fully embedded in a much longer one must flag with
+    containment 1.0 even though its Jaccard is far below the symmetric
+    near-dup threshold — the signal this operator exists for. Sequential
+    replay checks counts/ratios; unrelated docs must not pair."""
+    import numpy as np
+
+    from biomedical_ner_ray.kernels.hashing import shingles
+    from biomedical_ner_ray.kernels.textstats import WORD_RE
+    from biomedical_ner_ray.queries import (
+        CONTAIN_NGRAM,
+        CONTAIN_THRESH_MICRO,
+        doc_containment_dedup,
+    )
+
+    small = " ".join(f"alpha{i} beta{i}" for i in range(8))  # 16 words
+    big = small + " " + " ".join(f"gamma{j} delta{j}" for j in range(120))
+    texts = [small, big] + [
+        " ".join(f"noise{k}w{j}" for j in range(30)) for k in range(10)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+
+    out = doc_containment_dedup(str(tmp_path)).to_pandas()
+    assert set(zip(out["doc_id_a"], out["doc_id_b"])) == {(0, 1)}
+    row = out.iloc[0]
+
+    s0 = shingles(WORD_RE.findall(small.lower()), n=CONTAIN_NGRAM)
+    s1 = shingles(WORD_RE.findall(big.lower()), n=CONTAIN_NGRAM)
+    inter = len(s0 & s1)
+    assert row["n_common"] == inter
+    assert row["n_a"] == len(s0) and row["n_b"] == len(s1)
+    assert row["cont_a_micro"] == 1_000_000 * inter // len(s0) == 1_000_000
+    assert row["cont_b_micro"] == 1_000_000 * inter // len(s1)
+    # the asymmetric point: Jaccard is low, containment is total
+    jacc = inter / len(s0 | s1)
+    assert jacc < 0.5
+    assert max(row["cont_a_micro"], row["cont_b_micro"]) >= CONTAIN_THRESH_MICRO
