@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events: windowed + sessionized + sliding; ordered per-key windows
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
+        "events_throttle_dedup": Q.events_throttle_dedup,
         "events_sliding": Q.events_sliding,
         "events_asof": Q.events_asof,
         "events_range_join": Q.events_range_join,
@@ -1643,6 +1644,28 @@ WITH e AS (
 SELECT user_id, session_idx, min(ts) AS session_start,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, session_idx""",
+        # greedy 1-hour suppression chain replayed exactly: per-key
+        # sorted epoch-us arrays, recursive CTE jumps to the first
+        # index past kept_ts + W (searchsorted side='right' analog:
+        # count of elements <= threshold, plus one)
+        "events_throttle_dedup": f"""
+WITH RECURSIVE k AS (
+  SELECT user_id, event_type,
+         list(epoch_us(ts) ORDER BY ts, event_id) AS tss,
+         list(event_id ORDER BY ts, event_id) AS ids
+  FROM events GROUP BY user_id, event_type
+),
+walk AS (
+  SELECT user_id, event_type, tss, ids, 1 AS i FROM k
+  UNION ALL
+  SELECT user_id, event_type, tss, ids,
+         len(list_filter(tss, x -> x <= tss[i] + {Q.THROTTLE_W_US})) + 1 AS i
+  FROM walk
+  WHERE len(list_filter(tss, x -> x <= tss[i] + {Q.THROTTLE_W_US})) + 1
+        <= len(tss)
+)
+SELECT user_id, event_type, ids[i] AS event_id, make_timestamp(tss[i]) AS ts
+FROM walk""",
         "lineitem_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

@@ -232,6 +232,7 @@ QUERY_NAMES = [
     "doc_mad_outliers",
     "emb_srp_neardup",
     "doc_containment_dedup",
+    "events_throttle_dedup",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -9772,3 +9772,60 @@ def doc_containment_dedup(sf_dir: str):
         exploded, ["h"], pairs_part, _xparts(sf_dir, "documents")
     )
     return keyed_exchange(partials, ["doc_id_a", "doc_id_b"], gate, 8)
+
+
+THROTTLE_W_US = 3_600_000_000  # greedy suppression window: 1 hour
+
+
+def events_throttle_dedup(sf_dir: str):
+    """Greedy window deduplication (ingest throttling / at-least-once
+    event cleaning): within each (user, event_type) stream keep an
+    event only if it is the FIRST after the previous kept event's
+    ts + W — the data-dependent-boundary islands problem (a fixed
+    bucket keep-first can't express it: boundaries move with the kept
+    events). Deterministic order (ts, event_id); epoch-µs integer
+    threshold compare, so both engines walk identical chains.
+
+    Shape: ONE user-keyed exchange (uniform key); per (user, type) the
+    greedy walk is a searchsorted JUMP loop — O(#kept · log n), not a
+    per-row scan — over the ts-sorted stream. Per-key history is
+    calendar-bounded, so a group fits a worker at any corpus scale.
+    The oracle replays the chain exactly with a recursive CTE over
+    per-key sorted arrays."""
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def throttle(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (uid, et), g in df.groupby(["user_id", "event_type"], sort=False):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            ts = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            ids = g["event_id"].to_numpy(dtype="int64")
+            keep_idx = []
+            i, n = 0, len(ts)
+            while i < n:
+                keep_idx.append(i)
+                i = int(np.searchsorted(ts, ts[i] + THROTTLE_W_US, side="right"))
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.int64(uid),
+                        "event_type": et,
+                        "event_id": ids[keep_idx],
+                        "ts": ts[keep_idx].astype("datetime64[us]"),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_type": pd.Series(dtype="object"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return keyed_exchange(ds, ["user_id"], throttle, _xparts(sf_dir, "events"))
