@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
         "events_throttle_dedup": Q.events_throttle_dedup,
+        "events_watermark_late": Q.events_watermark_late,
         "events_sliding": Q.events_sliding,
         "events_asof": Q.events_asof,
         "events_range_join": Q.events_range_join,
@@ -1666,6 +1667,24 @@ walk AS (
 )
 SELECT user_id, event_type, ids[i] AS event_id, make_timestamp(tss[i]) AS ts
 FROM walk""",
+        # watermark = running max event-time over the md5-derived
+        # arrival order, minus the allowed lateness; late rows only
+        "events_watermark_late": f"""
+WITH a AS (
+  SELECT event_id, event_type, ts, epoch_us(ts) AS t,
+         md5_number_lower(CAST(event_id AS VARCHAR)) AS ak
+  FROM events
+),
+w AS (
+  SELECT event_id, event_type, ts, t,
+         max(t) OVER (ORDER BY ak, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+  FROM a
+)
+SELECT event_id, event_type, ts,
+       CAST(hi - {Q.WATERMARK_DELAY_US} AS BIGINT) AS watermark_us,
+       CAST(hi - {Q.WATERMARK_DELAY_US} - t AS BIGINT) AS late_by_us
+FROM w WHERE t < hi - {Q.WATERMARK_DELAY_US}""",
         "lineitem_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

@@ -233,6 +233,7 @@ QUERY_NAMES = [
     "emb_srp_neardup",
     "doc_containment_dedup",
     "events_throttle_dedup",
+    "events_watermark_late",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

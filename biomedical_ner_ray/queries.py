@@ -9829,3 +9829,104 @@ def events_throttle_dedup(sf_dir: str):
         return pd.concat(out, ignore_index=True)
 
     return keyed_exchange(ds, ["user_id"], throttle, _xparts(sf_dir, "events"))
+
+
+WATERMARK_DELAY_US = 14 * 24 * 3_600_000_000  # allowed event-time lateness
+WATERMARK_BUCKET_BITS = 58  # 64 arrival-range buckets (u64 >> 58)
+_WM_NEG_INF = -(1 << 62)
+
+
+def events_watermark_late(sf_dir: str):
+    """Streaming watermark semantics (late-event detection): a stream
+    processed in ARRIVAL order carries a low watermark = max event-time
+    seen so far minus an allowed-lateness delay; an event whose
+    event-time falls below the watermark at its arrival is late
+    (dropped or side-outputed by a real ingest). The fixture has no
+    arrival column (its ts is monotone in event_id), so arrival order
+    is DERIVED deterministically as the md5 rank of the event id — a
+    declared synthetic arrival shuffle, identical on both engines; a
+    real ingest supplies its own arrival sequence through the same
+    plumbing.
+
+    Shape: the global running max over arrival order is a two-phase
+    scan, like events_running_total but with MAX. Arrival keys are
+    uniform u64 hashes, so their top bits RANGE-partition arrival
+    order into buckets: (1) one cheap pass aggregates per-bucket max
+    event-time (bucket-count rows to the driver — constant-size,
+    legitimate); the driver takes the exclusive prefix max over bucket
+    order and broadcasts the tiny dict; (2) ONE bucket-keyed exchange
+    sorts each bucket by (arrival key, event_id), takes the exclusive
+    local cummax, combines with the bucket prefix, and filters late
+    rows — all epoch-µs integers, so both engines walk identical
+    chains. Work per partition is bounded by the bucket; no global
+    sort, no driver row traffic beyond the bucket maxima."""
+    from .kernels.hashing import stable_u64_md5
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy(dtype="int64")
+        ak = np.fromiter(
+            (stable_u64_md5(str(int(e)).encode()) for e in ids),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "event_type": df["event_type"].to_numpy(dtype=object),
+                "ak": ak,
+                "t": df["ts"].to_numpy(dtype="datetime64[us]").astype("int64"),
+                "bucket": (ak >> np.uint64(WATERMARK_BUCKET_BITS)).astype("int64"),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+
+    # phase 1: per-bucket max event-time (constant-size result) -> the
+    # driver's exclusive prefix max over bucket order, broadcast tiny.
+    bmax = (
+        prepped.groupby("bucket")
+        .aggregate(Max("t"))
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    prefix = {}
+    hi = _WM_NEG_INF
+    for b, m in zip(bmax["bucket"], bmax["max(t)"]):
+        prefix[int(b)] = hi
+        hi = max(hi, int(m))
+
+    # phase 2: one bucket-keyed exchange; local exclusive cummax plus
+    # the bucket's exclusive prefix gives the watermark at each arrival.
+    def late_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b, g in df.groupby("bucket", sort=False):
+            g = g.sort_values(["ak", "event_id"], kind="mergesort").reset_index(drop=True)
+            t = g["t"].to_numpy(dtype="int64")
+            excl = np.empty_like(t)
+            excl[0] = _WM_NEG_INF
+            if len(t) > 1:
+                np.maximum.accumulate(t[:-1], out=excl[1:])
+            wm = np.maximum(excl, prefix.get(int(b), _WM_NEG_INF)) - WATERMARK_DELAY_US
+            late = t < wm
+            part = g.loc[late, ["event_id", "event_type"]].reset_index(drop=True)
+            part["ts"] = t[late].astype("datetime64[us]")
+            part["watermark_us"] = wm[late]
+            part["late_by_us"] = wm[late] - t[late]
+            out.append(part)
+        if not out:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "event_type": pd.Series(dtype="object"),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                    "watermark_us": pd.Series(dtype="int64"),
+                    "late_by_us": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    res = keyed_exchange(prepped, ["bucket"], late_rows, _xparts(sf_dir, "events"))
+    return res
