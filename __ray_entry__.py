@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # asymmetric containment dedup (subset-duplication detector)
         "doc_containment_dedup": Q.doc_containment_dedup,
         "doc_stratified_sample": Q.doc_stratified_sample,
+        "doc_shard_assign": Q.doc_shard_assign,
         # events: windowed + sessionized + sliding; ordered per-key windows
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -1667,6 +1668,20 @@ walk AS (
 )
 SELECT user_id, event_type, ids[i] AS event_id, make_timestamp(tss[i]) AS ts
 FROM walk""",
+        # rendezvous hashing: argmax of md5(doc:shard) over the shard
+        # range; ties (2^-64) break to the lowest shard id
+        "doc_shard_assign": f"""
+WITH s AS (SELECT unnest(generate_series(0, {Q.HRW_NUM_SHARDS - 1})) AS shard),
+r AS (
+  SELECT d.doc_id, s.shard,
+         row_number() OVER (
+           PARTITION BY d.doc_id
+           ORDER BY md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                     CAST(s.shard AS VARCHAR)) DESC,
+                    s.shard ASC) AS rn
+  FROM documents d CROSS JOIN s
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM r WHERE rn = 1""",
         # watermark = running max event-time over the md5-derived
         # arrival order, minus the allowed lateness; late rows only
         "events_watermark_late": f"""

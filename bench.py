@@ -234,6 +234,7 @@ QUERY_NAMES = [
     "doc_containment_dedup",
     "events_throttle_dedup",
     "events_watermark_late",
+    "doc_shard_assign",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -9930,3 +9930,41 @@ def events_watermark_late(sf_dir: str):
 
     res = keyed_exchange(prepped, ["bucket"], late_rows, _xparts(sf_dir, "events"))
     return res
+
+
+HRW_NUM_SHARDS = 12
+
+
+def doc_shard_assign(sf_dir: str):
+    """Rendezvous (highest-random-weight) shard assignment — the
+    stable resharding primitive (Thaler & Ravishankar ToN'98; what
+    consistent-hashing routers and object stores use so that growing
+    the shard count moves only ~1/(N+1) of keys, every moved key going
+    TO the new shard). Each doc scores every shard with
+    md5(doc_id:shard) and lands on the argmax.
+
+    Shape: perfectly row-local — one map_batches pass, no exchange, no
+    driver traffic; the N-way score is a (batch × N) u64 matrix argmax.
+    At 100 TB this is the cheapest possible operator class (embarrassed
+    parallel over blocks); determinism across engines comes from the
+    md5_number_lower hash both sides share. Ties (2^-64) break to the
+    lowest shard id on both engines."""
+    from .kernels.hashing import stable_u64_md5
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        scores = np.empty((len(ids), HRW_NUM_SHARDS), dtype=np.uint64)
+        for s in range(HRW_NUM_SHARDS):
+            suffix = f":{s}".encode()
+            scores[:, s] = np.fromiter(
+                (stable_u64_md5(str(int(d)).encode() + suffix) for d in ids),
+                dtype=np.uint64,
+                count=len(ids),
+            )
+        return pd.DataFrame(
+            {"doc_id": ids, "shard": scores.argmax(axis=1).astype("int64")}
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
