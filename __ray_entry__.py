@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment_dedup": Q.doc_containment_dedup,
         "doc_stratified_sample": Q.doc_stratified_sample,
         "doc_shard_assign": Q.doc_shard_assign,
+        "doc_source_kmv": Q.doc_source_kmv,
         # events: windowed + sessionized + sliding; ordered per-key windows
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -1668,6 +1669,44 @@ walk AS (
 )
 SELECT user_id, event_type, ids[i] AS event_id, make_timestamp(tss[i]) AS ts
 FROM walk""",
+        # KMV bottom-k signatures per source vocabulary; pairwise
+        # union bottom-k membership count; integer micro estimate
+        "doc_source_kmv": f"""
+WITH w AS (
+  SELECT source, unnest(list_distinct(regexp_extract_all(lower(text), '\\w+'))) AS w
+  FROM documents
+),
+h AS (SELECT DISTINCT source, md5_number_lower(w) AS h FROM w),
+sig AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM h) WHERE rn <= {Q.KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+pair AS (SELECT a.source AS sa, b.source AS sb
+         FROM srcs a JOIN srcs b ON a.source < b.source),
+ph AS (
+  SELECT DISTINCT p.sa, p.sb, s.h
+  FROM pair p JOIN sig s ON s.source = p.sa OR s.source = p.sb
+),
+pk AS (
+  SELECT sa, sb, h FROM (
+    SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM ph) WHERE rn <= {Q.KMV_K}
+),
+den AS (SELECT sa, sb, count(*) AS kk FROM pk GROUP BY sa, sb),
+nc AS (
+  SELECT pk.sa, pk.sb, count(*) AS n_common
+  FROM pk
+  JOIN sig x ON x.source = pk.sa AND x.h = pk.h
+  JOIN sig y ON y.source = pk.sb AND y.h = pk.h
+  GROUP BY pk.sa, pk.sb
+)
+SELECT den.sa AS source_a, den.sb AS source_b,
+       CAST(den.kk AS BIGINT) AS k_used,
+       CAST(coalesce(nc.n_common, 0) AS BIGINT) AS n_common,
+       CAST(1000000 * coalesce(nc.n_common, 0) // den.kk AS BIGINT) AS j_est_micro
+FROM den LEFT JOIN nc ON nc.sa = den.sa AND nc.sb = den.sb""",
         # rendezvous hashing: argmax of md5(doc:shard) over the shard
         # range; ties (2^-64) break to the lowest shard id
         "doc_shard_assign": f"""

@@ -235,6 +235,7 @@ QUERY_NAMES = [
     "events_throttle_dedup",
     "events_watermark_late",
     "doc_shard_assign",
+    "doc_source_kmv",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

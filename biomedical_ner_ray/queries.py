@@ -9968,3 +9968,72 @@ def doc_shard_assign(sf_dir: str):
         )
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+KMV_K = 128
+
+
+def doc_source_kmv(sf_dir: str):
+    """Bottom-k (KMV) sketch Jaccard between source vocabularies —
+    the constant-space corpus-overlap estimator (Bar-Yossef et al.
+    RANDOM'02; Beyer et al. SIGMOD'07): each source keeps only its k
+    smallest distinct md5 word hashes; for a pair, the k smallest of
+    the union are inspected and J ≈ |in both| / k. Estimates are
+    bit-deterministic here (same md5 both engines, integer micro
+    ratio, floor division) so the oracle hash-matches despite the
+    operator being an approximation OF the exact Jaccard.
+
+    Shape: per-block partials already truncate to k rows per source
+    (bounded regardless of block text volume); ONE source-keyed
+    exchange merges distinct bottom-k; the S×k signature table — the
+    sketch, constant-size by construction — is the one legitimate
+    driver collect, and the pair math is driver-local over it. At
+    100 TB the corpus never moves: only k·S u64s do."""
+    from .kernels.hashing import stable_u64_md5
+    from .kernels.textstats import WORD_RE
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        acc: dict[str, set[int]] = {}
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            hs = acc.setdefault(s, set())
+            for w in set(WORD_RE.findall(t.lower())):
+                hs.add(stable_u64_md5(w.encode("utf-8")))
+        rows_s, rows_h = [], []
+        for s, hs in acc.items():
+            for h in sorted(hs)[:KMV_K]:
+                rows_s.append(s)
+                rows_h.append(h)
+        return pd.DataFrame(
+            {"source": rows_s, "h": np.array(rows_h, dtype=np.uint64)}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for s, g in df.groupby("source", sort=False):
+            hs = np.unique(g["h"].to_numpy(dtype=np.uint64))[:KMV_K]
+            out.append(pd.DataFrame({"source": s, "h": hs}))
+        return pd.concat(out, ignore_index=True) if out else df.iloc[:0]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    sigs = keyed_exchange(parts, ["source"], combine, 8).to_pandas()
+
+    bysrc = {
+        s: set(int(h) for h in g["h"]) for s, g in sigs.groupby("source")
+    }
+    srcs = sorted(bysrc)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            union_k = sorted(bysrc[a] | bysrc[b])[:KMV_K]
+            kk = len(union_k)
+            n_common = sum(1 for h in union_k if h in bysrc[a] and h in bysrc[b])
+            rows.append((a, b, kk, n_common, 1_000_000 * n_common // kk))
+    return pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "k_used", "n_common", "j_est_micro"],
+    ).astype(
+        {"k_used": "int64", "n_common": "int64", "j_est_micro": "int64"}
+    )
