@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": Q.doc_stratified_sample,
         "doc_shard_assign": Q.doc_shard_assign,
         "doc_source_kmv": Q.doc_source_kmv,
+        "doc_gate_attrition": Q.doc_gate_attrition,
         # events: windowed + sessionized + sliding; ordered per-key windows
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -1669,6 +1670,41 @@ walk AS (
 )
 SELECT user_id, event_type, ids[i] AS event_id, make_timestamp(tss[i]) AS ts
 FROM walk""",
+        # first-failing-gate attribution: integer cross-multiplied
+        # gate predicates, 5-value domain counted then funnel-cumulated
+        "doc_gate_attrition": f"""
+WITH f AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks,
+         regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+  FROM documents
+), g AS (
+  SELECT length(text) AS n_chars, len(toks) AS n_tokens, len(ws) AS n_words,
+         len(list_filter(toks, t -> regexp_matches(t, '^[^\\w\\s]$'))) AS n_punct,
+         len(list_filter(ws, w -> list_contains({en}, w))) AS n_stop,
+         len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$'))) AS n_digit
+  FROM f
+), ff AS (
+  SELECT CASE
+    WHEN NOT (n_chars BETWEEN 20 AND 100000) THEN 0
+    WHEN NOT (n_words > 0 AND 20 * n_stop >= n_words) THEN 1
+    WHEN NOT (2 * n_punct <= n_tokens) THEN 2
+    WHEN NOT (2 * n_digit <= n_words) THEN 3
+    ELSE 4 END AS gate_idx
+  FROM g
+), cnt AS (SELECT gate_idx, count(*) AS n FROM ff GROUP BY gate_idx),
+idx AS (SELECT unnest(generate_series(0, 4)) AS gate_idx),
+c2 AS (SELECT idx.gate_idx, coalesce(cnt.n, 0) AS n
+       FROM idx LEFT JOIN cnt USING (gate_idx))
+SELECT CAST(gate_idx AS BIGINT) AS gate_idx,
+       CASE gate_idx WHEN 0 THEN 'length' WHEN 1 THEN 'stopword'
+            WHEN 2 THEN 'punct' WHEN 3 THEN 'digit' ELSE 'pass' END AS gate,
+       CAST((SELECT count(*) FROM documents)
+            - coalesce(sum(n) OVER (ORDER BY gate_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS n_reached,
+       CAST(CASE WHEN gate_idx = 4 THEN 0 ELSE n END AS BIGINT) AS n_failed_first
+FROM c2""",
         # KMV bottom-k signatures per source vocabulary; pairwise
         # union bottom-k membership count; integer micro estimate
         "doc_source_kmv": f"""

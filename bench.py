@@ -236,6 +236,7 @@ QUERY_NAMES = [
     "events_watermark_late",
     "doc_shard_assign",
     "doc_source_kmv",
+    "doc_gate_attrition",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

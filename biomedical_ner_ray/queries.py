@@ -10037,3 +10037,67 @@ def doc_source_kmv(sf_dir: str):
     ).astype(
         {"k_used": "int64", "n_common": "int64", "j_est_micro": "int64"}
     )
+
+
+GATE_NAMES = ["length", "stopword", "punct", "digit", "pass"]
+
+
+def doc_gate_attrition(sf_dir: str):
+    """First-failing-gate attrition report over the quality funnel —
+    the curation ops dashboard (which gate eats the corpus?): each doc
+    is attributed to the FIRST gate it fails in the declared order
+    length → stopword → punct → digit, and the report carries, per
+    gate, how many docs reached it and how many died there. Gate
+    predicates are the quality_gate_count ones restated as integer
+    cross-multiplications (20·n_stop ≥ n_words etc.) so both engines
+    decide identically with no float ratios.
+
+    Shape: row-local classification per block, per-block partial
+    counts over a 5-value domain, constant-size driver combine — the
+    cheapest operator class; at 100 TB the only traffic is 5 counters
+    per block."""
+    from .kernels.textstats import EN_STOPWORDS, PUNCT_TOKEN_RE, words
+    from .kernels.tokenize import TOKEN_RE
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        counts = np.zeros(5, dtype=np.int64)
+        for t in batch["text"].to_pylist():
+            toks = TOKEN_RE.findall(t)
+            ws = words(t)
+            n_chars, n_tokens, n_words = len(t), len(toks), len(ws)
+            n_punct = sum(1 for x in toks if PUNCT_TOKEN_RE.match(x))
+            n_stop = sum(1 for w in ws if w in EN_STOPWORDS)
+            n_digit = sum(1 for w in ws if w.isdigit())
+            if not (20 <= n_chars <= 100000):
+                g = 0
+            elif not (n_words > 0 and 20 * n_stop >= n_words):
+                g = 1
+            elif not (2 * n_punct <= n_tokens):
+                g = 2
+            elif not (2 * n_digit <= n_words):
+                g = 3
+            else:
+                g = 4
+            counts[g] += 1
+        return pd.DataFrame({"gate_idx": np.arange(5, dtype=np.int64), "n": counts})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("gate_idx", as_index=False)["n"]
+        .sum()
+        .sort_values("gate_idx", ignore_index=True)
+    )
+    n = agg["n"].to_numpy()
+    total = int(n.sum())
+    failed_before = np.concatenate([[0], np.cumsum(n[:-1])])
+    return pd.DataFrame(
+        {
+            "gate_idx": np.arange(5, dtype=np.int64),
+            "gate": GATE_NAMES,
+            "n_reached": (total - failed_before).astype("int64"),
+            "n_failed_first": np.where(np.arange(5) == 4, 0, n).astype("int64"),
+        }
+    )
