@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shard_assign": Q.doc_shard_assign,
         "doc_source_kmv": Q.doc_source_kmv,
         "doc_gate_attrition": Q.doc_gate_attrition,
+        "doc_dedup_eval": Q.doc_dedup_eval,
         # events: windowed + sessionized + sliding; ordered per-key windows
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -483,7 +484,10 @@ sh AS (
 )"""
 
 
-def _minhash_sql() -> str:
+def _minhash_cand_prefix() -> str:
+    """Shared CTE chain (shingles → signatures → band keys → DISTINCT
+    candidate pairs) used by both the near-dup oracle and the LSH
+    evaluation oracle, so the band rule can never drift between them."""
     a, b = minhash_params()
     perms = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a))
@@ -507,7 +511,14 @@ bandk AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
   FROM bandk a JOIN bandk b ON a.key = b.key AND a.doc_id < b.doc_id
-),
+)"""
+    )
+
+
+def _minhash_sql() -> str:
+    return (
+        _minhash_cand_prefix()
+        + f""",
 ver AS (
   SELECT c.da, c.db,
          len(list_intersect(sa.hv, sb.hv)) AS nc,
@@ -517,6 +528,40 @@ ver AS (
 SELECT da AS doc_id_a, db AS doc_id_b,
        CAST(nc AS BIGINT) AS n_common, CAST(nu AS BIGINT) AS n_union
 FROM ver WHERE nu > 0 AND {JACCARD_DEN} * nc >= {JACCARD_NUM} * nu"""
+    )
+
+
+def _dedup_eval_sql() -> str:
+    """Confusion of the band CANDIDATE set against exact posting-join
+    ground truth (J ≥ 4/5). The truth side joins uncapped shingle
+    postings — all-pairs work belongs in the oracle; the engine side
+    declares the same operator eval-scale."""
+    return (
+        _minhash_cand_prefix()
+        + f""",
+post AS (SELECT doc_id, unnest(hv) AS h, len(hv) AS n_sh FROM sh),
+pp AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nc,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (SELECT da, db FROM pp
+          WHERE {JACCARD_DEN} * nc >= {JACCARD_NUM} * (na + nb - nc)),
+tpx AS (SELECT count(*) AS v FROM cand JOIN truth
+        ON cand.da = truth.da AND cand.db = truth.db),
+ncx AS (SELECT count(*) AS v FROM cand),
+ntx AS (SELECT count(*) AS v FROM truth)
+SELECT CAST(ncx.v AS BIGINT) AS n_candidates,
+       CAST(ntx.v AS BIGINT) AS n_true,
+       CAST(tpx.v AS BIGINT) AS tp,
+       CAST(ncx.v - tpx.v AS BIGINT) AS fp,
+       CAST(ntx.v - tpx.v AS BIGINT) AS fn,
+       CAST(CASE WHEN ncx.v = 0 THEN 0
+            ELSE 1000000 * tpx.v // ncx.v END AS BIGINT) AS precision_micro,
+       CAST(CASE WHEN ntx.v = 0 THEN 0
+            ELSE 1000000 * tpx.v // ntx.v END AS BIGINT) AS recall_micro
+FROM tpx, ncx, ntx"""
     )
 
 
@@ -2029,6 +2074,7 @@ SELECT bucket, sub, COUNT(*) AS n_vecs,
        MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
 FROM k GROUP BY bucket, sub""",
         "doc_dedup_minhash": _minhash_sql(),
+        "doc_dedup_eval": _dedup_eval_sql(),
         "doc_dedup_minhash_join": _minhash_sql(),
         "doc_dedup_incremental": _minhash_incr_sql(),
         "doc_dedup_clusters": _clusters_sql(),

@@ -237,6 +237,7 @@ QUERY_NAMES = [
     "doc_shard_assign",
     "doc_source_kmv",
     "doc_gate_attrition",
+    "doc_dedup_eval",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -10101,3 +10101,119 @@ def doc_gate_attrition(sf_dir: str):
             "n_failed_first": np.where(np.arange(5) == 4, 0, n).astype("int64"),
         }
     )
+
+
+def doc_dedup_eval(sf_dir: str):
+    """LSH quality evaluation — confusion of the MinHash band
+    CANDIDATE set (pre-verify bucket pairs) against exact ground truth
+    (all pairs with shingle Jaccard ≥ 4/5): the measurement a curation
+    team runs before trusting a banding config at corpus scale. FP =
+    bucket collisions below the threshold (the verify stage's cost);
+    FN = true near-dups that never collided in any band (the recall
+    loss banding trades for scale). Integer micro precision/recall.
+
+    Shape: the candidate side is the production band exchange; the
+    truth side is an UNCAPPED shingle-posting exchange (work Σ df² —
+    exact by construction since every J ≥ 4/5 pair shares a shingle).
+    Ground truth is inherently quadratic in hot postings, so this
+    operator is declared EVAL-SCALE: run it on a sample shard, not the
+    full corpus — the measurement generalizes, the cost doesn't. The
+    confusion join is one side-tagged pair-keyed exchange; only six
+    counters reach the driver."""
+    from .stages.dedup import (
+        JACCARD_DEN,
+        JACCARD_NUM,
+        _bucket_pairs,
+        _dedup_pairs,
+        _minhash_band_rows_lite,
+        shingle_hashes,
+    )
+    from .stages.exchange import keyed_exchange
+
+    P = _xparts(sf_dir, "documents")
+
+    def docs():
+        return _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    bands = docs().map_batches(_minhash_band_rows_lite, batch_format="pyarrow")
+    cand_raw = keyed_exchange(bands, ["band_key"], _bucket_pairs, P)
+    cands = keyed_exchange(cand_raw, ["doc_id_a", "doc_id_b"], _dedup_pairs, 2)
+
+    def postings(batch: pa.Table) -> pd.DataFrame:
+        ids, hs, tots = [], [], []
+        cache: dict = {}
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            hv = shingle_hashes(text, cache=cache)
+            n = len(hv)
+            for h in hv.view(np.int64).tolist():
+                ids.append(doc_id)
+                hs.append(h)
+                tots.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "h": np.array(hs, dtype=np.int64),
+                "n_sh": np.array(tots, dtype=np.int64),
+            }
+        )
+
+    def pairs_in_posting(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("h", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            ns = g["n_sh"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.append((ids[i], ids[j], ns[i], ns[j]))
+        return pd.DataFrame(
+            out, columns=["doc_id_a", "doc_id_b", "n_a", "n_b"]
+        ).astype("int64")
+
+    def pair_gate(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["doc_id_a", "doc_id_b", "n_a", "n_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "nc"})
+        )
+        nu = g["n_a"] + g["n_b"] - g["nc"]
+        keep = JACCARD_DEN * g["nc"] >= JACCARD_NUM * nu
+        return g.loc[keep, ["doc_id_a", "doc_id_b"]]
+
+    posts = docs().map_batches(postings, batch_format="pyarrow")
+    pair_parts = keyed_exchange(posts, ["h"], pairs_in_posting, P)
+    truth = keyed_exchange(pair_parts, ["doc_id_a", "doc_id_b"], pair_gate, P)
+
+    c_t = cands.map_batches(
+        lambda df: df[["doc_id_a", "doc_id_b"]].assign(side=np.int64(0)),
+        batch_format="pandas",
+    )
+    t_t = truth.map_batches(
+        lambda df: df.assign(side=np.int64(1)), batch_format="pandas"
+    )
+
+    def confuse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_id_a", "doc_id_b"])["side"].agg(["min", "count"])
+        tp = int((g["count"] == 2).sum())
+        fp = int(((g["count"] == 1) & (g["min"] == 0)).sum())
+        fn = int(((g["count"] == 1) & (g["min"] == 1)).sum())
+        return pd.DataFrame({"tp": [tp], "fp": [fp], "fn": [fn]})
+
+    parts = keyed_exchange(
+        c_t.union(t_t), ["doc_id_a", "doc_id_b"], confuse, P
+    ).to_pandas()
+    tp, fp, fn = int(parts["tp"].sum()), int(parts["fp"].sum()), int(parts["fn"].sum())
+    n_cand, n_true = tp + fp, tp + fn
+    return pd.DataFrame(
+        {
+            "n_candidates": [n_cand],
+            "n_true": [n_true],
+            "tp": [tp],
+            "fp": [fp],
+            "fn": [fn],
+            "precision_micro": [1_000_000 * tp // n_cand if n_cand else 0],
+            "recall_micro": [1_000_000 * tp // n_true if n_true else 0],
+        }
+    ).astype("int64")
