@@ -323,11 +323,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_kmv": Q.doc_source_kmv,
         "doc_gate_attrition": Q.doc_gate_attrition,
         "doc_dedup_eval": Q.doc_dedup_eval,
+        "doc_nucleus_cut": Q.doc_nucleus_cut,
+        "emb_dim_truncation_eval": Q.emb_dim_truncation_eval,
         # events: windowed + sessionized + sliding; ordered per-key windows
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
         "events_throttle_dedup": Q.events_throttle_dedup,
         "events_watermark_late": Q.events_watermark_late,
+        "events_session_trigrams": Q.events_session_trigrams,
         "events_sliding": Q.events_sliding,
         "events_asof": Q.events_asof,
         "events_range_join": Q.events_range_join,
@@ -1715,6 +1718,25 @@ walk AS (
 )
 SELECT user_id, event_type, ids[i] AS event_id, make_timestamp(tss[i]) AS ts
 FROM walk""",
+        # per-source (n_chars desc, doc_id) prefix while exclusive
+        # cumsum*10 < 9*total; inclusive cumsum carried for audit
+        "doc_nucleus_cut": f"""
+WITH o AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cum_before,
+         sum(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_chars,
+         sum(n_chars) OVER (PARTITION BY source) AS total
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(cum_chars AS BIGINT) AS cum_chars
+FROM o
+WHERE {Q.NUCLEUS_DEN} * coalesce(cum_before, 0) < {Q.NUCLEUS_NUM} * total""",
         # first-failing-gate attribution: integer cross-multiplied
         # gate predicates, 5-value domain counted then funnel-cumulated
         "doc_gate_attrition": f"""
@@ -1802,6 +1824,33 @@ r AS (
   FROM documents d CROSS JOIN s
 )
 SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM r WHERE rn = 1""",
+        # sessionize exactly like events_sessions, then lead() twice
+        # within the session for contiguous trigram counts
+        "events_session_trigrams": """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e
+), t AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w2 AS t2,
+         lead(event_type, 2) OVER w2 AS t3,
+         sess,
+         lead(sess, 1) OVER w2 AS sess2,
+         lead(sess, 2) OVER w2 AS sess3
+  FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM t WHERE sess2 = sess AND sess3 = sess
+GROUP BY t1, t2, t3""",
         # watermark = running max event-time over the md5-derived
         # arrival order, minus the allowed lateness; late rows only
         "events_watermark_late": f"""
@@ -2430,6 +2479,38 @@ SELECT doc_id, n_bigrams, n_rare,
                  ELSE (1000 * n_rare) // n_bigrams END AS BIGINT) AS rare_permille
 FROM per""",
         "ann_topk": _ann_exact_sql(),
+        # same brute-force rule twice — full dims and the 32-dim list
+        # prefix (renormalization can't change a cosine ranking) —
+        # then a per-query overlap join
+        "emb_dim_truncation_eval": f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {Q.ANN_N_QUERIES}
+), scf AS (
+  SELECT q.qid, e.vec_id AS vid,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+), rf AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk
+    FROM scf) WHERE rnk <= {Q.ANN_K}
+), sct AS (
+  SELECT q.qid, e.vec_id AS vid,
+         list_cosine_similarity(q.qe[1:{Q.MRL_TRUNC_DIM}],
+                                e.embedding[1:{Q.MRL_TRUNC_DIM}]) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+), rt AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk
+    FROM sct) WHERE rnk <= {Q.ANN_K}
+), ov AS (
+  SELECT rf.qid, count(*) AS n_overlap
+  FROM rf JOIN rt ON rf.qid = rt.qid AND rf.vid = rt.vid GROUP BY rf.qid
+)
+SELECT q.qid AS query_id,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(1000000 * coalesce(ov.n_overlap, 0) // {Q.ANN_K} AS BIGINT) AS recall_micro
+FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN ov ON ov.qid = q.qid""",
         "emb_power_iteration": _power_iteration_sql(),
         "doc_dedup_ppjoin": """
 WITH f AS (

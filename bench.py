@@ -238,6 +238,9 @@ QUERY_NAMES = [
     "doc_source_kmv",
     "doc_gate_attrition",
     "doc_dedup_eval",
+    "events_session_trigrams",
+    "doc_nucleus_cut",
+    "emb_dim_truncation_eval",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -10217,3 +10217,180 @@ def doc_dedup_eval(sf_dir: str):
             "recall_micro": [1_000_000 * tp // n_true if n_true else 0],
         }
     ).astype("int64")
+
+
+def events_session_trigrams(sf_dir: str):
+    """Sequential pattern mining (contiguous length-3 behavior motifs
+    within 30-min sessions — the PrefixSpan-lite funnel-discovery
+    pass). Trigram domain is |event_type|³ — BOUNDED — so after ONE
+    user-keyed exchange (sessionize + vectorized shift-mask trigram
+    count per partition) the partial counts are a ≤125-row table per
+    partition and the global combine is a constant-size driver fold,
+    the same class as doc_gate_attrition. Session rule is identical to
+    events_sessions (strict 30-min gap, (ts, event_id) order) so the
+    two operators can't drift."""
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+            gap = g["ts"].diff()
+            sess = (gap.isna() | (gap > pd.Timedelta(minutes=30))).cumsum()
+            t = pd.DataFrame(
+                {
+                    "t1": g["event_type"],
+                    "t2": g["event_type"].shift(-1),
+                    "t3": g["event_type"].shift(-2),
+                    "same": (sess == sess.shift(-1)) & (sess == sess.shift(-2)),
+                }
+            )
+            outs.append(t[t["same"]].drop(columns="same"))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "t1": pd.Series(dtype="object"),
+                    "t2": pd.Series(dtype="object"),
+                    "t3": pd.Series(dtype="object"),
+                    "n_occurrences": pd.Series(dtype="int64"),
+                }
+            )
+        tri = pd.concat(outs, ignore_index=True)
+        return (
+            tri.groupby(["t1", "t2", "t3"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_occurrences"})
+            .astype({"n_occurrences": "int64"})
+        )
+
+    parts = keyed_exchange(ds, ["user_id"], partial, _xparts(sf_dir, "events"))
+    return (
+        parts.to_pandas()
+        .groupby(["t1", "t2", "t3"], as_index=False)["n_occurrences"]
+        .sum()
+        .astype({"n_occurrences": "int64"})
+    )
+
+
+NUCLEUS_NUM, NUCLEUS_DEN = 9, 10  # keep the minimal prefix with >= 90% mass
+
+
+def doc_nucleus_cut(sf_dir: str):
+    """Per-source nucleus (top-p) cut — keep, per source, the MINIMAL
+    prefix of docs in (n_chars desc, doc_id asc) order whose cumulative
+    length reaches ≥ 90% of the source's total: the mass-targeted
+    sibling of count-targeted top-N sampling (doc_stratified_topn), the
+    shape nucleus sampling applies to token distributions. A doc is
+    kept iff its EXCLUSIVE running total is still short of the target
+    (10·cum_before < 9·total — all integer, no float shares).
+
+    Shape: ONE source-keyed exchange; per source a vectorized sort +
+    cumsum. Source cardinality is corpus-scale-friendly (groups are
+    per-source, not per-doc); a pathologically hot source bounds one
+    partition — the doc_stratified_topn caveat applies and the same
+    per-block pre-truncation fix would ride here (a block's docs below
+    its local 90% prefix can never enter the global prefix... they CAN
+    — pre-truncation is NOT sound for mass targets, so this operator
+    ships the full source through the exchange and says so)."""
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("source", sort=False):
+            g = g.sort_values(
+                ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).reset_index(drop=True)
+            n = g["n_chars"].to_numpy(dtype="int64")
+            total = int(n.sum())
+            cum_before = np.concatenate([[0], np.cumsum(n[:-1])])
+            keep = NUCLEUS_DEN * cum_before < NUCLEUS_NUM * total
+            kept = g.loc[keep, ["doc_id", "source", "n_chars"]].reset_index(drop=True)
+            kept["cum_chars"] = np.cumsum(n[keep]).astype("int64")
+            outs.append(kept)
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "source": pd.Series(dtype="object"),
+                "n_chars": pd.Series(dtype="int64"),
+                "cum_chars": pd.Series(dtype="int64"),
+            }
+        )
+
+    return keyed_exchange(ds, ["source"], cut, _xparts(sf_dir, "documents"))
+
+
+MRL_TRUNC_DIM = 32  # Matryoshka-style prefix truncation (64 -> 32 dims)
+
+
+def emb_dim_truncation_eval(sf_dir: str):
+    """Matryoshka-style dimension-truncation evaluation (Kusupati et
+    al. NeurIPS'22 shape): retrieval recall@k of PREFIX-TRUNCATED
+    embeddings (first 32 of 64 dims, renormalized) against the
+    full-dimension exact top-k — the measurement that justifies
+    serving a cheaper index. Per query: |top-k ∩ top-k_trunc| and the
+    integer micro recall.
+
+    Shape: ONE scan computes BOTH rankings (two matmuls per batch
+    against the broadcast query matrix — the ann_topk partial-top-k
+    pattern, candidate stream O(batches·Q·k) each); the per-query
+    merge and overlap count are Q·k-bounded driver work. Float-tie
+    determinism rides the same (cos desc, vid asc) tie-break contract
+    the existing ANN oracles hold on this fixture."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", ANN_N_QUERIES)],
+    )
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < ANN_N_QUERIES].sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy()
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qfull = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qtr = qm[:, :MRL_TRUNC_DIM] / np.linalg.norm(
+        qm[:, :MRL_TRUNC_DIM], axis=1, keepdims=True
+    )
+    q_ref = ray.put((qids, qfull, qtr))
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from .state.broadcast import resolve
+
+        qids_, qf, qt_ = resolve(q_ref)
+        vids = np.asarray(batch["vec_id"].to_pylist())
+        mat = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in batch["embedding"].to_pylist()]
+        )
+        full = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        tr = mat[:, :MRL_TRUNC_DIM] / np.linalg.norm(
+            mat[:, :MRL_TRUNC_DIM], axis=1, keepdims=True
+        )
+        rows = []
+        k = min(ANN_K + 1, len(vids))
+        for side, cos in ((0, qf @ full.T), (1, qt_ @ tr.T)):
+            for qi, qid in enumerate(qids_):
+                idx = np.argpartition(-cos[qi], k - 1)[:k]
+                for j in idx:
+                    if vids[j] == qid:
+                        continue
+                    rows.append((side, int(qid), int(vids[j]), float(cos[qi, j])))
+        return pd.DataFrame(rows, columns=["side", "query_id", "neighbor_id", "cos"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+    df = partials.to_pandas()  # bounded: O(batches * Q * k * 2)
+    out = []
+    for qid, g in df.groupby("query_id", sort=True):
+        tops = {}
+        for side, gs in g.groupby("side"):
+            gs = gs.sort_values(["cos", "neighbor_id"], ascending=[False, True])
+            tops[side] = set(gs["neighbor_id"].head(ANN_K))
+        n_overlap = len(tops.get(0, set()) & tops.get(1, set()))
+        out.append((int(qid), n_overlap, 1_000_000 * n_overlap // ANN_K))
+    return pd.DataFrame(
+        out, columns=["query_id", "n_overlap", "recall_micro"]
+    ).astype("int64")

