@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_eval": Q.doc_dedup_eval,
         "doc_nucleus_cut": Q.doc_nucleus_cut,
         "emb_dim_truncation_eval": Q.emb_dim_truncation_eval,
+        "doc_skyline": Q.doc_skyline,
         # events: windowed + sessionized + sliding; ordered per-key windows
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -1718,6 +1719,24 @@ walk AS (
 )
 SELECT user_id, event_type, ids[i] AS event_id, make_timestamp(tss[i]) AS ts
 FROM walk""",
+        # Pareto frontier by NOT-EXISTS dominance over the same
+        # integer metrics doc_quantile_filter computes
+        "doc_skyline": f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+    CAST(floor((CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(ws, w -> list_contains({en}, w))) AS DOUBLE)
+                     / len(ws) END) * 1000) AS BIGINT) AS swr_milli
+  FROM (SELECT doc_id, text,
+               regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+        FROM documents)
+)
+SELECT doc_id, n_tokens, swr_milli FROM m x
+WHERE NOT EXISTS (
+  SELECT 1 FROM m y
+  WHERE y.n_tokens >= x.n_tokens AND y.swr_milli >= x.swr_milli
+    AND (y.n_tokens > x.n_tokens OR y.swr_milli > x.swr_milli))""",
         # per-source (n_chars desc, doc_id) prefix while exclusive
         # cumsum*10 < 9*total; inclusive cumsum carried for audit
         "doc_nucleus_cut": f"""

@@ -241,6 +241,7 @@ QUERY_NAMES = [
     "events_session_trigrams",
     "doc_nucleus_cut",
     "emb_dim_truncation_eval",
+    "doc_skyline",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -10394,3 +10394,41 @@ def emb_dim_truncation_eval(sf_dir: str):
     return pd.DataFrame(
         out, columns=["query_id", "n_overlap", "recall_micro"]
     ).astype("int64")
+
+def doc_skyline(sf_dir: str):
+    """Skyline / Pareto-frontier query (Börzsönyi ICDE'01): documents
+    not DOMINATED on (n_tokens, swr_milli) — dominated means another
+    doc is ≥ on both dims and > on at least one; full ties survive
+    together. The curation use: the quality-length frontier is the
+    candidate set for any monotone quality×length score, whatever the
+    weights end up being.
+
+    Shape: the skyline algebra distributes for free — skyline(A ∪ B)
+    ⊆ skyline(A) ∪ skyline(B) — so each block emits its LOCAL frontier
+    (vectorized group-max + running-max pass) and one final merge over
+    the bounded union of partials finishes exactly. No exchange at
+    all; the frontier of a 2-D integer domain is at most one row-group
+    per distinct n_tokens regardless of corpus size. A row survives
+    iff its swr equals its length-group's max AND that max strictly
+    exceeds every strictly-longer group's max — integer metrics, so
+    dominance is exact on both engines."""
+    mds, _, _ = _quality_gate_setup(sf_dir)
+
+    def local_frontier(df: pd.DataFrame) -> pd.DataFrame:
+        gmax = (
+            df.groupby("n_tokens")["swr_milli"]
+            .max()
+            .sort_index(ascending=False)
+        )
+        excl = gmax.cummax().shift(1, fill_value=-1)
+        alive = gmax[gmax > excl]  # groups whose max beats all longer groups
+        m = df.merge(
+            alive.rename("gmax"), left_on="n_tokens", right_index=True, how="inner"
+        )
+        m = m[m["swr_milli"] == m["gmax"]]
+        return m[["doc_id", "n_tokens", "swr_milli"]]
+
+    parts = mds.map_batches(
+        local_frontier, batch_format="pandas"
+    ).to_pandas()  # bounded: union of per-block frontiers
+    return local_frontier(parts).sort_values("doc_id", ignore_index=True)

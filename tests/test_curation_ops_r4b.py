@@ -98,3 +98,29 @@ def test_dim_truncation_eval_replay(ray_session):
     # somewhere OR match perfectly everywhere — assert the counts are
     # in-range and at least one query has full-dim agreement computed
     assert got["n_overlap"].between(0, Q.ANN_K).all()
+
+
+def test_skyline_dominance_bruteforce(ray_session):
+    import math
+
+    from biomedical_ner_ray.kernels.textstats import quality_features
+
+    got = _frame(Q.doc_skyline(SF)).sort_values("doc_id", ignore_index=True)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    pts = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        f = quality_features(t)
+        pts.append((int(d), f["n_tokens"], int(math.floor(f["stopword_ratio"] * 1000))))
+    sky = [
+        (d, nt, sw)
+        for d, nt, sw in pts
+        if not any(
+            nt2 >= nt and sw2 >= sw and (nt2 > nt or sw2 > sw)
+            for _, nt2, sw2 in pts
+        )
+    ]
+    exp = pd.DataFrame(sky, columns=["doc_id", "n_tokens", "swr_milli"]).sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
