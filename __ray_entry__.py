@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_throttle_dedup": Q.events_throttle_dedup,
         "events_watermark_late": Q.events_watermark_late,
         "events_session_trigrams": Q.events_session_trigrams,
+        "events_hll_eval": Q.events_hll_eval,
         "events_sliding": Q.events_sliding,
         "events_asof": Q.events_asof,
         "events_range_join": Q.events_range_join,
@@ -1843,6 +1844,45 @@ r AS (
   FROM documents d CROSS JOIN s
 )
 SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM r WHERE rn = 1""",
+        # full SQL replay of the HLL sketch: register idx = low 12
+        # bits, rank via the EXACT length(bin(w)) leading-zero count;
+        # the inverse-power sum is exact in float64 (multiples of 2^-41
+        # below 2^12), alpha = 0.7213/(1+1.079/m); linear counting
+        # branch when raw <= 2.5m with zero registers present
+        "events_hll_eval": """
+WITH hx AS (
+  SELECT DISTINCT event_type,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), reg AS (
+  SELECT event_type, CAST(h % 4096 AS BIGINT) AS idx,
+         max(CASE WHEN h >> 12 = 0 THEN 53
+             ELSE 53 - length(bin(h >> 12)) END) AS rnk
+  FROM hx GROUP BY event_type, idx
+), agg AS (
+  SELECT event_type,
+         sum(pow(2.0, -rnk)) AS inv_nz,
+         count(*) AS n_nz
+  FROM reg GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+           / (inv_nz + (4096 - n_nz)) AS raw,
+         4096 - n_nz AS zeros
+  FROM agg
+), ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_exact,
+       CAST(CASE WHEN est.raw <= 2.5 * 4096.0 AND est.zeros > 0
+            THEN round(4096.0 * ln(4096.0 / est.zeros))
+            ELSE round(est.raw) END AS BIGINT) AS n_est,
+       CAST(1000000 * abs(CAST(CASE WHEN est.raw <= 2.5 * 4096.0 AND est.zeros > 0
+            THEN round(4096.0 * ln(4096.0 / est.zeros))
+            ELSE round(est.raw) END AS BIGINT) - ex.n_exact) // ex.n_exact
+            AS BIGINT) AS err_micro
+FROM ex JOIN est ON ex.event_type = est.event_type""",
         # sessionize exactly like events_sessions, then lead() twice
         # within the session for contiguous trigram counts
         "events_session_trigrams": """

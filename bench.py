@@ -242,6 +242,7 @@ QUERY_NAMES = [
     "doc_nucleus_cut",
     "emb_dim_truncation_eval",
     "doc_skyline",
+    "events_hll_eval",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

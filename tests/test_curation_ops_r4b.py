@@ -124,3 +124,24 @@ def test_skyline_dominance_bruteforce(ray_session):
     )
     assert len(exp) > 0
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+def test_hll_eval_matches_kernel_replay(ray_session):
+    from biomedical_ner_ray.kernels.sketch import (
+        hll_add_values,
+        hll_empty,
+        hll_estimate,
+    )
+
+    got = _frame(Q.events_hll_eval(SF)).sort_values("event_type", ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    for _, r in got.iterrows():
+        users = ev.loc[ev["event_type"] == r["event_type"], "user_id"]
+        exact = users.nunique()
+        reg = hll_empty()
+        hll_add_values(reg, users.to_numpy())
+        est = hll_estimate(reg)
+        assert r["n_exact"] == exact
+        assert r["n_est"] == est
+        assert r["err_micro"] == 1_000_000 * abs(est - exact) // exact
+        assert r["err_micro"] < 50_000  # < 5% at p=12
