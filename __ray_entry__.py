@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_late": Q.events_watermark_late,
         "events_session_trigrams": Q.events_session_trigrams,
         "events_hll_eval": Q.events_hll_eval,
+        "events_orphan_purchases": Q.events_orphan_purchases,
         "events_sliding": Q.events_sliding,
         "events_asof": Q.events_asof,
         "events_range_join": Q.events_range_join,
@@ -1844,6 +1845,17 @@ r AS (
   FROM documents d CROSS JOIN s
 )
 SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM r WHERE rn = 1""",
+        # purchases with no same-user view in (ts-W, ts]: NOT EXISTS
+        # over the epoch-us window, half-open old edge
+        "events_orphan_purchases": f"""
+SELECT p.user_id, p.event_id, p.ts
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events v
+    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      AND epoch_us(v.ts) > epoch_us(p.ts) - {Q.ORPHAN_W_US}
+      AND epoch_us(v.ts) <= epoch_us(p.ts))""",
         # full SQL replay of the HLL sketch: register idx = low 12
         # bits, rank via the EXACT length(bin(w)) leading-zero count;
         # the inverse-power sum is exact in float64 (multiples of 2^-41

@@ -243,6 +243,7 @@ QUERY_NAMES = [
     "emb_dim_truncation_eval",
     "doc_skyline",
     "events_hll_eval",
+    "events_orphan_purchases",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

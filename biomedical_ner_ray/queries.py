@@ -10512,3 +10512,61 @@ def events_hll_eval(sf_dir: str):
         1_000_000 * (out["n_est"] - out["n_exact"]).abs() // out["n_exact"]
     )
     return out.astype({"n_exact": "int64", "n_est": "int64", "err_micro": "int64"})
+
+
+ORPHAN_W_US = 3_600_000_000  # attribution window: 1 hour
+
+
+def events_orphan_purchases(sf_dir: str):
+    """Temporal ANTI-join (attribution gap detection): purchases with
+    NO 'view' by the same user in the preceding hour — the absence
+    complement of events_asof (which finds the nearest preceding
+    match). Real ingests run this as the funnel-integrity alarm:
+    orphan conversions mean lost tracking upstream.
+
+    Shape: ONE user-keyed exchange ships both sides of a user's stream
+    together (side-filtered at the read: only purchase + view rows);
+    per user the absence test is a vectorized searchsorted — a
+    purchase is orphan iff the count of views with ts in
+    (p_ts − W, p_ts] is zero (epoch-µs integers, half-open on the old
+    edge, inclusive of simultaneous views, matching the SQL EXISTS
+    range). Per-key history is calendar-bounded; no all-pairs, no
+    driver traffic."""
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(
+        lambda df: df[df["event_type"].isin(("purchase", "view"))],
+        batch_format="pandas",
+    )
+
+    def orphans(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("user_id", sort=False):
+            p = g[g["event_type"] == "purchase"]
+            if p.empty:
+                continue
+            vts = np.sort(
+                g.loc[g["event_type"] == "view", "ts"]
+                .to_numpy(dtype="datetime64[us]")
+                .astype("int64")
+            )
+            pts = p["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            lo = np.searchsorted(vts, pts - ORPHAN_W_US, side="right")
+            hi = np.searchsorted(vts, pts, side="right")
+            orphan = (hi - lo) == 0
+            outs.append(
+                p.loc[orphan, ["user_id", "event_id", "ts"]].reset_index(drop=True)
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return keyed_exchange(ds, ["user_id"], orphans, _xparts(sf_dir, "events"))

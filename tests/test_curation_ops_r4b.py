@@ -145,3 +145,26 @@ def test_hll_eval_matches_kernel_replay(ray_session):
         assert r["n_est"] == est
         assert r["err_micro"] == 1_000_000 * abs(est - exact) // exact
         assert r["err_micro"] < 50_000  # < 5% at p=12
+
+
+def test_orphan_purchases_bruteforce(ray_session):
+    got = _frame(Q.events_orphan_purchases(SF)).sort_values(
+        "event_id", ignore_index=True
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["t"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    rows = []
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        views = ev[
+            (ev["event_type"] == "view")
+            & (ev["user_id"] == p["user_id"])
+            & (ev["t"] > p["t"] - Q.ORPHAN_W_US)
+            & (ev["t"] <= p["t"])
+        ]
+        if views.empty:
+            rows.append((p["user_id"], p["event_id"], p["ts"]))
+    exp = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"]).sort_values(
+        "event_id", ignore_index=True
+    )
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
