@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_trigrams": Q.events_session_trigrams,
         "events_hll_eval": Q.events_hll_eval,
         "events_orphan_purchases": Q.events_orphan_purchases,
+        "doc_source_regression": Q.doc_source_regression,
         "events_sliding": Q.events_sliding,
         "events_asof": Q.events_asof,
         "events_range_join": Q.events_range_join,
@@ -1845,6 +1846,30 @@ r AS (
   FROM documents d CROSS JOIN s
 )
 SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM r WHERE rn = 1""",
+        # integer sufficient statistics + HUGEINT OLS slope (// is
+        # truncation in DuckDB; the engine truncates to match)
+        "doc_source_regression": f"""
+WITH m AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS x,
+         CAST(n_chars AS BIGINT) AS y
+  FROM documents
+), s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         CAST(sum(x * x) AS BIGINT) AS sum_xx
+  FROM m GROUP BY source
+)
+SELECT source, n_docs, sum_x, sum_y, sum_xy, sum_xx,
+       CAST(CASE WHEN CAST(n_docs AS HUGEINT) * sum_xx
+                      - CAST(sum_x AS HUGEINT) * sum_x = 0 THEN 0
+            ELSE (1000 * (CAST(n_docs AS HUGEINT) * sum_xy
+                          - CAST(sum_x AS HUGEINT) * sum_y))
+                 // (CAST(n_docs AS HUGEINT) * sum_xx
+                     - CAST(sum_x AS HUGEINT) * sum_x) END AS BIGINT)
+         AS slope_milli
+FROM s""",
         # purchases with no same-user view in (ts-W, ts]: NOT EXISTS
         # over the epoch-us window, half-open old edge
         "events_orphan_purchases": f"""

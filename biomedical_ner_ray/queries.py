@@ -10570,3 +10570,77 @@ def events_orphan_purchases(sf_dir: str):
         return pd.concat(outs, ignore_index=True)
 
     return keyed_exchange(ds, ["user_id"], orphans, _xparts(sf_dir, "events"))
+
+
+def doc_source_regression(sf_dir: str):
+    """Distributed sufficient statistics + OLS slope per source — the
+    single-pass moments family every large-scale regression/corr
+    computation reduces to: per block, integer partials (n, Σx, Σy,
+    Σxy, Σx², with x = token count, y = char count); one source-keyed
+    fold; slope of y on x emitted as integer milli via Python-int
+    arithmetic (the numerator n·Σxy − Σx·Σy overflows int64 at corpus
+    scale — the kg_edge_lift lesson — so the per-source finalize uses
+    unbounded ints and only the bounded milli ratio returns).
+
+    Shape: map-side partials shrink every block to ≤|sources| rows
+    before the exchange; the moments are associative so the combine is
+    a plain sum. At 100 TB the int64 partial sums are the declared
+    bound: Σx² per BLOCK stays < 2⁶³ for any realistic block size, and
+    the cross-block fold runs in Python ints."""
+    from .kernels.tokenize import TOKEN_RE
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(sf_dir, "documents", columns=["source", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        src = batch["source"].to_pylist()
+        nch = batch["n_chars"].to_pylist()
+        ntok = [len(TOKEN_RE.findall(t)) for t in batch["text"].to_pylist()]
+        df = pd.DataFrame(
+            {
+                "source": src,
+                "n": np.int64(1),
+                "sx": np.array(ntok, dtype=np.int64),
+                "sy": np.array(nch, dtype=np.int64),
+            }
+        )
+        df["sxy"] = df["sx"] * df["sy"]
+        df["sxx"] = df["sx"] * df["sx"]
+        return df.groupby("source", as_index=False).sum()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).sum()
+        rows = []
+        for _, r in g.iterrows():
+            n, sx, sy, sxy, sxx = (
+                int(r["n"]),
+                int(r["sx"]),
+                int(r["sy"]),
+                int(r["sxy"]),
+                int(r["sxx"]),
+            )
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            # truncate toward zero (DuckDB // semantics), not Python floor
+            slope_milli = (
+                (abs(1000 * num) // abs(den)) * (1 if (num >= 0) == (den > 0) else -1)
+                if den
+                else 0
+            )
+            rows.append((r["source"], n, sx, sy, sxy, sxx, slope_milli))
+        return pd.DataFrame(
+            rows,
+            columns=["source", "n_docs", "sum_x", "sum_y", "sum_xy", "sum_xx", "slope_milli"],
+        ).astype(
+            {
+                "n_docs": "int64",
+                "sum_x": "int64",
+                "sum_y": "int64",
+                "sum_xy": "int64",
+                "sum_xx": "int64",
+                "slope_milli": "int64",
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return keyed_exchange(parts, ["source"], finalize, 4)

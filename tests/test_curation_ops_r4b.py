@@ -168,3 +168,31 @@ def test_orphan_purchases_bruteforce(ray_session):
     )
     assert len(exp) > 0
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+def test_source_regression_moments_replay(ray_session):
+    from biomedical_ner_ray.kernels.tokenize import TOKEN_RE
+
+    got = _frame(Q.doc_source_regression(SF)).sort_values(
+        "source", ignore_index=True
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for _, r in got.iterrows():
+        g = docs[docs["source"] == r["source"]]
+        xs = [len(TOKEN_RE.findall(t)) for t in g["text"]]
+        ys = [int(c) for c in g["n_chars"]]
+        n = len(xs)
+        assert r["n_docs"] == n
+        assert r["sum_x"] == sum(xs)
+        assert r["sum_y"] == sum(ys)
+        assert r["sum_xy"] == sum(a * b for a, b in zip(xs, ys))
+        assert r["sum_xx"] == sum(a * a for a in xs)
+        num = n * r["sum_xy"] - r["sum_x"] * r["sum_y"]
+        den = n * r["sum_xx"] - r["sum_x"] ** 2
+        if den:
+            want = (abs(1000 * num) // abs(den)) * (
+                1 if (num >= 0) == (den > 0) else -1
+            )
+            assert r["slope_milli"] == want
+            # slope sanity: chars grow with tokens on prose corpora
+            assert r["slope_milli"] > 0
