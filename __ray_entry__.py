@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_novelty": Q.doc_ngram_novelty,
         # relation-composition (meta-path) counts over the canonical KG
         "kg_two_hop_paths": Q.kg_two_hop_paths,
+        "kg_degree_distribution": Q.kg_degree_distribution,
         # predicate-signature (domain/range) audit with violation flags
         "kg_predicate_domain_check": Q.kg_predicate_domain_check,
         # blocked entity resolution (Levenshtein + components) over surfaces
@@ -2849,6 +2850,20 @@ JOIN margq ms ON ms.node = e.subj_cui
 JOIN margq mo ON mo.node = e.obj_cui
 CROSS JOIN totq t""",
         "kg_two_hop_paths": pre + _two_hop_sql(),
+        # distinct undirected neighbors over edgesq; exact log2 bucket
+        # via length(bin(degree)) — no float log on either engine
+        "kg_degree_distribution": pre
+        + _EDGESQ_CTE
+        + """,
+nbr AS (
+  SELECT subj_cui AS node, weight FROM edgesq
+  UNION ALL
+  SELECT obj_cui AS node, weight FROM edgesq
+),
+deg AS (SELECT node, sum(weight) AS degree FROM nbr GROUP BY node)
+SELECT CAST(length(bin(degree)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY bucket""",
         "kg_predicate_domain_check": pre + _domain_check_sql(),
         "kg_er_blocked_lev": pre + _er_lev_sql(),
         "doc_bpe_fertility": _bpe_fertility_sql(),

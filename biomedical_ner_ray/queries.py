@@ -10644,3 +10644,48 @@ def doc_source_regression(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return keyed_exchange(parts, ["source"], finalize, 4)
+
+
+def kg_degree_distribution(sf_dir: str):
+    """Log2-bucketed degree distribution of the canonical KG — the
+    graph-shape audit (is the KG scale-free? is one hub eating the
+    exchange?) run before any per-node iteration is sized. Degree =
+    total WEIGHTED incidence (sum of incident edge weights, both
+    directions — the exchange-volume proxy; distinct-neighbor degree
+    is near-constant on a dense alias graph and says nothing); bucket
+    = floor(log2(degree)) + 1, computed EXACTLY on both engines as the
+    binary-string length of the integer degree (the events_hll_eval
+    bin() trick — no float log).
+
+    Shape: rides the kg_edges pipeline (cached annotations); both edge
+    directions emit map-side (node, weight) partials pre-summed per
+    block, ONE node-keyed exchange folds them, and the bucket fold is
+    a ≤64-row driver combine."""
+    from .stages.exchange import keyed_exchange
+
+    edges = kg_edges(sf_dir)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[["subj_cui", "weight"]].rename(columns={"subj_cui": "node"})
+        b = df[["obj_cui", "weight"]].rename(columns={"obj_cui": "node"})
+        both = pd.concat([a, b], ignore_index=True)
+        return both.groupby("node", as_index=False)["weight"].sum()
+
+    def deg(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("node", as_index=False)["weight"].sum()
+        d["bucket"] = [len(bin(int(x))) - 2 for x in d["weight"]]
+        return (
+            d.groupby("bucket", as_index=False)
+            .size()
+            .rename(columns={"size": "n_nodes"})
+        )
+
+    parts = keyed_exchange(
+        edges.map_batches(emit, batch_format="pandas"), ["node"], deg, 4
+    )
+    return (
+        parts.to_pandas()
+        .groupby("bucket", as_index=False)["n_nodes"]
+        .sum()
+        .astype({"bucket": "int64", "n_nodes": "int64"})
+    )

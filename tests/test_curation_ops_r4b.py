@@ -196,3 +196,25 @@ def test_source_regression_moments_replay(ray_session):
             assert r["slope_milli"] == want
             # slope sanity: chars grow with tokens on prose corpora
             assert r["slope_milli"] > 0
+
+
+def test_degree_distribution_replay(ray_session):
+    got = _frame(Q.kg_degree_distribution(SF)).sort_values(
+        "bucket", ignore_index=True
+    )
+    edges = _frame(Q.kg_edges(SF))
+    wdeg: dict[str, int] = {}
+    for _, e in edges.iterrows():
+        wdeg[e["subj_cui"]] = wdeg.get(e["subj_cui"], 0) + int(e["weight"])
+        wdeg[e["obj_cui"]] = wdeg.get(e["obj_cui"], 0) + int(e["weight"])
+    buckets: dict[int, int] = {}
+    for _, d in wdeg.items():
+        b = len(bin(d)) - 2
+        buckets[b] = buckets.get(b, 0) + 1
+    exp = (
+        pd.DataFrame(sorted(buckets.items()), columns=["bucket", "n_nodes"])
+        .astype("int64")
+    )
+    assert exp["n_nodes"].sum() == len(wdeg)
+    assert len(exp) > 1  # non-vacuous: a real spread of buckets
+    pd.testing.assert_frame_equal(got, exp)
