@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_eval": Q.events_hll_eval,
         "events_orphan_purchases": Q.events_orphan_purchases,
         "doc_source_regression": Q.doc_source_regression,
+        "doc_epoch_shuffle": Q.doc_epoch_shuffle,
         "events_sliding": Q.events_sliding,
         "events_asof": Q.events_asof,
         "events_range_join": Q.events_range_join,
@@ -1847,6 +1848,28 @@ r AS (
   FROM documents d CROSS JOIN s
 )
 SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM r WHERE rn = 1""",
+        # fixed md5 shard membership; per-epoch md5 shard order + doc
+        # order; UBIGINT sort == the engine's (hi, lo) split order
+        "doc_epoch_shuffle": f"""
+WITH e AS (SELECT unnest(generate_series(0, {Q.EPOCH_SHUFFLE_EPOCHS - 1})) AS epoch),
+b AS (
+  SELECT e.epoch, d.doc_id,
+         CAST(md5_number_lower('eshard:' || CAST(d.doc_id AS VARCHAR))
+              % {Q.EPOCH_SHARDS} AS BIGINT) AS shard
+  FROM documents d CROSS JOIN e
+),
+k AS (
+  SELECT epoch, doc_id, shard,
+         md5_number_lower('e' || CAST(epoch AS VARCHAR) || ':s'
+                          || CAST(shard AS VARCHAR)) AS sk,
+         md5_number_lower('e' || CAST(epoch AS VARCHAR) || ':d'
+                          || CAST(doc_id AS VARCHAR)) AS dk
+  FROM b
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY sk, dk, doc_id) - 1
+            AS BIGINT) AS position
+FROM k QUALIFY position < {Q.EPOCH_SHUFFLE_HEAD}""",
         # integer sufficient statistics + HUGEINT OLS slope (// is
         # truncation in DuckDB; the engine truncates to match)
         "doc_source_regression": f"""

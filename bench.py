@@ -246,6 +246,7 @@ QUERY_NAMES = [
     "events_orphan_purchases",
     "doc_source_regression",
     "kg_degree_distribution",
+    "doc_epoch_shuffle",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

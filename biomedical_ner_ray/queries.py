@@ -10689,3 +10689,64 @@ def kg_degree_distribution(sf_dir: str):
         .sum()
         .astype({"bucket": "int64", "n_nodes": "int64"})
     )
+
+
+EPOCH_SHUFFLE_EPOCHS = 2
+EPOCH_SHARDS = 16
+EPOCH_SHUFFLE_HEAD = 200  # driver-bounded audit head per epoch
+
+
+def doc_epoch_shuffle(sf_dir: str):
+    """Two-level multi-epoch shuffle — the streaming-dataset access
+    pattern (MosaicML/StreamingDataset, tf.data shard-shuffle): shard
+    membership is FIXED (locality: a shard is a file a reader opens
+    once), but each epoch draws a fresh global shard ORDER and a fresh
+    within-shard doc order, so no two epochs replay the same sequence
+    while reads stay shard-sequential. All three keys are seeded md5
+    (retry/process-stable, SQL-replayable); the full order is defined
+    at any scale by the composite sort key (epoch, shard_key, doc_key,
+    doc_id) — a full run would write_parquet the sorted stream; the
+    query returns the driver-bounded audit head per epoch with global
+    positions.
+
+    Shape: one row-local key pass (docs × E epochs flat map), ONE
+    distributed range-partition sort, bounded head — the
+    doc_training_order discipline with the two-level key on top."""
+    heads = []
+    for e in range(EPOCH_SHUFFLE_EPOCHS):
+
+        def keys(batch: pa.Table, _e=e) -> pa.Table:
+            from .kernels.hashing import stable_u64_md5
+
+            ids = batch["doc_id"].to_pylist()
+            shards = [
+                stable_u64_md5(f"eshard:{i}".encode()) % EPOCH_SHARDS
+                for i in ids
+            ]
+            sk_hi, sk_lo = _md5_order_parts(
+                [f"s{s}" for s in shards], f"e{_e}"
+            )
+            dk_hi, dk_lo = _md5_order_parts([f"d{i}" for i in ids], f"e{_e}")
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "shard": pa.array(shards, pa.int64()),
+                    "sk_hi": pa.array(sk_hi, pa.int64()),
+                    "sk_lo": pa.array(sk_lo, pa.int64()),
+                    "dk_hi": pa.array(dk_hi, pa.int64()),
+                    "dk_lo": pa.array(dk_lo, pa.int64()),
+                }
+            )
+
+        ds = _tbl(sf_dir, "documents", columns=["doc_id"])
+        he = (
+            ds.map_batches(keys, batch_format="pyarrow")
+            .sort(["sk_hi", "sk_lo", "dk_hi", "dk_lo", "doc_id"])
+            .limit(EPOCH_SHUFFLE_HEAD)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        he["epoch"] = np.int64(e)
+        he["position"] = he.index.astype("int64")
+        heads.append(he[["epoch", "doc_id", "shard", "position"]])
+    return pd.concat(heads, ignore_index=True)

@@ -218,3 +218,38 @@ def test_degree_distribution_replay(ray_session):
     assert exp["n_nodes"].sum() == len(wdeg)
     assert len(exp) > 1  # non-vacuous: a real spread of buckets
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_epoch_shuffle_two_level_replay(ray_session):
+    from biomedical_ner_ray.kernels.hashing import stable_u64_md5
+
+    got = _frame(Q.doc_epoch_shuffle(SF))
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    for e in range(Q.EPOCH_SHUFFLE_EPOCHS):
+        rows = []
+        for i in ids:
+            s = stable_u64_md5(f"eshard:{i}".encode()) % Q.EPOCH_SHARDS
+            sk = stable_u64_md5(f"e{e}:s{s}".encode())
+            dk = stable_u64_md5(f"e{e}:d{i}".encode())
+            rows.append((sk, dk, i, s))
+        rows.sort()
+        exp = pd.DataFrame(
+            [
+                (e, i, s, p)
+                for p, (_, _, i, s) in enumerate(rows[: Q.EPOCH_SHUFFLE_HEAD])
+            ],
+            columns=["epoch", "doc_id", "shard", "position"],
+        )
+        ge = got[got["epoch"] == e].reset_index(drop=True)
+        pd.testing.assert_frame_equal(ge, exp.astype(ge.dtypes.to_dict()))
+    # two-level property: within an epoch, docs of the same shard are
+    # CONTIGUOUS in the order (shard-sequential reads)
+    for e, g in got.groupby("epoch"):
+        g = g.sort_values("position")
+        runs = (g["shard"] != g["shard"].shift()).cumsum()
+        assert runs.groupby(g["shard"].to_numpy()).nunique().max() == 1
+    # epochs differ: the two sequences must not be identical
+    seqs = [
+        tuple(g.sort_values("position")["doc_id"]) for _, g in got.groupby("epoch")
+    ]
+    assert len(set(seqs)) == Q.EPOCH_SHUFFLE_EPOCHS
