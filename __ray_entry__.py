@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": Q.doc_dedup_exact,
         "doc_quality": Q.doc_quality,
         "doc_langid": Q.doc_langid,
+        "doc_langid_eval": Q.doc_langid_eval,
         "doc_lang_distribution": Q.doc_lang_distribution,
         "doc_bigram_counts": Q.doc_bigram_counts,
         "doc_collocations": Q.doc_collocations,
@@ -1459,6 +1460,28 @@ SELECT doc_id,
        ELSE 'es' END AS lang_pred
 FROM s""",
         "doc_lang_distribution": "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang",
+        # confusion matrix: label vs the doc_langid prediction rule
+        "doc_langid_eval": f"""
+WITH f AS (
+  SELECT lang, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws FROM documents
+), s AS (
+  SELECT lang,
+    len(list_filter(ws, w -> list_contains({en}, w))) AS s_en,
+    len(list_filter(ws, w -> list_contains({fr}, w))) AS s_fr,
+    len(list_filter(ws, w -> list_contains({de}, w))) AS s_de,
+    len(list_filter(ws, w -> list_contains({es}, w))) AS s_es
+  FROM f
+), p AS (
+  SELECT lang,
+    CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+         WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+         WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+         ELSE 'es' END AS lang_pred
+  FROM s
+)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang, lang_pred""",
         "kg_conv_stats": pre
         + f"""
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,

@@ -247,6 +247,7 @@ QUERY_NAMES = [
     "doc_source_regression",
     "kg_degree_distribution",
     "doc_epoch_shuffle",
+    "doc_langid_eval",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

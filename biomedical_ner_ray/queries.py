@@ -10750,3 +10750,35 @@ def doc_epoch_shuffle(sf_dir: str):
         he["position"] = he.index.astype("int64")
         heads.append(he[["epoch", "doc_id", "shard", "position"]])
     return pd.concat(heads, ignore_index=True)
+
+
+def doc_langid_eval(sf_dir: str):
+    """Language-ID confusion matrix — the model-eval counterpart of
+    doc_langid (predicted stopword-vote language vs the corpus's lang
+    label), the audit a curation team runs before trusting the cheap
+    heuristic to route a 100 TB corpus. Output is the (lang, lang_pred)
+    contingency table with per-cell counts.
+
+    Shape: row-local prediction per block (the doc_langid kernel),
+    per-block partial counts over the bounded |langs|² domain,
+    constant-size driver fold — the doc_gate_attrition operator
+    class."""
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        langs = batch["lang"].to_pylist()
+        preds = [detect_lang(t) for t in batch["text"].to_pylist()]
+        return (
+            pd.DataFrame({"lang": langs, "lang_pred": preds})
+            .groupby(["lang", "lang_pred"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "lang_pred"], as_index=False)["n_docs"]
+        .sum()
+        .astype({"n_docs": "int64"})
+    )

@@ -253,3 +253,35 @@ def test_epoch_shuffle_two_level_replay(ray_session):
         tuple(g.sort_values("position")["doc_id"]) for _, g in got.groupby("epoch")
     ]
     assert len(set(seqs)) == Q.EPOCH_SHUFFLE_EPOCHS
+
+
+def test_langid_eval_confusion_consistency(ray_session):
+    from biomedical_ner_ray.kernels.textstats import detect_lang
+
+    got = _frame(Q.doc_langid_eval(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    exp = (
+        pd.DataFrame(
+            {
+                "lang": docs["lang"],
+                "lang_pred": [detect_lang(t) for t in docs["text"]],
+            }
+        )
+        .groupby(["lang", "lang_pred"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_docs"})
+        .astype({"n_docs": "int64"})
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["lang", "lang_pred"], ignore_index=True),
+        exp.sort_values(["lang", "lang_pred"], ignore_index=True),
+    )
+    # the matrix covers the whole corpus and is non-trivial: the
+    # heuristic both agrees and disagrees with the label somewhere
+    # (the fixture's labels are synthetic — diagonal dominance is NOT
+    # a property of this corpus, measured 146/500)
+    assert got["n_docs"].sum() == len(docs)
+    diag = got[got["lang"] == got["lang_pred"]]["n_docs"].sum()
+    assert diag > 0
+    assert diag < len(docs)
+    assert got["lang_pred"].nunique() >= 2
