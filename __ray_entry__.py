@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_counts": Q.doc_bigram_counts,
         "doc_collocations": Q.doc_collocations,
         "doc_heavy_hitters_cms": Q.doc_heavy_hitters_cms,
+        "doc_heavy_hitters_exact": Q.doc_heavy_hitters_exact,
         "doc_decontaminate": Q.doc_decontaminate,
         # asymmetric containment dedup (subset-duplication detector)
         "doc_containment_dedup": Q.doc_containment_dedup,
@@ -1460,6 +1461,32 @@ SELECT doc_id,
        ELSE 'es' END AS lang_pred
 FROM s""",
         "doc_lang_distribution": "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang",
+        # full SQL replay of the summed Count-Min sketch (md5 columns,
+        # min over rows); est >= true makes the exact gate complete
+        "doc_heavy_hitters_exact": f"""
+WITH wcl AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS w
+  FROM documents
+),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wcl GROUP BY w),
+jj AS (SELECT unnest(generate_series(0, 3)) AS j),
+cell AS (
+  SELECT jj.j,
+         md5_number_lower('cms' || CAST(jj.j AS VARCHAR) || ':' || wc.w)
+           % 4096 AS col,
+         sum(wc.c) AS v
+  FROM wc CROSS JOIN jj GROUP BY 1, 2
+),
+est AS (
+  SELECT wc.w, wc.c, min(cell.v) AS e
+  FROM wc CROSS JOIN jj
+  JOIN cell ON cell.j = jj.j
+    AND cell.col = md5_number_lower('cms' || CAST(jj.j AS VARCHAR) || ':' || wc.w)
+                   % 4096
+  GROUP BY wc.w, wc.c
+)
+SELECT w AS word, c AS n_exact, CAST(e AS BIGINT) AS n_est
+FROM est WHERE c >= {Q.CMS_EXACT_T}""",
         # confusion matrix: label vs the doc_langid prediction rule
         "doc_langid_eval": f"""
 WITH f AS (

@@ -248,6 +248,7 @@ QUERY_NAMES = [
     "kg_degree_distribution",
     "doc_epoch_shuffle",
     "doc_langid_eval",
+    "doc_heavy_hitters_exact",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

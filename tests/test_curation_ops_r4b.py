@@ -285,3 +285,24 @@ def test_langid_eval_confusion_consistency(ray_session):
     assert diag > 0
     assert diag < len(docs)
     assert got["lang_pred"].nunique() >= 2
+
+
+def test_heavy_hitters_exact_completeness(ray_session):
+    from biomedical_ner_ray.kernels.textstats import WORD_RE
+
+    got = _frame(Q.doc_heavy_hitters_exact(SF)).sort_values(
+        "word", ignore_index=True
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    counts: dict[str, int] = {}
+    for t in docs["text"]:
+        for w in WORD_RE.findall(t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    heavy = {w: c for w, c in counts.items() if c >= Q.CMS_EXACT_T}
+    # completeness + exactness: the result IS the true heavy set
+    assert set(got["word"]) == set(heavy)
+    assert len(heavy) > 0
+    for _, r in got.iterrows():
+        assert r["n_exact"] == heavy[r["word"]]
+        # CMS never undercounts
+        assert r["n_est"] >= r["n_exact"]
