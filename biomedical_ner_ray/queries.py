@@ -4897,16 +4897,11 @@ def doc_quantile_filter(sf_dir: str):
     return mds.map_batches(keep, batch_format="pyarrow")
 
 
-def _quality_gate_setup(sf_dir: str, with_hash: bool = False):
-    """Shared by doc_quantile_filter and doc_curation_pipeline: the
-    metrics pass (doc_id, n_tokens, swr_milli) plus the exact
-    order-statistic thresholds from bounded value-count histograms
-    (driver combine; domain-bounded, not row-bounded).
-
-    ``with_hash=True`` (the curation-pipeline path) also carries the
-    md5 text hash so downstream exact dedup never re-reads text; the
-    default skips it so doc_quantile_filter — which drops the column
-    immediately — doesn't pay a per-doc full-text hash it never uses."""
+def _quality_metrics(sf_dir: str, with_hash: bool = False):
+    """The (doc_id, n_tokens, swr_milli) metrics pass alone —
+    doc_skyline consumes this directly (it needs no thresholds, so it
+    shouldn't pay the histogram/quantile stage _quality_gate_setup
+    adds on top)."""
     import math
 
     from .kernels.hashing import stable_u64_md5
@@ -4932,7 +4927,22 @@ def _quality_gate_setup(sf_dir: str, with_hash: bool = False):
             cols["text_h"] = pa.array(ths, pa.int64())
         return pa.table(cols)
 
-    mds = ds.map_batches(metrics, batch_format="pyarrow").materialize()
+    return ds.map_batches(metrics, batch_format="pyarrow")
+
+
+def _quality_gate_setup(sf_dir: str, with_hash: bool = False):
+    """Shared by doc_quantile_filter and doc_curation_pipeline: the
+    metrics pass (doc_id, n_tokens, swr_milli) plus the exact
+    order-statistic thresholds from bounded value-count histograms
+    (driver combine; domain-bounded, not row-bounded).
+
+    ``with_hash=True`` (the curation-pipeline path) also carries the
+    md5 text hash so downstream exact dedup never re-reads text; the
+    default skips it so doc_quantile_filter — which drops the column
+    immediately — doesn't pay a per-doc full-text hash it never uses."""
+    import math
+
+    mds = _quality_metrics(sf_dir, with_hash=with_hash).materialize()
 
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -9882,19 +9892,26 @@ def events_watermark_late(sf_dir: str):
             }
         )
 
-    prepped = ds.map_batches(prep, batch_format="pandas")
+    # materialized once: both the bucket-max pass and the exchange
+    # consume it (the running_total double-consumption lesson — the
+    # per-event md5 would otherwise run twice)
+    prepped = ds.map_batches(prep, batch_format="pandas").materialize()
 
     # phase 1: per-bucket max event-time (constant-size result) -> the
     # driver's exclusive prefix max over bucket order, broadcast tiny.
     bmax = (
-        prepped.groupby("bucket")
-        .aggregate(Max("t"))
-        .to_pandas()
+        prepped.map_batches(
+            lambda df: df.groupby("bucket", as_index=False)["t"].max(),
+            batch_format="pandas",
+        )
+        .to_pandas()  # bounded: <= n_buckets rows per block
+        .groupby("bucket", as_index=False)["t"]
+        .max()
         .sort_values("bucket", ignore_index=True)
     )
     prefix = {}
     hi = _WM_NEG_INF
-    for b, m in zip(bmax["bucket"], bmax["max(t)"]):
+    for b, m in zip(bmax["bucket"], bmax["t"]):
         prefix[int(b)] = hi
         hi = max(hi, int(m))
 
@@ -10412,7 +10429,7 @@ def doc_skyline(sf_dir: str):
     iff its swr equals its length-group's max AND that max strictly
     exceeds every strictly-longer group's max — integer metrics, so
     dominance is exact on both engines."""
-    mds, _, _ = _quality_gate_setup(sf_dir)
+    mds = _quality_metrics(sf_dir)
 
     def local_frontier(df: pd.DataFrame) -> pd.DataFrame:
         gmax = (
