@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relation-composition (meta-path) counts over the canonical KG
         "kg_two_hop_paths": Q.kg_two_hop_paths,
         "kg_degree_distribution": Q.kg_degree_distribution,
+        "kg_edge_activity_intervals": Q.kg_edge_activity_intervals,
         # predicate-signature (domain/range) audit with violation flags
         "kg_predicate_domain_check": Q.kg_predicate_domain_check,
         # blocked entity resolution (Levenshtein + components) over surfaces
@@ -3167,6 +3168,35 @@ JOIN lab3 co ON co.cui = t.obj_cui
 CROSS JOIN cutq
 WHERE cs.label <> co.label AND epoch_us(f.ts) <= cutq.c
 GROUP BY cs.label, t.pred, co.label""",
+        # gaps-and-islands over each edge's supporting timestamps;
+        # 3-idle-day gap closes an interval
+        "kg_edge_activity_intervals": pre
+        + f"""
+, sup AS (
+  SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,
+         epoch_us(f.ts) AS ts_us, CAST(count(*) AS BIGINT) AS n
+  FROM triplesq t
+  JOIN transcripts_fx f
+    ON f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
+  JOIN lab3 cs ON cs.cui = t.subj_cui
+  JOIN lab3 co ON co.cui = t.obj_cui
+  WHERE cs.label <> co.label
+  GROUP BY cs.label, t.pred, co.label, epoch_us(f.ts)
+), fl AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {Q.KG_ACTIVITY_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM sup WINDOW w AS (PARTITION BY subj_cui, pred, obj_cui ORDER BY ts_us)
+), isl AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY subj_cui, pred, obj_cui
+                              ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+)
+SELECT subj_cui, pred, obj_cui, CAST(island AS BIGINT) AS interval_idx,
+       make_timestamp(min(ts_us)) AS start_ts,
+       make_timestamp(max(ts_us)) AS end_ts,
+       CAST(sum(n) AS BIGINT) AS n_support
+FROM isl GROUP BY subj_cui, pred, obj_cui, island""",
         "kg_edge_provenance": pre
         + """
 SELECT cs.label AS subj_cui, t.pred, co.label AS obj_cui,

@@ -249,6 +249,7 @@ QUERY_NAMES = [
     "doc_epoch_shuffle",
     "doc_langid_eval",
     "doc_heavy_hitters_exact",
+    "kg_edge_activity_intervals",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

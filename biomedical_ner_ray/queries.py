@@ -10876,3 +10876,140 @@ def doc_heavy_hitters_exact(sf_dir: str):
 
     gated = ds.map_batches(gated_counts, batch_format="pandas")
     return keyed_exchange(gated, ["word"], verify, _xparts(sf_dir, "documents"))
+
+
+KG_ACTIVITY_GAP_US = 3 * 24 * 3_600_000_000  # 3 idle days close an interval
+
+
+def kg_edge_activity_intervals(sf_dir: str):
+    """Edge activity intervals — SCD2-style validity windows for the
+    temporal KG: per canonical edge, gaps-and-islands over its
+    supporting turn timestamps (a gap > 3 days closes the interval),
+    each interval carrying [start, end] and its support count. The
+    temporal complement of kg_edge_provenance's single first/last
+    span: an edge that flares up twice shows two intervals, which is
+    what freshness/decay policies actually want to know.
+
+    Shape: the provenance union exchange verbatim (triples + pruned
+    timestamps meet on the turn key — no corpus-scale broadcast), but
+    the per-(edge, ts) support rows then land in ONE edge-keyed
+    exchange where the island walk is a vectorized diff/cumsum over
+    the ts-sorted support array; per-edge support is weight-bounded,
+    so a group fits a worker at any corpus scale."""
+    from .stages.exchange import keyed_exchange
+    from .state.broadcast import resolve
+    from .state.manifest import list_parquet_files
+
+    ann_dir, rows = _annotations_cache(sf_dir)
+    comp_ref = ray.put(canonical_components(rows))
+    paths = _fixture(sf_dir)
+
+    ann = rd.read_parquet(
+        list_parquet_files(ann_dir), columns=["conv_id", "turn_idx", "triples"]
+    )
+
+    def tr_partial(df: pd.DataFrame) -> pd.DataFrame:
+        comp = resolve(comp_ref)
+        s = df["subj_cui"].map(comp)
+        o = df["obj_cui"].map(comp)
+        keep = (s != o).to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "conv_id": df["conv_id"][keep].astype(str),
+                    "turn_idx": df["turn_idx"][keep].astype("int64"),
+                    "subj_cui": s[keep],
+                    "pred": df["pred"][keep],
+                    "obj_cui": o[keep],
+                }
+            )
+            .groupby(
+                ["conv_id", "turn_idx", "subj_cui", "pred", "obj_cui"], sort=False
+            )
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["ts_us"] = np.int64(0)
+        return g
+
+    def ts_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].astype(str),
+                "turn_idx": df["turn_idx"].astype("int64"),
+                "subj_cui": "",
+                "pred": "",
+                "obj_cui": "",
+                "n": np.int64(0),
+                "ts_us": df["ts"].to_numpy(dtype="datetime64[us]").astype("int64"),
+            }
+        )
+
+    tri = triples_stage(ann).map_batches(tr_partial, batch_format="pandas")
+    ts = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "ts"]).map_batches(
+        ts_rows, batch_format="pandas"
+    )
+
+    def join_ts(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.loc[df["n"] == 0, ["conv_id", "turn_idx", "ts_us"]]
+        tr = df.loc[df["n"] > 0].drop(columns=["ts_us"])
+        m = tr.merge(t, on=["conv_id", "turn_idx"], how="inner")
+        return (
+            m.groupby(["subj_cui", "pred", "obj_cui", "ts_us"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_exchange(tri.union(ts), ["conv_id", "turn_idx"], join_ts, 16)
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (s, p, o), g in df.groupby(["subj_cui", "pred", "obj_cui"], sort=False):
+            g = (
+                g.groupby("ts_us", as_index=False)["n"]
+                .sum()
+                .sort_values("ts_us", ignore_index=True)
+            )
+            tsv = g["ts_us"].to_numpy(dtype="int64")
+            nv = g["n"].to_numpy(dtype="int64")
+            new = np.ones(len(tsv), dtype=np.int64)
+            if len(tsv) > 1:
+                new[1:] = (tsv[1:] - tsv[:-1] > KG_ACTIVITY_GAP_US).astype(np.int64)
+            isl = np.cumsum(new)
+            dd = pd.DataFrame({"island": isl, "ts": tsv, "n": nv})
+            agg = (
+                dd.groupby("island")
+                .agg(start=("ts", "min"), end=("ts", "max"), n_support=("n", "sum"))
+                .reset_index()
+            )
+            agg.insert(0, "obj_cui", o)
+            agg.insert(0, "pred", p)
+            agg.insert(0, "subj_cui", s)
+            outs.append(agg)
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "subj_cui": pd.Series(dtype="object"),
+                    "pred": pd.Series(dtype="object"),
+                    "obj_cui": pd.Series(dtype="object"),
+                    "interval_idx": pd.Series(dtype="int64"),
+                    "start_ts": pd.Series(dtype="datetime64[us]"),
+                    "end_ts": pd.Series(dtype="datetime64[us]"),
+                    "n_support": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "subj_cui": out["subj_cui"],
+                "pred": out["pred"],
+                "obj_cui": out["obj_cui"],
+                "interval_idx": out["island"].astype("int64"),
+                "start_ts": out["start"].to_numpy(dtype="int64").astype("datetime64[us]"),
+                "end_ts": out["end"].to_numpy(dtype="int64").astype("datetime64[us]"),
+                "n_support": out["n_support"].astype("int64"),
+            }
+        )
+
+    return keyed_exchange(partials, ["subj_cui", "pred", "obj_cui"], islands, 8)

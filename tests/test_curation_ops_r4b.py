@@ -306,3 +306,34 @@ def test_heavy_hitters_exact_completeness(ray_session):
         assert r["n_exact"] == heavy[r["word"]]
         # CMS never undercounts
         assert r["n_est"] >= r["n_exact"]
+
+
+def test_edge_activity_intervals_consistency(ray_session):
+    got = _frame(Q.kg_edge_activity_intervals(SF))
+    prov = _frame(Q.kg_edge_provenance(SF))
+    key = ["subj_cui", "pred", "obj_cui"]
+    g = got.groupby(key).agg(
+        w=("n_support", "sum"),
+        first=("start_ts", "min"),
+        last=("end_ts", "max"),
+        n_int=("interval_idx", "max"),
+    )
+    p = prov.set_index(key)
+    # interval support sums to provenance weight; envelope matches
+    assert set(g.index) == set(p.index)
+    for k, r in g.iterrows():
+        assert r["w"] == p.loc[k, "weight"]
+        assert r["first"] == p.loc[k, "first_ts"]
+        assert r["last"] == p.loc[k, "last_ts"]
+    # islands are well-formed: ordered, gap-separated, internally tight
+    gap = pd.Timedelta(microseconds=Q.KG_ACTIVITY_GAP_US)
+    for _, e in got.groupby(key):
+        e = e.sort_values("interval_idx")
+        assert (e["interval_idx"].to_numpy() == np.arange(1, len(e) + 1)).all()
+        assert (e["start_ts"] <= e["end_ts"]).all()
+        starts = e["start_ts"].to_numpy()
+        ends = e["end_ts"].to_numpy()
+        if len(e) > 1:
+            assert (starts[1:] - ends[:-1] > gap).all()
+    # non-vacuous: at least one edge has multiple intervals
+    assert (got.groupby(key)["interval_idx"].max() > 1).any()
