@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_state_intervals": Q.events_state_intervals,
         # TPC-H-Q5-shape: cross-branch nation equality, fact-fact exchange
         "region_local_volume": Q.region_local_volume,
+        "segment_unshipped_topk": Q.segment_unshipped_topk,
         # conditional-aggregation PIVOT of event types to wide columns
         "events_type_pivot": Q.events_type_pivot,
         # JSON props field extraction + per-type aggregate
@@ -1589,6 +1590,22 @@ th AS (SELECT cnt.lang, CAST(floor(mn.mn * 10 / cnt.n) AS BIGINT) AS k FROM cnt,
 SELECT d.doc_id, d.lang
 FROM documents d JOIN th ON d.lang = th.lang
 WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':' || d.lang) % 10 < th.k""",
+        # Q3 shape: filtered 3-way join, integer-cents revenue, top-10
+        # with (rev desc, date, key) tie-break
+        "segment_unshipped_topk": f"""
+SELECT o.o_orderkey, o.o_orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q.Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q.Q3_DATE} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{Q.Q3_DATE} 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderdate ASC, o.o_orderkey ASC
+LIMIT 10""",
         "segment_year_rollup": """
 SELECT c.c_mktsegment,
        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

@@ -11013,3 +11013,104 @@ def kg_edge_activity_intervals(sf_dir: str):
         )
 
     return keyed_exchange(partials, ["subj_cui", "pred", "obj_cui"], islands, 8)
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+
+
+def segment_unshipped_topk(sf_dir: str):
+    """TPC-H-Q3-shaped shipping-priority query: top-10 orders by
+    outstanding revenue among BUILDING-segment orders placed before
+    the cutoff whose lines ship after it — the filtered three-way
+    fact join + top-k every warehouse runs at quarter close.
+
+    Shape: the customer segment filter is a broadcast id-set lookup
+    (dimension-bounded); orders and lineitem co-partition through ONE
+    side-tagged keyed exchange on the order key (the
+    region_local_volume pattern) where the date filters are applied
+    row-local BEFORE the exchange (prune at the scan, not after the
+    shuffle); per-partition revenue partials keep only local top-10 so
+    the driver merge is partitions×10 rows. Revenue integer-exact:
+    cents × (100 − discount_pct)."""
+    from .stages.exchange import keyed_exchange
+    from .state.broadcast import resolve
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+    seg_ref = ray.put(
+        set(cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"].astype(int))
+    )
+    cutoff = np.datetime64(Q3_DATE, "us")
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lines = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        seg = resolve(seg_ref)
+        keep = df["o_custkey"].isin(seg) & (
+            df["o_orderdate"].to_numpy(dtype="datetime64[us]") < cutoff
+        )
+        d = df.loc[keep]
+        return pd.DataFrame(
+            {
+                "okey": d["o_orderkey"].astype("int64"),
+                "side": np.int64(0),
+                "odate_us": d["o_orderdate"]
+                .to_numpy(dtype="datetime64[us]")
+                .astype("int64"),
+                "rev": np.int64(0),
+            }
+        )
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["l_shipdate"].to_numpy(dtype="datetime64[us]") > cutoff
+        d = df.loc[keep]
+        cents = (d["l_extendedprice"] * 100).round().astype("int64")
+        disc = (d["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "okey": d["l_orderkey"].astype("int64"),
+                "side": np.int64(1),
+                "odate_us": np.int64(0),
+                "rev": (cents * (100 - disc)).astype("int64"),
+            }
+        )
+
+    def join_topk(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.loc[df["side"] == 0, ["okey", "odate_us"]]
+        l = (
+            df.loc[df["side"] == 1]
+            .groupby("okey", as_index=False)["rev"]
+            .sum()
+        )
+        m = o.merge(l, on="okey", how="inner")
+        m = m[m["rev"] > 0]
+        return m.sort_values(
+            ["rev", "odate_us", "okey"], ascending=[False, True, True]
+        ).head(10)
+
+    both = orders.map_batches(o_side, batch_format="pandas").union(
+        lines.map_batches(l_side, batch_format="pandas")
+    )
+    parts = keyed_exchange(
+        both, ["okey"], join_topk, _xparts(sf_dir, "orders", "lineitem")
+    ).to_pandas()
+    top = parts.sort_values(
+        ["rev", "odate_us", "okey"], ascending=[False, True, True]
+    ).head(10)
+    return pd.DataFrame(
+        {
+            "o_orderkey": top["okey"].astype("int64"),
+            "o_orderdate": top["odate_us"].to_numpy(dtype="int64").astype("datetime64[us]"),
+            "revenue": top["rev"].astype("int64"),
+        }
+    ).reset_index(drop=True)

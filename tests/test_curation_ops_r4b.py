@@ -337,3 +337,34 @@ def test_edge_activity_intervals_consistency(ray_session):
             assert (starts[1:] - ends[:-1] > gap).all()
     # non-vacuous: at least one edge has multiple intervals
     assert (got.groupby(key)["interval_idx"].max() > 1).any()
+
+
+def test_segment_unshipped_topk_bruteforce(ray_session):
+    got = _frame(Q.segment_unshipped_topk(SF))
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    lines = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cut = pd.Timestamp(Q.Q3_DATE)
+    segc = set(cust.loc[cust["c_mktsegment"] == Q.Q3_SEGMENT, "c_custkey"])
+    o = orders[(orders["o_custkey"].isin(segc)) & (orders["o_orderdate"] < cut)]
+    l = lines[lines["l_shipdate"] > cut].copy()
+    l["rev"] = (l["l_extendedprice"] * 100).round().astype("int64") * (
+        100 - (l["l_discount"] * 100).round().astype("int64")
+    )
+    m = o.merge(
+        l.groupby("l_orderkey", as_index=False)["rev"].sum(),
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+    )
+    m = m[m["rev"] > 0].sort_values(
+        ["rev", "o_orderdate", "o_orderkey"], ascending=[False, True, True]
+    ).head(10)
+    exp = pd.DataFrame(
+        {
+            "o_orderkey": m["o_orderkey"].astype("int64").to_numpy(),
+            "o_orderdate": m["o_orderdate"].astype("datetime64[us]").to_numpy(),
+            "revenue": m["rev"].astype("int64").to_numpy(),
+        }
+    )
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
