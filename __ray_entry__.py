@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H-Q5-shape: cross-branch nation equality, fact-fact exchange
         "region_local_volume": Q.region_local_volume,
         "segment_unshipped_topk": Q.segment_unshipped_topk,
+        "order_priority_late_counts": Q.order_priority_late_counts,
         # conditional-aggregation PIVOT of event types to wide columns
         "events_type_pivot": Q.events_type_pivot,
         # JSON props field extraction + per-type aggregate
@@ -1590,6 +1591,17 @@ th AS (SELECT cnt.lang, CAST(floor(mn.mn * 10 / cnt.n) AS BIGINT) AS k FROM cnt,
 SELECT d.doc_id, d.lang
 FROM documents d JOIN th ON d.lang = th.lang
 WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':' || d.lang) % 10 < th.k""",
+        # Q4 shape: EXISTS semi-join (dedup BEFORE the aggregate);
+        # lateness on epoch-us integers matching the engine
+        "order_priority_late_counts": f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
+        + {Q.Q4_LATE_DAYS} * 86400000000)
+GROUP BY o.o_orderpriority""",
         # Q3 shape: filtered 3-way join, integer-cents revenue, top-10
         # with (rev desc, date, key) tie-break
         "segment_unshipped_topk": f"""

@@ -251,6 +251,7 @@ QUERY_NAMES = [
     "doc_heavy_hitters_exact",
     "kg_edge_activity_intervals",
     "segment_unshipped_topk",
+    "order_priority_late_counts",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -11114,3 +11114,87 @@ def segment_unshipped_topk(sf_dir: str):
             "revenue": top["rev"].astype("int64"),
         }
     ).reset_index(drop=True)
+
+
+Q4_LATE_DAYS = 60
+
+
+def order_priority_late_counts(sf_dir: str):
+    """TPC-H-Q4-shaped order-priority check: per priority class, how
+    many orders have AT LEAST ONE line shipping more than 60 days
+    after the order date — the EXISTS semi-join whose defining trap is
+    that a naive join+count double-counts orders with several late
+    lines; the dedup must happen BEFORE the aggregate.
+
+    Shape: orders and lineitem co-partition through ONE side-tagged
+    order-key exchange (the segment_unshipped_topk pattern); per
+    partition the EXISTS collapses to a vectorized any()-per-order
+    merge, and the per-priority counts (domain ≤ 5) fold constant-size
+    on the driver. Date math in epoch-µs integers on both engines."""
+    from .stages.exchange import keyed_exchange
+
+    day_us = 24 * 3_600_000_000
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lines = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": df["o_orderkey"].astype("int64"),
+                "side": np.int64(0),
+                "prio": df["o_orderpriority"].to_numpy(dtype=object),
+                "t_us": df["o_orderdate"]
+                .to_numpy(dtype="datetime64[us]")
+                .astype("int64"),
+            }
+        )
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": df["l_orderkey"].astype("int64"),
+                "side": np.int64(1),
+                "prio": "",
+                "t_us": df["l_shipdate"]
+                .to_numpy(dtype="datetime64[us]")
+                .astype("int64"),
+            }
+        )
+
+    def exists_counts(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.loc[df["side"] == 0, ["okey", "prio", "t_us"]].rename(
+            columns={"t_us": "odate"}
+        )
+        l = (
+            df.loc[df["side"] == 1, ["okey", "t_us"]]
+            .groupby("okey", as_index=False)["t_us"]
+            .max()
+            .rename(columns={"t_us": "max_ship"})
+        )
+        m = o.merge(l, on="okey", how="inner")
+        late = m[m["max_ship"] > m["odate"] + Q4_LATE_DAYS * day_us]
+        return (
+            late.groupby("prio", as_index=False)
+            .size()
+            .rename(columns={"size": "n_orders", "prio": "o_orderpriority"})
+        )
+
+    both = orders.map_batches(o_side, batch_format="pandas").union(
+        lines.map_batches(l_side, batch_format="pandas")
+    )
+    parts = keyed_exchange(
+        both, ["okey"], exists_counts, _xparts(sf_dir, "orders", "lineitem")
+    )
+    return (
+        parts.to_pandas()
+        .groupby("o_orderpriority", as_index=False)["n_orders"]
+        .sum()
+        .astype({"n_orders": "int64"})
+    )

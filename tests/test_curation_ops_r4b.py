@@ -368,3 +368,27 @@ def test_segment_unshipped_topk_bruteforce(ray_session):
     )
     assert len(exp) > 0
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+def test_order_priority_late_counts_bruteforce(ray_session):
+    got = _frame(Q.order_priority_late_counts(SF)).sort_values(
+        "o_orderpriority", ignore_index=True
+    )
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    lines = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    lmax = lines.groupby("l_orderkey")["l_shipdate"].max()
+    m = orders.join(lmax.rename("max_ship"), on="o_orderkey", how="inner")
+    late = m[
+        m["max_ship"].astype("datetime64[us]").astype("int64")
+        > m["o_orderdate"].astype("datetime64[us]").astype("int64")
+        + Q.Q4_LATE_DAYS * 86_400_000_000
+    ]
+    exp = (
+        late.groupby("o_orderpriority", as_index=False)
+        .size()
+        .rename(columns={"size": "n_orders"})
+        .astype({"n_orders": "int64"})
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    assert len(exp) > 0 and exp["n_orders"].sum() < len(orders)
+    pd.testing.assert_frame_equal(got, exp)
