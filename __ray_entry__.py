@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_local_volume": Q.region_local_volume,
         "segment_unshipped_topk": Q.segment_unshipped_topk,
         "order_priority_late_counts": Q.order_priority_late_counts,
+        "nation_revenue_share": Q.nation_revenue_share,
         # conditional-aggregation PIVOT of event types to wide columns
         "events_type_pivot": Q.events_type_pivot,
         # JSON props field extraction + per-type aggregate
@@ -1591,6 +1592,23 @@ th AS (SELECT cnt.lang, CAST(floor(mn.mn * 10 / cnt.n) AS BIGINT) AS k FROM cnt,
 SELECT d.doc_id, d.lang
 FROM documents d JOIN th ON d.lang = th.lang
 WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':' || d.lang) % 10 < th.k""",
+        # ratio-to-report: integer-micro share of the region total
+        "nation_revenue_share": """
+WITH a AS (
+  SELECT n.n_name, r.r_name,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name
+)
+SELECT n_name, r_name, revenue_cents,
+       CAST(1000000 * revenue_cents
+            // sum(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_micro
+FROM a""",
         # Q4 shape: EXISTS semi-join (dedup BEFORE the aggregate);
         # lateness on epoch-us integers matching the engine
         "order_priority_late_counts": f"""

@@ -252,6 +252,7 @@ QUERY_NAMES = [
     "kg_edge_activity_intervals",
     "segment_unshipped_topk",
     "order_priority_late_counts",
+    "nation_revenue_share",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

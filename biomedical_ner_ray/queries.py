@@ -11198,3 +11198,60 @@ def order_priority_late_counts(sf_dir: str):
         .sum()
         .astype({"n_orders": "int64"})
     )
+
+
+def nation_revenue_share(sf_dir: str):
+    """Ratio-to-report window shape: each nation's order revenue as an
+    integer-micro share of its REGION's total — the percent-of-parent
+    rollup every BI layer runs, whose distributed form is a two-level
+    fold (nation partials → region totals) rather than a window
+    function over a corpus-scale stream.
+
+    Shape: revenue aggregates map-side per block to ≤|nations| rows
+    (customer→nation is a broadcast dimension lookup); the driver
+    finalizes over the 25-nation domain — constant-size by the
+    dimension bound. Shares are floor-divided micros of integer cents,
+    so both engines agree bit-for-bit."""
+    from .state.broadcast import resolve
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pylist()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pylist()
+    rname = {r["r_regionkey"]: r["r_name"] for r in reg}
+    dims_ref = ray.put(
+        (
+            dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())),
+            {n["n_nationkey"]: n["n_name"] for n in nat},
+            {n["n_nationkey"]: rname[n["n_regionkey"]] for n in nat},
+        )
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnat, nname, nreg = resolve(dims_ref)
+        nk = df["o_custkey"].map(cnat)
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = pd.DataFrame({"nk": nk, "cents": cents}).groupby("nk", as_index=False)[
+            "cents"
+        ].sum()
+        g["n_name"] = g["nk"].map(nname)
+        g["r_name"] = g["nk"].map(nreg)
+        return g[["n_name", "r_name", "cents"]]
+
+    agg = (
+        orders.map_batches(partial, batch_format="pandas")
+        .to_pandas()  # bounded: <= |nations| rows per block
+        .groupby(["n_name", "r_name"], as_index=False)["cents"]
+        .sum()
+    )
+    rtot = agg.groupby("r_name")["cents"].transform("sum")
+    agg["revenue_cents"] = agg["cents"].astype("int64")
+    agg["share_micro"] = (1_000_000 * agg["cents"] // rtot).astype("int64")
+    return agg[["n_name", "r_name", "revenue_cents", "share_micro"]].sort_values(
+        ["r_name", "n_name"], ignore_index=True
+    )

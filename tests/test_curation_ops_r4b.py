@@ -392,3 +392,20 @@ def test_order_priority_late_counts_bruteforce(ray_session):
     )
     assert len(exp) > 0 and exp["n_orders"].sum() < len(orders)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_nation_revenue_share_sums(ray_session):
+    got = _frame(Q.nation_revenue_share(SF))
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    total = (orders["o_totalprice"] * 100).round().astype("int64").sum()
+    # revenue conserves corpus-wide; shares ~sum to 1e6 per region
+    assert got["revenue_cents"].sum() == total
+    for _, g in got.groupby("r_name"):
+        s = g["share_micro"].sum()
+        assert 1_000_000 - len(g) <= s <= 1_000_000  # floor-division slack
+    # per-nation replay
+    m = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    m["cents"] = (m["o_totalprice"] * 100).round().astype("int64")
+    by_nk = m.groupby("c_nationkey")["cents"].sum()
+    assert sorted(by_nk.to_numpy()) == sorted(got["revenue_cents"].to_numpy())
