@@ -127,6 +127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions (driver-sampled in r03) ---
         # dialogue-dynamics: role-transition matrix over transcripts
         "kg_role_transitions": Q.kg_role_transitions,
+        # tool-usage analytics over the input_hint `tool` column
+        "kg_tool_usage": Q.kg_tool_usage,
+        "kg_tool_chains": Q.kg_tool_chains,
+        "kg_conv_tool_profile": Q.kg_conv_tool_profile,
         # assistant response-latency profile per conversation
         "kg_response_latency": Q.kg_response_latency,
         # dialogue topic-shift segmentation (adjacent-turn token Jaccard)
@@ -168,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transe_ranks": Q.kg_transe_ranks,
         # multi-source BFS levels (reachability) over the sampled graph
         "part_bfs_levels": Q.part_bfs_levels,
+        # weighted multi-source shortest paths (fixed-round Bellman-Ford)
+        "part_sssp_weighted": Q.part_sssp_weighted,
+        # per-user exponentially-decayed purchase-recency score
+        "events_decay_score": Q.events_decay_score,
         # label-propagation communities over the sampled graph
         "part_label_prop": Q.part_label_prop,
         # KG edge temporal provenance (weight, distinct convs, first/last
@@ -2944,6 +2952,19 @@ GROUP BY cs.label, x.pred, co.label""",
         "part_bfs_levels": _bfs_sql(
             Q.BFS_SEED_MOD, Q.BFS_ROUNDS, Q.TRI_SAMPLE_MOD
         ),
+        "part_sssp_weighted": _sssp_sql(
+            Q.SSSP_SEED_MOD, Q.SSSP_ROUNDS, Q.TRI_SAMPLE_MOD, Q.SSSP_W_MOD
+        ),
+        "events_decay_score": f"""
+WITH p AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase')
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+       CAST(sum(cents * (1 << ({Q.DECAY_K} - rn))) AS BIGINT) AS decay_score
+FROM p WHERE rn <= {Q.DECAY_K} GROUP BY user_id""",
         "part_label_prop": _labelprop_sql(Q.LP_ROUNDS, Q.TRI_SAMPLE_MOD),
         "doc_bm25_topk": _bm25_sql(),
         "doc_rrf_fusion": _rrf_sql(),
@@ -3146,6 +3167,33 @@ FROM (SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_rol
       FROM transcripts_fx)
 WHERE prev_role IS NOT NULL
 GROUP BY prev_role, role""",
+        "kg_tool_usage": pre
+        + """
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us
+FROM transcripts_fx WHERE role = 'tool' GROUP BY tool""",
+        "kg_tool_chains": pre
+        + """
+SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n_transitions
+FROM (SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool,
+             tool
+      FROM transcripts_fx WHERE role = 'tool')
+WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool""",
+        "kg_conv_tool_profile": pre
+        + """
+SELECT conv_id,
+       CAST(sum(n) AS BIGINT) AS n_tool_calls,
+       CAST(count(*) AS BIGINT) AS n_distinct_tools,
+       max(CASE WHEN rn = 1 THEN tool END) AS dominant_tool
+FROM (
+  SELECT conv_id, tool, n,
+         row_number() OVER (PARTITION BY conv_id ORDER BY n DESC, tool) AS rn
+  FROM (SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS n
+        FROM transcripts_fx WHERE role = 'tool' GROUP BY conv_id, tool))
+GROUP BY conv_id""",
         "part_ktruss": _ktruss_sql(
             Q.KTRUSS_K, Q.KTRUSS_ROUNDS, Q.TRI_SAMPLE_MOD
         ),
@@ -3692,6 +3740,51 @@ lv{i} AS MATERIALIZED (
         f"""
 SELECT CAST(node AS BIGINT) AS part_id, CAST(level AS BIGINT) AS level
 FROM lv{rounds}"""
+    )
+    return "".join(parts)
+
+
+def _sssp_sql(seed_mod: int, rounds: int, mod: int, w_mod: int) -> str:
+    """Fixed-round multi-source Bellman-Ford as materialized CTE
+    iterates — round-for-round identical to part_sssp_weighted's Ray
+    loop (every round relaxes ALL edges against the full d_{i-1} map
+    and min-merges), over the SAME md5-sparsified edge set with edge
+    weights recomputed from the high bits of the SAME ``tri:`` coin
+    (``1 + (coin // 2^32) % w_mod``) and the SAME ``sssp:`` seed gate.
+    The Ray loop's fixpoint early exit is sound: once d_i == d_{i-1}
+    every later SQL iterate is identical by induction."""
+    parts = [
+        f"""WITH d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS MATERIALIZED (
+  SELECT u, v,
+         1 + (md5_number_lower('tri:' || u || ':' || v) // 4294967296) % {w_mod} AS w
+  FROM e0
+  WHERE md5_number_lower('tri:' || u || ':' || v) % {mod} = 0),
+adj AS MATERIALIZED (
+  SELECT u AS n, v AS o, w FROM e UNION ALL SELECT v, u, w FROM e),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT n AS node, CAST(0 AS BIGINT) AS dist FROM adj
+  WHERE md5_number_lower('sssp:' || n) % {seed_mod} = 0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT adj.o AS node, CAST(min(p.dist + adj.w) AS BIGINT) AS dist
+  FROM adj JOIN d{i - 1} p ON adj.n = p.node GROUP BY adj.o),
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL SELECT node, dist FROM c{i}) GROUP BY node)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS part_id, CAST(dist AS BIGINT) AS dist
+FROM d{rounds}"""
     )
     return "".join(parts)
 

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from .kernels.tokenize import tokenize_text
 
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 SEED = 42
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_ROOT", "/tmp/graft_fixtures")
 
@@ -119,7 +119,20 @@ DISTRACTORS: list[str] = [
 ]
 
 ROLES = ("user", "assistant", "tool")
+# Tool-name bank for role == "tool" turns (fixture v4). The pick is an
+# md5 pure function of (conv_id, turn_idx) — NOT an rng draw — so the
+# text/role/ts streams are byte-identical to v3 and only the `tool`
+# column gained diversity (the input_hint column was degenerate before,
+# which made tool-usage analytics untestable).
+TOOL_BANK = ("annotator", "linker", "retriever", "summarizer", "validator")
 _BASE_TS = _dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _tool_for(conv_id: str, turn_idx: int) -> str:
+    from .kernels.hashing import stable_u64_md5
+
+    h = stable_u64_md5(f"tool:{conv_id}:{turn_idx}".encode("utf-8"))
+    return TOOL_BANK[h % len(TOOL_BANK)]
 
 TRANSCRIPT_SCHEMA = pa.schema(
     [
@@ -219,7 +232,7 @@ def generate_transcripts(n_convs: int, seed: int = SEED) -> pa.Table:
             turn_idxs.append(t)
             roles.append(role)
             texts.append(text)
-            tools.append("annotator" if role == "tool" else "")
+            tools.append(_tool_for(conv_id, t) if role == "tool" else "")
             tss.append(conv_base + t * 30_000_000)
     # shuffle row order so the pipeline's (conv_id, turn_idx) sort is load-bearing
     order = list(range(len(conv_ids)))

@@ -7364,6 +7364,13 @@ def doc_source_drift(sf_dir: str):
     1e6·C_t // T|``. Shares are floor-divided integers, so the SQL
     oracle recomputes every addend exactly (the emb_quantize lesson).
 
+    ASCII tokenization contract (the kernels/tokenize.py convention):
+    the pandas side tokenizes with Python ``re`` ``\\w+`` (Unicode word
+    chars) while the oracle uses DuckDB/RE2 ``\\w+`` (ASCII-only); the
+    engines agree because the fixture corpus is ASCII — a non-ASCII
+    corpus must pin both sides to an explicit class like
+    ``[0-9A-Za-z_]+`` before the counts can be compared.
+
     Shape — no corpus-scale shuffle AND no vocab-scale driver stream:
     one word-keyed exchange fully co-locates each word, so every
     partition can compute exact per-word totals locally and emit ONLY
@@ -11254,4 +11261,385 @@ def nation_revenue_share(sf_dir: str):
     agg["share_micro"] = (1_000_000 * agg["cents"] // rtot).astype("int64")
     return agg[["n_name", "r_name", "revenue_cents", "share_micro"]].sort_values(
         ["r_name", "n_name"], ignore_index=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tool-usage analytics over agent transcripts (the input_hint `tool`
+# column — the reference app has one implicit annotate tool
+# (app.py:254-303, the model invocation behind every request); the
+# engine generalizes to the tool bank an agent-transcript corpus
+# actually carries, fixture v4).
+# ---------------------------------------------------------------------------
+
+
+def kg_tool_usage(sf_dir: str):
+    """Per-tool invocation profile (calls, distinct conversations,
+    first/last invocation epoch-µs) over role='tool' turns — the
+    tool-adoption audit rollup. All-integer outputs, value-exact oracle.
+
+    Shape: row-local filter + per-block (tool, conv_id) partials
+    (count, min/max ts) → ONE (tool, conv_id)-keyed exchange merges
+    partials and reduces to per-(tool, partition) rows — distinct-conv
+    counting is exact because the exchange lands each (tool, conv) in
+    exactly one partition — → one tiny tool-keyed combine (domain =
+    |tool bank|). A viral tool ships #blocks·#convs partial rows,
+    never its turns."""
+    from .stages.exchange import keyed_exchange
+
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "role", "tool", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["role"] == "tool"]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "tool": pd.Series(dtype="object"),
+                    "conv_id": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "lo": pd.Series(dtype="int64"),
+                    "hi": pd.Series(dtype="int64"),
+                }
+            )
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        g = (
+            pd.DataFrame({"tool": df["tool"], "conv_id": df["conv_id"], "ts": ts_us})
+            .groupby(["tool", "conv_id"], as_index=False)
+            .agg(n=("ts", "size"), lo=("ts", "min"), hi=("ts", "max"))
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def conv_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["tool", "conv_id"], as_index=False).agg(
+            n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")
+        )
+        out = g.groupby("tool", as_index=False).agg(
+            n_calls=("n", "sum"),
+            n_convs=("conv_id", "size"),
+            first_ts_us=("lo", "min"),
+            last_ts_us=("hi", "max"),
+        )
+        out["n_calls"] = out["n_calls"].astype("int64")
+        out["n_convs"] = out["n_convs"].astype("int64")
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("tool", as_index=False).agg(
+            n_calls=("n_calls", "sum"),
+            n_convs=("n_convs", "sum"),
+            first_ts_us=("first_ts_us", "min"),
+            last_ts_us=("last_ts_us", "max"),
+        )
+        for c in ("n_calls", "n_convs", "first_ts_us", "last_ts_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    part = keyed_exchange(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["tool", "conv_id"],
+        conv_reduce,
+        _xparts(sf_dir, "transcripts"),
+    )
+    return keyed_exchange(part, ["tool"], combine, num_partitions=8)
+
+
+def kg_tool_chains(sf_dir: str):
+    """Tool-chain bigrams: among a conversation's tool turns in
+    turn_idx order, (prev_tool, tool) transition counts — the
+    tool-orchestration structure (which tool feeds which) an
+    agent-transcript corpus is mined for. Unlike kg_role_transitions
+    the predecessor is the previous TOOL turn at any gap, so the
+    shifted-emit trick doesn't apply; instead one conversation-keyed
+    exchange co-locates a conversation's tool turns (bounded by the
+    per-conversation turn count — the kg_topic_boundaries hot-key
+    argument) and a vectorized per-partition sort + groupby-shift
+    builds the lag pairs; per-partition (prev_tool, tool) partials
+    reduce in the same pass and one tiny keyed combine sums them
+    (domain ≤ |tool bank|²)."""
+    from .stages.exchange import keyed_exchange
+
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "turn_idx", "role", "tool"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["role"] == "tool"]
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": df["turn_idx"].astype("int64"),
+                "tool": df["tool"],
+            }
+        )
+
+    def lag_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        prev = df.groupby("conv_id", sort=False)["tool"].shift(1)
+        m = df[prev.notna()].assign(prev_tool=prev[prev.notna()])
+        g = (
+            m.groupby(["prev_tool", "tool"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["prev_tool", "tool"], as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "prev_tool": g["prev_tool"].astype(str),
+                "tool": g["tool"].astype(str),
+                "n_transitions": g["n"].astype("int64"),
+            }
+        )
+
+    pairs = keyed_exchange(
+        ds.map_batches(project, batch_format="pandas"),
+        ["conv_id"],
+        lag_partial,
+        _xparts(sf_dir, "transcripts"),
+    )
+    return keyed_exchange(pairs, ["prev_tool", "tool"], combine, num_partitions=8)
+
+
+def kg_conv_tool_profile(sf_dir: str):
+    """Per-conversation tool profile: tool-call count, distinct tools,
+    and the DOMINANT tool (mode with the label-prop tie-break: count
+    desc, tool asc) — the per-conversation feature row a transcript
+    curriculum or router would train on. Only conversations with ≥1
+    tool turn appear (both engines: the filtered stream defines the
+    domain).
+
+    Shape: per-block (conv_id, tool) partials → ONE conv-keyed
+    exchange (a conversation's distinct-tool rows are ≤ |tool bank|,
+    so partitions hold bounded per-conv groups) → vectorized
+    per-partition reduce: counts sum, distinct tools counted, dominant
+    tool picked by a (n desc, tool asc) lexsort + groupby-first."""
+    from .stages.exchange import keyed_exchange
+
+    paths = _fixture(sf_dir)
+    ds = _transcripts_ds(paths, columns=["conv_id", "role", "tool"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["role"] == "tool"]
+        g = (
+            pd.DataFrame({"conv_id": df["conv_id"], "tool": df["tool"]})
+            .groupby(["conv_id", "tool"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["conv_id", "tool"], as_index=False)["n"].sum()
+        g = g.sort_values(
+            ["conv_id", "n", "tool"], ascending=[True, False, True], kind="mergesort"
+        )
+        agg = g.groupby("conv_id", sort=False).agg(
+            n_tool_calls=("n", "sum"), n_distinct_tools=("tool", "size")
+        )
+        agg["dominant_tool"] = g.groupby("conv_id", sort=False)["tool"].first()
+        out = agg.reset_index()
+        out["n_tool_calls"] = out["n_tool_calls"].astype("int64")
+        out["n_distinct_tools"] = out["n_distinct_tools"].astype("int64")
+        return out[["conv_id", "n_tool_calls", "n_distinct_tools", "dominant_tool"]]
+
+    return keyed_exchange(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["conv_id"],
+        reduce,
+        _xparts(sf_dir, "transcripts"),
+    )
+
+
+SSSP_SEED_MOD = 64  # node seeds iff md5('sssp:'||node) % MOD == 0
+SSSP_ROUNDS = 4  # fixed Bellman-Ford rounds (dist = shortest <=ROUNDS-edge path)
+SSSP_W_MOD = 9  # edge weight = 1 + (tri-coin >> 32) % MOD, in [1, 9]
+
+
+def part_sssp_weighted(sf_dir: str):
+    """Multi-source single-source-shortest-path distances (Bellman-Ford,
+    integer edge weights) over the md5-sparsified co-purchase graph —
+    the weighted generalization of part_bfs_levels (delivery radius,
+    influence cost, weighted reachability all reduce to it). Edge
+    weights are a pure function of the STORED edge coin
+    (``1 + (coin >> 32) % SSSP_W_MOD``) — vectorized on the Ray side,
+    recomputed bit-for-bit in SQL from the same ``tri:`` md5, and using
+    the high coin bits keeps the weight independent of the low-bit
+    sampling gate. Seeds: the ``sssp:`` md5 coin (the BFS pattern).
+
+    Per round the CURRENT dist map is broadcast (node-dimension
+    bounded — the part_kcore alive-set argument) and one pass over the
+    pinned edge set emits relaxation candidates ``dist(u) + w`` for
+    both directions; a node-keyed exchange min-reduces them and the
+    driver merges mins into the map. Exactly SSSP_ROUNDS synchronous
+    rounds with early exit on a fixpoint (the SQL iterates are then
+    identical by induction), so the unrolled materialized-CTE oracle
+    replays round-for-round. Only frontier-adjacent edges produce
+    exchange rows; the edge set itself never reshuffles."""
+    from .stages.exchange import keyed_exchange
+    from .state.broadcast import resolve
+
+    from .kernels.hashing import stable_u64_md5
+    from .state.manifest import list_parquet_files
+
+    ds = rd.read_parquet(
+        list_parquet_files(_copurchase_cache(sf_dir)), columns=["u", "v", "coin"]
+    )
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        coin = df["coin"].to_numpy()
+        keep = coin % np.uint64(TRI_SAMPLE_MOD) == 0
+        df = df[keep]
+        w = (
+            (df["coin"].to_numpy() >> np.uint64(32)) % np.uint64(SSSP_W_MOD)
+        ).astype("int64") + 1
+        return pd.DataFrame(
+            {
+                "u": df["u"].astype("int64"),
+                "v": df["v"].astype("int64"),
+                "w": w,
+            }
+        )
+
+    edges = ds.map_batches(filt, batch_format="pandas").materialize()
+    nodes = _copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))["node"].to_numpy()
+    coin = np.fromiter(
+        (stable_u64_md5(f"sssp:{n}".encode("utf-8")) for n in nodes),
+        dtype=np.uint64,
+        count=len(nodes),
+    )
+    seeds = np.sort(nodes[coin % np.uint64(SSSP_SEED_MOD) == 0])
+    dist: dict[int, int] = {int(n): 0 for n in seeds}
+
+    for _r in range(1, SSSP_ROUNDS + 1):
+        if not dist:
+            break
+        dn = np.fromiter(dist, dtype=np.int64, count=len(dist))
+        order = np.argsort(dn)
+        dn = dn[order]
+        dv = np.fromiter(dist.values(), dtype=np.int64, count=len(dist))[order]
+        dref = ray.put((dn, dv))
+
+        def relax(df: pd.DataFrame, dref=dref) -> pd.DataFrame:
+            nodes_b, dists_b = resolve(dref)
+            out_n = []
+            out_d = []
+            for a, b in (("u", "v"), ("v", "u")):
+                src = df[a].to_numpy()
+                dst = df[b].to_numpy()
+                w = df["w"].to_numpy()
+                i = np.searchsorted(nodes_b, src)
+                i[i >= len(nodes_b)] = 0
+                hit = (len(nodes_b) > 0) & (nodes_b[i] == src)
+                out_n.append(dst[hit])
+                out_d.append(dists_b[i[hit]] + w[hit])
+            cand = pd.DataFrame(
+                {
+                    "node": np.concatenate(out_n).astype("int64"),
+                    "dist": np.concatenate(out_d).astype("int64"),
+                }
+            )
+            return cand.groupby("node", as_index=False)["dist"].min()
+
+        nxt = keyed_exchange(
+            edges.map_batches(relax, batch_format="pandas"),
+            ["node"],
+            lambda df: df.groupby("node", as_index=False)["dist"].min(),
+            num_partitions=8,
+        ).to_pandas()
+        changed = False
+        for n, d in zip(nxt["node"].to_numpy(), nxt["dist"].to_numpy()):
+            n, d = int(n), int(d)
+            if d < dist.get(n, 1 << 62):
+                dist[n] = d
+                changed = True
+        if not changed:
+            break
+
+    if not dist:
+        return pd.DataFrame(
+            {"part_id": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
+        )
+    items = sorted(dist.items())
+    return pd.DataFrame(
+        {
+            "part_id": pd.Series([k for k, _ in items], dtype="int64"),
+            "dist": pd.Series([v for _, v in items], dtype="int64"),
+        }
+    )
+
+
+DECAY_K = 8  # recency window: the user's last K purchase events
+
+
+def events_decay_score(sf_dir: str):
+    """Per-user exponentially-decayed purchase-recency score — the
+    recency-weighted user feature a ranking/churn model trains on:
+    over the user's last DECAY_K purchase events in (ts, event_id)
+    order, ``decay_score = Σ cents_k · 2^(DECAY_K − rank_k)`` (most
+    recent weight 2^(K−1), halving per step — all-integer shifts, so
+    the window-rank SQL oracle is value-exact; unlike an EWMA there is
+    no per-row floor recursion, which keeps the kernel fully
+    vectorized).
+
+    Shape: per-block partial top-K per user (sort + groupby-head — the
+    partial-top-k merge pattern, so a hot user ships #blocks·K rows,
+    never its event stream) → ONE user-keyed exchange merges partials,
+    re-ranks globally, and computes the weighted sum vectorized."""
+    from .stages.exchange import keyed_exchange
+
+    ds = _tbl(
+        sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].to_numpy(dtype="datetime64[us]").astype("int64"),
+                "cents": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+        out = out.sort_values(
+            ["user_id", "ts_us", "event_id"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        return out.groupby("user_id", sort=False).head(DECAY_K)
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts_us", "event_id"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        top = df.groupby("user_id", sort=False).head(DECAY_K)
+        rank = top.groupby("user_id", sort=False).cumcount()  # 0 = most recent
+        weight = np.left_shift(
+            np.int64(1), (DECAY_K - 1 - rank.to_numpy()).astype("int64")
+        )
+        scored = pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy(),
+                "wcents": top["cents"].to_numpy() * weight,
+            }
+        )
+        g = scored.groupby("user_id", as_index=False).agg(
+            n_recent=("wcents", "size"), decay_score=("wcents", "sum")
+        )
+        g["n_recent"] = g["n_recent"].astype("int64")
+        g["decay_score"] = g["decay_score"].astype("int64")
+        return g
+
+    return keyed_exchange(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        reduce,
+        _xparts(sf_dir, "events"),
     )
