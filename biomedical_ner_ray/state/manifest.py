@@ -82,29 +82,51 @@ def run_stage(
         m = read_manifest(out_dir)
         m["skipped"] = True
         return m
-    # stale/partial output from a killed run: rebuild from scratch
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    tmp_dir = out_dir + ".tmp"
-    if os.path.exists(tmp_dir):
-        shutil.rmtree(tmp_dir)
-    os.makedirs(tmp_dir, exist_ok=True)
-    t0 = time.perf_counter()
-    build_and_write(tmp_dir)
-    wall = time.perf_counter() - t0
-    manifest = {
-        "stage": name,
-        "fingerprint": fp,
-        "rows": parquet_row_count(tmp_dir),
-        "wall_sec": round(wall, 3),
-        "counters": counters or {},
-        "completed_at": time.time(),
-    }
-    with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp_dir, out_dir)
-    manifest["skipped"] = False
-    return manifest
+    # Concurrent-writer guard: two processes (e.g. pytest and a driver
+    # both lazily building the same cached artifact) can race here — the
+    # loser's rmtree would delete the winner's completed output and its
+    # os.rename would fail ENOTEMPTY. An exclusive flock on a sibling
+    # lock file serialises the rebuild; after acquiring, re-check
+    # completeness so the loser adopts the winner's output instead of
+    # rebuilding. fcntl locks are per-host, which matches the scope:
+    # stage output dirs live on node-local or shared storage where the
+    # writers contending are co-located driver processes.
+    import fcntl
+
+    lock_path = out_dir + ".lock"
+    os.makedirs(os.path.dirname(out_dir) or ".", exist_ok=True)
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            if is_complete(out_dir, fp):
+                m = read_manifest(out_dir)
+                m["skipped"] = True
+                return m
+            # stale/partial output from a killed run: rebuild from scratch
+            if os.path.exists(out_dir):
+                shutil.rmtree(out_dir)
+            tmp_dir = out_dir + ".tmp"
+            if os.path.exists(tmp_dir):
+                shutil.rmtree(tmp_dir)
+            os.makedirs(tmp_dir, exist_ok=True)
+            t0 = time.perf_counter()
+            build_and_write(tmp_dir)
+            wall = time.perf_counter() - t0
+            manifest = {
+                "stage": name,
+                "fingerprint": fp,
+                "rows": parquet_row_count(tmp_dir),
+                "wall_sec": round(wall, 3),
+                "counters": counters or {},
+                "completed_at": time.time(),
+            }
+            with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:
+                json.dump(manifest, f)
+            os.rename(tmp_dir, out_dir)
+            manifest["skipped"] = False
+            return manifest
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
 
 
 def update_manifest(out_dir: str, **fields) -> None:
