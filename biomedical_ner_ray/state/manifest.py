@@ -93,8 +93,13 @@ def run_stage(
     # writers contending are co-located driver processes.
     import fcntl
 
-    lock_path = out_dir + ".lock"
-    os.makedirs(os.path.dirname(out_dir) or ".", exist_ok=True)
+    # Hidden dot-file so it can never collide with the output namespace:
+    # `bucket=000.lock` would match `bucket=*` partition globs and isn't
+    # skipped by Arrow dataset discovery (which ignores only `.`/`_`
+    # prefixes) — `.bucket=000.lock` is invisible to both.
+    parent = os.path.dirname(out_dir) or "."
+    lock_path = os.path.join(parent, "." + os.path.basename(out_dir) + ".lock")
+    os.makedirs(parent, exist_ok=True)
     with open(lock_path, "w") as lock_f:
         fcntl.flock(lock_f, fcntl.LOCK_EX)
         try:
