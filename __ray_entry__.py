@@ -116,6 +116,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_unshipped_topk": Q.segment_unshipped_topk,
         "order_priority_late_counts": Q.order_priority_late_counts,
         "nation_revenue_share": Q.nation_revenue_share,
+        # Q21-shape: unique-slowest-shipper audit (EXISTS + unique argmax)
+        "supplier_last_to_ship": Q.supplier_last_to_ship,
+        # Q15-shape: scalar-subquery argmax with ties kept
+        "supplier_quarter_topk": Q.supplier_quarter_topk,
+        # Q6-shape: pure scan-bandwidth filter-aggregate
+        "lineitem_discount_revenue": Q.lineitem_discount_revenue,
+        # RAG overlapping-window chunker (row-local expansion)
+        "doc_chunk_overlap": Q.doc_chunk_overlap,
+        # per-source winsorized mean via derived histogram
+        "doc_winsorized_length": Q.doc_winsorized_length,
+        # KG per-predicate reciprocity (edge-symmetry audit)
+        "kg_reciprocal_edges": Q.kg_reciprocal_edges,
         # conditional-aggregation PIVOT of event types to wide columns
         "events_type_pivot": Q.events_type_pivot,
         # JSON props field extraction + per-type aggregate
@@ -2992,6 +3004,106 @@ JOIN margq ms ON ms.node = e.subj_cui
 JOIN margq mo ON mo.node = e.obj_cui
 CROSS JOIN totq t""",
         "kg_two_hop_paths": pre + _two_hop_sql(),
+        # per-predicate reciprocity over the canonical edge table:
+        # reverse-direction lookup is a self-join on swapped endpoints
+        "kg_reciprocal_edges": pre
+        + _EDGESQ_CTE
+        + """
+, rq AS (
+  SELECT e.pred,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM edgesq r
+           WHERE r.subj_cui = e.obj_cui AND r.obj_cui = e.subj_cui
+             AND r.pred = e.pred) THEN 1 ELSE 0 END AS recip
+  FROM edgesq e)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(recip) AS BIGINT) AS n_reciprocal,
+       CAST(1000 * sum(recip) // count(*) AS BIGINT) AS recip_permille
+FROM rq GROUP BY pred""",
+        # Q21 shape: per-(order, supplier) max shipdate, unique argmax
+        # among >=2 suppliers, top-25 by blocked count (name tiebreak)
+        "supplier_last_to_ship": f"""
+WITH ps AS (
+  SELECT l_orderkey, l_suppkey, max(epoch_us(l_shipdate)) AS ms
+  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+o AS (SELECT l_orderkey, count(*) AS n_supp, max(ms) AS mx
+      FROM ps GROUP BY l_orderkey),
+nm AS (SELECT ps.l_orderkey, count(*) AS nmx
+       FROM ps JOIN o USING (l_orderkey) WHERE ps.ms = o.mx
+       GROUP BY ps.l_orderkey),
+b AS (SELECT ps.l_suppkey
+      FROM ps JOIN o USING (l_orderkey) JOIN nm USING (l_orderkey)
+      WHERE o.n_supp >= 2 AND nm.nmx = 1 AND ps.ms = o.mx)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_blocked
+FROM b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+GROUP BY s.s_name
+ORDER BY n_blocked DESC, s.s_name ASC
+LIMIT {Q.Q21_TOPK}""",
+        # Q15 shape: quarter revenue per supplier, ties-kept global max
+        "supplier_quarter_topk": f"""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q.Q15_START} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q.Q15_END} 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM r)""",
+        # Q6 shape: three row-local predicates, one global integer sum
+        "lineitem_discount_revenue": f"""
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents_pct,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q.Q6_YEAR_START} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q.Q6_YEAR_END} 00:00:00'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN {Q.Q6_DISC_LO} AND {Q.Q6_DISC_HI}
+  AND l_quantity < {Q.Q6_QTY_LT}""",
+        # RAG chunker: token count -> integer chunk count -> unnest(range)
+        "doc_chunk_overlap": f"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS n
+  FROM documents),
+k AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= {Q.CHUNK_W} THEN 1
+              ELSE 1 + (n - {Q.CHUNK_W} + {Q.CHUNK_S} - 1) // {Q.CHUNK_S}
+         END AS k
+  FROM t WHERE n > 0),
+e AS (SELECT doc_id, n, unnest(range(k)) AS i FROM k)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {Q.CHUNK_S} AS BIGINT) AS start_tok,
+       CAST(least(i * {Q.CHUNK_S} + {Q.CHUNK_W}, n) AS BIGINT) AS end_tok,
+       CAST(least(i * {Q.CHUNK_S} + {Q.CHUNK_W}, n) - i * {Q.CHUNK_S} AS BIGINT)
+         AS n_tokens
+FROM e""",
+        # per-source winsorized mean: histogram cumulative-rank clips
+        # (clip = smallest value with cum count >= ceil(p*n)), clamped sum
+        "doc_winsorized_length": f"""
+WITH h AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars),
+s AS (
+  SELECT source, n_chars, c,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM h),
+lo AS (SELECT source, min(n_chars) AS lo_clip FROM s
+       WHERE cum >= ({Q.WINSOR_LO_PCT} * n + 99) // 100 GROUP BY source),
+hi AS (SELECT source, min(n_chars) AS hi_clip FROM s
+       WHERE cum >= ({Q.WINSOR_HI_PCT} * n + 99) // 100 GROUP BY source)
+SELECT h.source, CAST(sum(h.c) AS BIGINT) AS n_docs,
+       CAST(any_value(lo.lo_clip) AS BIGINT) AS lo_clip,
+       CAST(any_value(hi.hi_clip) AS BIGINT) AS hi_clip,
+       CAST(1000000 * sum(h.c * greatest(lo.lo_clip, least(hi.hi_clip, h.n_chars)))
+            // sum(h.c) AS BIGINT) AS winsor_mean_micro
+FROM h JOIN lo ON lo.source = h.source JOIN hi ON hi.source = h.source
+GROUP BY h.source""",
         # distinct undirected neighbors over edgesq; exact log2 bucket
         # via length(bin(degree)) — no float log on either engine
         "kg_degree_distribution": pre

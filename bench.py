@@ -253,6 +253,12 @@ QUERY_NAMES = [
     "segment_unshipped_topk",
     "order_priority_late_counts",
     "nation_revenue_share",
+    "supplier_last_to_ship",
+    "supplier_quarter_topk",
+    "lineitem_discount_revenue",
+    "doc_chunk_overlap",
+    "doc_winsorized_length",
+    "kg_reciprocal_edges",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the
