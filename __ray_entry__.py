@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winsorized_length": Q.doc_winsorized_length,
         # KG per-predicate reciprocity (edge-symmetry audit)
         "kg_reciprocal_edges": Q.kg_reciprocal_edges,
+        # RFM quartile segmentation (multi-metric histogram quantiles)
+        "customer_rfm_segments": Q.customer_rfm_segments,
         # conditional-aggregation PIVOT of event types to wide columns
         "events_type_pivot": Q.events_type_pivot,
         # JSON props field extraction + per-type aggregate
@@ -3082,6 +3084,33 @@ SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
        CAST(least(i * {Q.CHUNK_S} + {Q.CHUNK_W}, n) - i * {Q.CHUNK_S} AS BIGINT)
          AS n_tokens
 FROM e""",
+        # RFM quartiles: quantile_disc thresholds (rank ceil(n*q)),
+        # score = 1 + #thresholds strictly exceeded, 4^3 cell counts
+        "customer_rfm_segments": """
+WITH pc AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate)) AS rec,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
+  FROM orders GROUP BY o_custkey),
+t AS (
+  SELECT quantile_disc(rec, 0.25) AS r1, quantile_disc(rec, 0.5) AS r2,
+         quantile_disc(rec, 0.75) AS r3,
+         quantile_disc(freq, 0.25) AS f1, quantile_disc(freq, 0.5) AS f2,
+         quantile_disc(freq, 0.75) AS f3,
+         quantile_disc(mon, 0.25) AS m1, quantile_disc(mon, 0.5) AS m2,
+         quantile_disc(mon, 0.75) AS m3
+  FROM pc),
+sc AS (
+  SELECT CAST(1 + (rec > r1)::INT + (rec > r2)::INT + (rec > r3)::INT AS BIGINT)
+           AS r_score,
+         CAST(1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT AS BIGINT)
+           AS f_score,
+         CAST(1 + (mon > m1)::INT + (mon > m2)::INT + (mon > m3)::INT AS BIGINT)
+           AS m_score
+  FROM pc CROSS JOIN t)
+SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers
+FROM sc GROUP BY r_score, f_score, m_score""",
         # per-source winsorized mean: histogram cumulative-rank clips
         # (clip = smallest value with cum count >= ceil(p*n)), clamped sum
         "doc_winsorized_length": f"""

@@ -12021,3 +12021,128 @@ def kg_reciprocal_edges(sf_dir: str):
     return g.astype({"n_edges": "int64", "n_reciprocal": "int64"}).sort_values(
         "pred", ignore_index=True
     )
+
+
+RFM_QS = (0.25, 0.5, 0.75)  # exact binary fractions: n*q has no float error
+
+
+def customer_rfm_segments(sf_dir: str):
+    """RFM customer segmentation — the classic lifecycle-marketing
+    rollup: per customer compute Recency (latest order epoch-µs),
+    Frequency (order count) and Monetary (lifetime cents), bin each
+    metric into quartiles (score 1-4, higher = better), and report the
+    population of every (r, f, m) cell. Thresholds use DuckDB
+    ``quantile_disc`` rank semantics (1-based rank ``ceil(n·q)``, the
+    lineitem_price_quantiles convention); a score is 1 + the number of
+    thresholds the value strictly exceeds, so ties are deterministic.
+
+    Shape: ONE customer-key exchange folds per-block partial
+    (max, count, sum) into exact per-customer rows (materialized once,
+    reused by both passes); quartiles come from the value-count-
+    histogram decomposition — per-block (metric, value) counts →
+    merge exchange → per-metric cumulative walk — so the quantile
+    stage ships distinct values, never customers (bounded-domain
+    assumption documented at lineitem_price_quantiles; t-digest is the
+    unbounded fallback). The 9 thresholds broadcast as a constant; the
+    scoring pass emits ≤ 64 partial cell rows per block, folded on the
+    driver."""
+    import math
+
+    from .stages.exchange import grouped_aggregate, keyed_exchange
+
+    ds = _tbl(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "ckey": df["o_custkey"].astype("int64"),
+                "rec": df["o_orderdate"]
+                .to_numpy(dtype="datetime64[us]")
+                .astype("int64"),
+                "freq": np.int64(1),
+                "mon": (df["o_totalprice"] * 100).round().astype("int64"),
+            }
+        ).groupby("ckey", as_index=False).agg(
+            rec=("rec", "max"), freq=("freq", "sum"), mon=("mon", "sum")
+        )
+        return g
+
+    def cust_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("ckey", as_index=False).agg(
+            rec=("rec", "max"), freq=("freq", "sum"), mon=("mon", "sum")
+        )
+
+    percust = keyed_exchange(
+        ds.map_batches(cust_partial, batch_format="pandas"),
+        ["ckey"],
+        cust_combine,
+        _xparts(sf_dir, "orders"),
+    ).materialize()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for m in ("rec", "freq", "mon"):
+            vc = df[m].value_counts()
+            frames.append(
+                pd.DataFrame(
+                    {"metric": m, "v": vc.index.astype("int64"), "n": vc.to_numpy()}
+                )
+            )
+        return pd.concat(frames, ignore_index=True).astype({"n": "int64"})
+
+    def hist_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["metric", "v"], sort=False, as_index=False)["n"].sum()
+
+    hist = grouped_aggregate(
+        percust, ["metric", "v"], hist_partial, hist_combine, _xparts(sf_dir, "orders")
+    )
+
+    def thresholds(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for m, g in df.groupby("metric", sort=False):
+            g = g.sort_values("v", kind="mergesort")
+            cum = g["n"].to_numpy().cumsum()
+            vals = g["v"].to_numpy()
+            n = int(cum[-1])
+            for q in RFM_QS:
+                rank = math.ceil(n * q)
+                rows.append((m, q, int(vals[np.searchsorted(cum, rank)])))
+        return pd.DataFrame(rows, columns=["metric", "q", "t"])
+
+    th = keyed_exchange(
+        hist, ["metric"], thresholds, num_partitions=8
+    ).to_pandas()
+    cuts = {
+        m: np.array(sorted(g["t"]), dtype="int64") for m, g in th.groupby("metric")
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "r_score": 1
+                + (df["rec"].to_numpy()[:, None] > cuts["rec"][None, :]).sum(axis=1),
+                "f_score": 1
+                + (df["freq"].to_numpy()[:, None] > cuts["freq"][None, :]).sum(axis=1),
+                "m_score": 1
+                + (df["mon"].to_numpy()[:, None] > cuts["mon"][None, :]).sum(axis=1),
+            }
+        )
+        g = out.groupby(["r_score", "f_score", "m_score"], as_index=False).size()
+        return g.rename(columns={"size": "n_customers"})
+
+    cells = (
+        percust.map_batches(score, batch_format="pandas")
+        .to_pandas()  # bounded: <= 64 cell rows per block
+        .groupby(["r_score", "f_score", "m_score"], as_index=False)["n_customers"]
+        .sum()
+    )
+    return cells.astype(
+        {
+            "r_score": "int64",
+            "f_score": "int64",
+            "m_score": "int64",
+            "n_customers": "int64",
+        }
+    ).sort_values(["r_score", "f_score", "m_score"], ignore_index=True)

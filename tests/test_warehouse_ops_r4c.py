@@ -173,3 +173,41 @@ def test_kg_reciprocal_edges_bruteforce(ray_session):
     assert exp["n_reciprocal"].sum() > 0
     assert exp["n_reciprocal"].sum() < exp["n_edges"].sum()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_customer_rfm_segments_bruteforce(ray_session):
+    import math
+
+    got = _frame(Q.customer_rfm_segments(SF))
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    pc = orders.assign(
+        rec=orders["o_orderdate"].astype("datetime64[us]").astype("int64"),
+        mon=(orders["o_totalprice"] * 100).round().astype("int64"),
+    ).groupby("o_custkey").agg(
+        rec=("rec", "max"), freq=("o_orderkey", "size"), mon=("mon", "sum")
+    )
+    n = len(pc)
+
+    def cuts(v):
+        s = np.sort(v)
+        return [int(s[math.ceil(n * q) - 1]) for q in Q.RFM_QS]
+
+    score = {}
+    for m in ("rec", "freq", "mon"):
+        t = cuts(pc[m].to_numpy())
+        score[m] = 1 + sum((pc[m].to_numpy()[:, None] > np.array(t)[None, :]).T)
+    exp = (
+        pd.DataFrame(
+            {"r_score": score["rec"], "f_score": score["freq"], "m_score": score["mon"]}
+        )
+        .groupby(["r_score", "f_score", "m_score"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_customers"})
+        .astype({"r_score": "int64", "f_score": "int64", "m_score": "int64",
+                 "n_customers": "int64"})
+        .sort_values(["r_score", "f_score", "m_score"], ignore_index=True)
+    )
+    # non-vacuous: multiple cells populated across score levels
+    assert exp["r_score"].nunique() == 4 and exp["m_score"].nunique() == 4
+    assert int(exp["n_customers"].sum()) == n
+    pd.testing.assert_frame_equal(got, exp)
