@@ -2730,7 +2730,7 @@ PQ_ITERS = 2
 
 
 def _pq_pinned_and_codebooks(sf_dir: str):
-    from .stages.kmeans import _quantize_df, subspace_centroids
+    from .stages.kmeans import _quantize_df, subspace_centroids_all
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
@@ -2739,10 +2739,10 @@ def _pq_pinned_and_codebooks(sf_dir: str):
     pinned = ds.map_batches(_quantize_df, batch_format="pandas").materialize()
     dim = len(pinned.take(1)[0]["q"])
     sub = dim // PQ_M
-    cbs = [
-        subspace_centroids(pinned, PQ_K, PQ_ITERS, m * sub, (m + 1) * sub)
-        for m in range(PQ_M)
-    ]
+    # one seed scan + PQ_ITERS partial scans for ALL subspaces (the
+    # per-subspace sequential trainer cost 16x the executor launches
+    # for identical results — see subspace_centroids_all)
+    cbs = subspace_centroids_all(pinned, PQ_K, PQ_ITERS, sub, PQ_M)
     return pinned, cbs, sub
 
 

@@ -195,6 +195,57 @@ def subspace_centroids(
     return cents
 
 
+def subspace_centroids_all(pinned, k: int, iterations: int, sub: int, m_count: int):
+    """All PQ subspaces trained in ONE pass per iteration: returns the
+    list ``[subspace_centroids(pinned, k, iterations, m*sub, (m+1)*sub)
+    for m in range(m_count)]`` bit-for-bit (asserted by
+    tests/test_kmeans.py::test_subspace_joint_equals_sequential), but
+    with one seed scan + ``iterations`` partial scans total instead of
+    ``m_count`` of each — the per-subspace executors were pure launch
+    overhead (subspaces are independent, so their partials batch into
+    one map_batches trivially)."""
+    import ray
+
+    def smallest_k(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, "vec_id")
+
+    seed_df = (
+        pinned.map_batches(smallest_k, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(k, "vec_id")
+        .sort_values("vec_id", ignore_index=True)
+    )
+    seed_full = np.stack(seed_df["q"].to_numpy()).astype(np.int64)
+    cents = [seed_full[:, m * sub : (m + 1) * sub].copy() for m in range(m_count)]
+
+    for _ in range(iterations):
+        cref = ray.put(cents)
+
+        def partial(df: pd.DataFrame, _c=cref) -> pd.DataFrame:
+            cs = ray.get(_c)
+            full = np.stack(df["q"].to_numpy()).astype(np.int64)
+            ms, cids, ns, ss = [], [], [], []
+            for m in range(m_count):
+                qmat = full[:, m * sub : (m + 1) * sub]
+                cid, _ = _assign(qmat, cs[m])
+                for ci in np.unique(cid):
+                    sel = qmat[cid == ci]
+                    ms.append(m)
+                    cids.append(int(ci))
+                    ns.append(len(sel))
+                    ss.append(sel.sum(axis=0, dtype=np.int64))
+            return pd.DataFrame({"m": ms, "cid": cids, "n": ns, "s": ss})
+
+        parts = pinned.map_batches(partial, batch_format="pandas").to_pandas()
+        nxt = [c.copy() for c in cents]
+        for (m, ci), g in parts.groupby(["m", "cid"]):
+            n = int(g["n"].sum())
+            s = np.sum(np.stack(g["s"].to_numpy()), axis=0, dtype=np.int64)
+            nxt[int(m)][int(ci)] = _trunc_div(s, np.int64(n))
+        cents = nxt
+    return cents
+
+
 def kmeans_oracle_sql(table: str = "embeddings", k: int = 8, iterations: int = 3) -> str:
     """The unrolled-iteration DuckDB twin of ``kmeans_int`` — bit-exact
     because every step is integer arithmetic with identical semantics

@@ -83,3 +83,27 @@ def test_quantize_floor_matches_duckdb():
             f" * 1000000) AS BIGINT)"
         ).fetchone()[0]
         assert g == w
+
+
+def test_subspace_joint_equals_sequential(ray_session):
+    """subspace_centroids_all must be bit-identical to the sequential
+    per-subspace trainer it replaced (the PQ oracle replays the
+    sequential semantics, so any divergence is an oracle break)."""
+    import numpy as np
+    import ray.data as rd
+
+    from biomedical_ner_ray.queries import PQ_ITERS, PQ_K, PQ_M
+    from biomedical_ner_ray.stages.kmeans import (
+        _quantize_df,
+        subspace_centroids,
+        subspace_centroids_all,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pinned = ds.map_batches(_quantize_df, batch_format="pandas").materialize()
+    dim = len(pinned.take(1)[0]["q"])
+    sub = dim // PQ_M
+    joint = subspace_centroids_all(pinned, PQ_K, PQ_ITERS, sub, PQ_M)
+    for m in range(PQ_M):
+        seq = subspace_centroids(pinned, PQ_K, PQ_ITERS, m * sub, (m + 1) * sub)
+        assert np.array_equal(joint[m], seq), f"subspace {m} diverged"
