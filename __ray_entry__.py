@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocal_edges": Q.kg_reciprocal_edges,
         # RFM quartile segmentation (multi-metric histogram quantiles)
         "customer_rfm_segments": Q.customer_rfm_segments,
+        # DAU/WAU stickiness (windowed COUNT DISTINCT via user-local
+        # window expansion)
+        "events_stickiness": Q.events_stickiness,
         # conditional-aggregation PIVOT of event types to wide columns
         "events_type_pivot": Q.events_type_pivot,
         # JSON props field extraction + per-type aggregate
@@ -3084,6 +3087,23 @@ SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
        CAST(least(i * {Q.CHUNK_S} + {Q.CHUNK_W}, n) - i * {Q.CHUNK_S} AS BIGINT)
          AS n_tokens
 FROM e""",
+        # windowed COUNT DISTINCT: trailing 7-day WAU vs same-day DAU,
+        # domain = days with >=1 event, integer permille ratio
+        "events_stickiness": f"""
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d
+  JOIN ud u ON u.day BETWEEN d.day - INTERVAL {Q.STICKY_WIN_DAYS - 1} DAY
+                         AND d.day
+  GROUP BY d.day)
+SELECT d.day, dau.dau, wau.wau,
+       CAST(1000 * dau.dau // wau.wau AS BIGINT) AS stickiness_permille
+FROM days d
+JOIN dau ON dau.day = d.day
+JOIN wau ON wau.day = d.day""",
         # RFM quartiles: quantile_disc thresholds (rank ceil(n*q)),
         # score = 1 + #thresholds strictly exceeded, 4^3 cell counts
         "customer_rfm_segments": """

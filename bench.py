@@ -260,6 +260,7 @@ QUERY_NAMES = [
     "doc_winsorized_length",
     "kg_reciprocal_edges",
     "customer_rfm_segments",
+    "events_stickiness",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the

@@ -12146,3 +12146,72 @@ def customer_rfm_segments(sf_dir: str):
             "n_customers": "int64",
         }
     ).sort_values(["r_score", "f_score", "m_score"], ignore_index=True)
+
+
+STICKY_WIN_DAYS = 7
+
+
+def events_stickiness(sf_dir: str):
+    """DAU/WAU stickiness — the engagement ratio every product
+    dashboard tracks, and the canonical WINDOWED COUNT DISTINCT
+    problem: per calendar day, distinct active users that day (DAU)
+    and over the trailing 7-day window (WAU), ratio in integer
+    permille. Output domain = days with ≥1 event.
+
+    Shape: map-side distinct (user, day) pairs → ONE user-keyed
+    exchange where each user's calendar-bounded day set expands to its
+    ≤7× window-day contributions and dedups LOCALLY (a user's rows all
+    co-locate, so distinct-per-window is exact without a second
+    shuffle); per-partition (day, dau, wau) partials are
+    calendar-bounded, so the driver fold is constant-size at any
+    corpus scale. The trap this avoids: expanding BEFORE deduping per
+    user (×7 the exchange) or a (day, user) exchange per window day
+    (7 shuffles)."""
+    from .stages.exchange import keyed_exchange
+
+    day_us = 86_400_000_000
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+                // day_us,
+            }
+        ).drop_duplicates()
+
+    def window_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        dau = df.groupby("day", as_index=False).size().rename(
+            columns={"size": "dau_n"}
+        )
+        exp = pd.concat(
+            [df.assign(day=df["day"] + k) for k in range(STICKY_WIN_DAYS)],
+            ignore_index=True,
+        ).drop_duplicates()
+        wau = exp.groupby("day", as_index=False).size().rename(
+            columns={"size": "wau_n"}
+        )
+        m = wau.merge(dau, on="day", how="left")
+        m["dau_n"] = m["dau_n"].fillna(0)
+        return m.astype({"day": "int64", "wau_n": "int64", "dau_n": "int64"})
+
+    parts = keyed_exchange(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["user_id"],
+        window_partial,
+        _xparts(sf_dir, "events"),
+    ).to_pandas()
+    g = parts.groupby("day", as_index=False)[["dau_n", "wau_n"]].sum()
+    g = g[g["dau_n"] > 0]  # report only days that actually have events
+    return pd.DataFrame(
+        {
+            "day": (g["day"].to_numpy() * day_us).astype("datetime64[us]"),
+            "dau": g["dau_n"].astype("int64").to_numpy(),
+            "wau": g["wau_n"].astype("int64").to_numpy(),
+            "stickiness_permille": (1000 * g["dau_n"] // g["wau_n"])
+            .astype("int64")
+            .to_numpy(),
+        }
+    ).sort_values("day", ignore_index=True)

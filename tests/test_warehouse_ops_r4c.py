@@ -211,3 +211,31 @@ def test_customer_rfm_segments_bruteforce(ray_session):
     assert exp["r_score"].nunique() == 4 and exp["m_score"].nunique() == 4
     assert int(exp["n_customers"].sum()) == n
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_events_stickiness_bruteforce(ray_session):
+    got = _frame(Q.events_stickiness(SF))
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    day_us = 86_400_000_000
+    ud = pd.DataFrame(
+        {
+            "u": ev["user_id"].astype("int64"),
+            "d": ev["ts"].astype("datetime64[us]").astype("int64") // day_us,
+        }
+    ).drop_duplicates()
+    days = sorted(ud["d"].unique())
+    rows = []
+    for d in days:
+        dau = ud.loc[ud["d"] == d, "u"].nunique()
+        wau = ud.loc[
+            (ud["d"] >= d - (Q.STICKY_WIN_DAYS - 1)) & (ud["d"] <= d), "u"
+        ].nunique()
+        rows.append((np.int64(d * day_us).astype("datetime64[us]"), dau, wau,
+                     1000 * dau // wau))
+    exp = pd.DataFrame(
+        rows, columns=["day", "dau", "wau", "stickiness_permille"]
+    ).astype({"day": "datetime64[us]", "dau": "int64", "wau": "int64",
+              "stickiness_permille": "int64"})
+    # non-vacuous: the window actually widens the distinct set somewhere
+    assert (exp["wau"] > exp["dau"]).any()
+    pd.testing.assert_frame_equal(got, exp)
