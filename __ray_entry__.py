@@ -402,7 +402,7 @@ def _kg_prefix() -> str:
     maximal dictionary matches (== greedy longest-match on this fixture,
     proven by tests/test_fixture_properties.py), linking, triples, and
     3-round min-label propagation for components."""
-    p = ensure_fixture("sf0.01")
+    p = ensure_fixture(ORACLE_SF)
     return f"""
 WITH transcripts_fx AS (
   SELECT * FROM read_parquet('{p["transcripts_glob"]}')
@@ -1149,7 +1149,7 @@ def _mentions_learned_sql() -> str:
     + SQL span assembly (see _replay_mentions_sql)."""
     from biomedical_ner_ray.pipelines.train_tagger import ensure_tagger_artifacts
 
-    arts = ensure_tagger_artifacts(replay_sf="sf0.01")
+    arts = ensure_tagger_artifacts(replay_sf=ORACLE_SF)
     return _replay_mentions_sql(arts["expected_tags"])
 
 
@@ -1163,7 +1163,7 @@ def _mentions_combinatorial_sql() -> str:
         ensure_combinatorial_artifacts,
     )
 
-    arts = ensure_combinatorial_artifacts(replay_sf="sf0.01")
+    arts = ensure_combinatorial_artifacts(replay_sf=ORACLE_SF)
     return _replay_mentions_sql(arts["expected_tags"])
 
 
@@ -4038,7 +4038,7 @@ def _conll_cte() -> str:
     sentences, file-local."""
     from biomedical_ner_ray.fixtures import ensure_conll_fixture
 
-    path = ensure_conll_fixture("sf0.01")
+    path = ensure_conll_fixture(ORACLE_SF)
     ws = "' ' || chr(9) || chr(13)"
     return f"""
 WITH lines AS (
@@ -4147,7 +4147,18 @@ FROM scls c JOIN quota q USING (cls)"""
     )
 
 
-ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+# The driver's correctness scale. GRAFT_ORACLE_SF_DIR lets
+# scripts/contract_check.py sweep other scales (e.g. sf0.001) with the
+# oracle's fixture-backed CTEs (kg family, CoNLL, classifier/replay
+# artifacts) derived from the SAME sf dir as the Ray side, so the whole
+# suite is contract-checkable at any sf — the driver itself never sets
+# it and keeps the sf0.01 default.
+ORACLE_SF_DIR = __import__("os").environ.get(
+    "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+from biomedical_ner_ray.fixtures import sf_name_from_dir as _sf_name  # noqa: E402
+
+ORACLE_SF = _sf_name(ORACLE_SF_DIR)  # fixture name matching ORACLE_SF_DIR
 
 
 def _emb_dim() -> int:
@@ -4272,7 +4283,7 @@ def _embedding_matrix_sql() -> str:
         ensure_embedding_artifacts,
     )
 
-    p = ensure_fixture("sf0.01")
+    p = ensure_fixture(ORACLE_SF)
     arts = ensure_embedding_artifacts(
         p, __import__("os").path.join(p["dir"], "emb_sgns")
     )

@@ -11871,7 +11871,7 @@ CHUNK_S = 24
 def doc_chunk_overlap(sf_dir: str):
     """RAG-style overlapping chunker: split each document's token
     stream into windows of CHUNK_W tokens with stride CHUNK_S (fixed
-    32-token overlap), emitting (doc_id, chunk_idx, start_tok, end_tok,
+    W−S = 8-token overlap), emitting (doc_id, chunk_idx, start_tok, end_tok,
     n_tokens) per chunk — the retrieval-index chunking pass every
     RAG/training-data pipeline runs before embedding. Windows fully
     cover the stream: the last window ends exactly at n_tokens, chunk

@@ -100,6 +100,15 @@ def run_stage(
     parent = os.path.dirname(out_dir) or "."
     lock_path = os.path.join(parent, "." + os.path.basename(out_dir) + ".lock")
     os.makedirs(parent, exist_ok=True)
+    # Migration sweep: earlier releases locked at the visible
+    # `<out_dir>.lock` path, which collides with `bucket=*` partition
+    # globs inside hive stores and splits mutual exclusion across
+    # versions. Best-effort unlink so existing cache namespaces are
+    # cleaned on first touch by the new code.
+    try:
+        os.unlink(out_dir + ".lock")
+    except OSError:
+        pass
     with open(lock_path, "w") as lock_f:
         fcntl.flock(lock_f, fcntl.LOCK_EX)
         try:

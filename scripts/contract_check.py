@@ -49,6 +49,13 @@ def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Point the fixture-backed oracle CTEs (kg family, CoNLL, replay
+    # artifacts) at the SAME sf dir as the Ray side so sweeps at
+    # sf0.001/sf0.1 compare like-for-like (read at __ray_entry__ exec).
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf
+
     import ray
 
     if not ray.is_initialized():
