@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational: aggregates + joins
         "lineitem_price_quantiles": Q.lineitem_price_quantiles,
         "lineitem_price_quantiles_sketch": Q.lineitem_price_quantiles_sketch,
+        "lineitem_price_quantiles_sketch_eval": Q.lineitem_price_quantiles_sketch_eval,
         "lineitem_pricing_summary": Q.lineitem_pricing_summary,
         "segment_year_rollup": Q.segment_year_rollup,
         "user_day_purchase_click_outer": Q.user_day_purchase_click_outer,
@@ -1717,6 +1718,49 @@ SELECT l_returnflag,
        CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_cents,
        CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75_cents
 FROM x GROUP BY l_returnflag""",
+        # Full SQL replay of the DDSketch register math (the
+        # events_hll_eval pattern): bucket index ceil(ln(p)/ln(γ)) with
+        # γ = (1+α)/(1-α) from the same IEEE ops as kernels/sketch.py,
+        # cumulative-count rank walk at rank ceil(n·q), exact side =
+        # quantile_disc over integer cents. bucket_err_pXX replays the
+        # audit's provably-zero bucket identity.
+        "lineitem_price_quantiles_sketch_eval": """
+WITH buck AS (
+  SELECT l_returnflag,
+         CAST(ceil(ln(l_extendedprice) / ln((1.0+0.01)/(1.0-0.01))) AS BIGINT) AS b,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+tot AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS nn FROM buck GROUP BY 1),
+hist AS (SELECT l_returnflag, b, count(*) AS n FROM buck GROUP BY 1, 2),
+cum AS (
+  SELECT h.l_returnflag, h.b, t.nn,
+         sum(h.n) OVER (PARTITION BY h.l_returnflag ORDER BY h.b) AS c
+  FROM hist h JOIN tot t USING (l_returnflag)
+),
+bq AS (
+  SELECT l_returnflag, any_value(nn) AS n_items,
+         min(CASE WHEN c >= greatest(1, CAST(ceil(nn * 0.25) AS BIGINT)) THEN b END) AS b25,
+         min(CASE WHEN c >= greatest(1, CAST(ceil(nn * 0.50) AS BIGINT)) THEN b END) AS b50,
+         min(CASE WHEN c >= greatest(1, CAST(ceil(nn * 0.75) AS BIGINT)) THEN b END) AS b75
+  FROM cum GROUP BY 1
+),
+pq AS (
+  SELECT l_returnflag,
+         CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25_cents,
+         CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_cents,
+         CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75_cents
+  FROM buck GROUP BY 1
+)
+SELECT b.l_returnflag, b.n_items, b.b25, b.b50, b.b75,
+       p.p25_cents, p.p50_cents, p.p75_cents,
+       abs(b.b25 - CAST(ceil(ln(CAST(p.p25_cents AS DOUBLE) / 100.0)
+                             / ln((1.0+0.01)/(1.0-0.01))) AS BIGINT)) AS bucket_err_p25,
+       abs(b.b50 - CAST(ceil(ln(CAST(p.p50_cents AS DOUBLE) / 100.0)
+                             / ln((1.0+0.01)/(1.0-0.01))) AS BIGINT)) AS bucket_err_p50,
+       abs(b.b75 - CAST(ceil(ln(CAST(p.p75_cents AS DOUBLE) / 100.0)
+                             / ln((1.0+0.01)/(1.0-0.01))) AS BIGINT)) AS bucket_err_p75
+FROM bq b JOIN pq p USING (l_returnflag)""",
         "events_asof": """
 WITH j AS (
   SELECT p.event_id, p.user_id, p.ts, p.value,
@@ -3506,9 +3550,7 @@ GROUP BY c.label""",
         "balance_assign": _balance_assign_sql(),
         "doc_bpe_merges": _bpe_merges_sql(),
         "doc_bpe_encode": _bpe_encode_sql(),
-        # balance_augmented intentionally has NO oracle entry: its word
-        # substitutions come from the trained model's top-k neighbors
-        # (not SQL-expressible); the driver records the rows-only check
+        "balance_augmented": _balance_augmented_sql(),
     }
 
 
@@ -4098,6 +4140,64 @@ btgt AS (
   FROM bcounts c, bmeds m
 ),
 bdef AS (SELECT tag, n, target, greatest(0, target - n) AS deficit FROM btgt)"""
+
+
+def _balance_augmented_sql() -> str:
+    """Oracle for the M11+G8 end-to-end pipeline (the
+    kg_mentions_learned replay pattern, previously rows-only): the
+    model-top-k word substitutions — the ONLY non-SQL-expressible step
+    — enter as a sequential driver-side replay artifact
+    (pipelines/balance.py::replay_balance_union, pre-downsample union,
+    built with the same pure components the distributed actors run),
+    and SQL independently re-derives EVERYTHING else: the explode with
+    0-based tok_idx, the post-augment tag counts, the over-represented
+    set (count·2 > target·3) against the targets CTE computed from the
+    original corpus, and the md5-seeded downsample coin
+    (``md5_number_lower('ds:'||sid||':'||copy) % 10 >= 6`` — the
+    engine's stable_u64_md5 contract). A value match therefore proves
+    distributed-augment == sequential-augment AND the engine's
+    downsample logic == the SQL replay, non-tautologically."""
+    from biomedical_ner_ray.pipelines.balance import ensure_balance_replay
+
+    path = ensure_balance_replay(ORACLE_SF)
+    return (
+        _conll_cte()
+        + _BALANCE_TGT_CTE
+        + f""",
+art AS (
+  SELECT sent_id, CAST(copy_idx AS INTEGER) AS copy_idx,
+         string_split(toks_join, chr(31)) AS toks,
+         string_split(tags_join, chr(31)) AS tags
+  FROM read_parquet('{path}')
+),
+atags AS (
+  SELECT a.sent_id, a.copy_idx, u.tag
+  FROM art a, unnest(a.tags) AS u(tag)
+),
+after_counts AS (SELECT tag, count(*) AS n2 FROM atags WHERE tag <> 'O' GROUP BY tag),
+over_t AS (
+  SELECT c.tag FROM after_counts c JOIN bdef d USING (tag)
+  WHERE c.n2 * 2 > d.target * 3
+),
+rowkeep AS (
+  SELECT t.sent_id, t.copy_idx,
+         NOT (
+           bool_or(t.tag <> 'O')
+           AND bool_and(t.tag = 'O' OR t.tag IN (SELECT tag FROM over_t))
+           AND md5_number_lower(
+                 'ds:' || t.sent_id || ':' || CAST(t.copy_idx AS VARCHAR)
+               ) % 10 < 6
+         ) AS keep
+  FROM atags t
+  GROUP BY t.sent_id, t.copy_idx
+)
+SELECT a.sent_id, a.copy_idx, CAST(g.i - 1 AS INTEGER) AS tok_idx,
+       a.toks[g.i] AS token, a.tags[g.i] AS tag
+FROM art a
+JOIN rowkeep k USING (sent_id, copy_idx),
+     unnest(generate_series(1, len(a.toks))) AS g(i)
+WHERE k.keep"""
+    )
 
 
 def _balance_targets_sql() -> str:

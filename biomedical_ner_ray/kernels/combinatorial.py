@@ -49,11 +49,11 @@ from __future__ import annotations
 import numpy as np
 
 from .crf import (
+    DICT_SCORE,
     FEATURE_SCALE,
     bio_tagset,
     bio_transitions,
-    emissions_from_tags,
-    viterbi_decode,
+    viterbi_decode_batch,
 )
 from .tokenize import MAX_SEQ_LEN
 
@@ -71,14 +71,61 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-np.clip(x, -30.0, 30.0)))
 
 
+# Fixed GEMM row-block size. Every matmul whose row count depends on
+# HOW work was batched (how many cache misses, how many sequences in a
+# bucket) goes through gemm_fixed so its per-row floats cannot.
+GEMM_ROWS = 64
+
+
+def gemm_fixed(A: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """Composition-independent GEMM: ``A[m, D] @ W[D, H]`` executed as
+    fixed-shape ``[GEMM_ROWS, D] @ [D, H]`` slices via one stacked
+    ``np.matmul`` (zero-padded tail).
+
+    WHY: OpenBLAS selects different blocking kernels for different m,
+    so the last-ulp rounding of row i of a plain ``A @ W`` depends on
+    how many OTHER rows happened to share the call — i.e. on batch
+    composition. With a fixed slice shape the kernel (and the k-loop
+    reduction order) is pinned, and GEMM output row i is a pure
+    function of input row i and W — measured bit-equal under arbitrary
+    row counts, compositions and block offsets (tests/
+    test_combinatorial.py::test_gemm_fixed_composition_independent).
+    This is what makes the BATCHED serving forward bit-identical to
+    the sequential oracle replay regardless of how Ray batches the
+    rows — a guarantee by construction, not by luck."""
+    m, D = A.shape
+    n = (m + GEMM_ROWS - 1) // GEMM_ROWS
+    if n * GEMM_ROWS != m:
+        pad = np.zeros((n * GEMM_ROWS, D), dtype=A.dtype)
+        pad[:m] = A
+    else:
+        pad = np.ascontiguousarray(A)
+    out = np.matmul(pad.reshape(n, GEMM_ROWS, D), W)
+    return out.reshape(n * GEMM_ROWS, -1)[:m]
+
+
 def lstm_forward(
-    x: np.ndarray, Wx: np.ndarray, Wh: np.ndarray, b: np.ndarray, reverse: bool
+    x: np.ndarray,
+    Wx: np.ndarray,
+    Wh: np.ndarray,
+    b: np.ndarray,
+    reverse: bool,
+    lens: np.ndarray | None = None,
 ) -> np.ndarray:
     """Batched single-direction LSTM: x [B, S, D] → outputs [B, S, H].
 
     Gate layout i|f|o|g along the 4H axis. The batch axis B is the
     vectorization lever — the char BiLSTM runs all T tokens of a turn
-    as one batch, so the sequential loop is only S=MAX_CHAR_LEN steps.
+    as one batch, and the batched serving path runs a whole same-bucket
+    sequence group per step. All matmuls are ``gemm_fixed`` so row i's
+    floats are independent of batch composition (see gemm_fixed).
+
+    ``lens`` (end-padded variable-length rows): for ``reverse=True``
+    the recurrence masks steps past each row's length so state stays
+    exactly zero until the walk enters the row's real suffix — output
+    rows at real positions are then bit-identical to an unpadded
+    per-row run. Forward direction needs no mask: outputs at real
+    positions only depend on steps ≤ t, which are all real.
     """
     B, S, D = x.shape
     H = Wh.shape[0]
@@ -86,22 +133,34 @@ def lstm_forward(
     c = np.zeros((B, H), dtype=np.float64)
     out = np.empty((B, S, H), dtype=np.float64)
     # hoist the input projection out of the loop: one [B*S, D]@[D, 4H]
-    xp = x.reshape(B * S, D) @ Wx
+    xp = gemm_fixed(x.reshape(B * S, D), Wx)
     xp = xp.reshape(B, S, 4 * H)
     steps = range(S - 1, -1, -1) if reverse else range(S)
+    mask = reverse and lens is not None and bool((lens < S).any())
     for t in steps:
-        g = xp[:, t] + h @ Wh + b
+        g = xp[:, t] + gemm_fixed(h, Wh) + b
         i = _sigmoid(g[:, :H])
         f = _sigmoid(g[:, H : 2 * H])
         o = _sigmoid(g[:, 2 * H : 3 * H])
         u = np.tanh(g[:, 3 * H :])
-        c = f * c + i * u
-        h = o * np.tanh(c)
+        cn = f * c + i * u
+        hn = o * np.tanh(cn)
+        if mask:
+            active = (lens > t)[:, None]
+            c = np.where(active, cn, c)
+            h = np.where(active, hn, h)
+        else:
+            c, h = cn, hn
         out[:, t] = h
     return out
 
 
-def bilstm(x: np.ndarray, params: dict[str, np.ndarray], prefix: str) -> np.ndarray:
+def bilstm(
+    x: np.ndarray,
+    params: dict[str, np.ndarray],
+    prefix: str,
+    lens: np.ndarray | None = None,
+) -> np.ndarray:
     """[B, S, D] → [B, S, 2H] (forward ‖ backward), torch-LSTM shaped."""
     fwd = lstm_forward(
         x, params[f"{prefix}_Wx_f"], params[f"{prefix}_Wh_f"], params[f"{prefix}_b_f"],
@@ -109,7 +168,7 @@ def bilstm(x: np.ndarray, params: dict[str, np.ndarray], prefix: str) -> np.ndar
     )
     bwd = lstm_forward(
         x, params[f"{prefix}_Wx_b"], params[f"{prefix}_Wh_b"], params[f"{prefix}_b_b"],
-        reverse=True,
+        reverse=True, lens=lens,
     )
     return np.concatenate([fwd, bwd], axis=2)
 
@@ -268,7 +327,14 @@ class CombinatorialScorer:
             # [T, W', k, d] windows over the char axis
             win = np.lib.stride_tricks.sliding_window_view(x, k, axis=1)
             win = win.transpose(0, 1, 3, 2).reshape(T, -1, k * d)
-            conv = np.maximum(win @ self.params[f"cnn_W{k}"] + self.params[f"cnn_b{k}"], 0.0)
+            wp = win.shape[1]
+            conv = np.maximum(
+                gemm_fixed(
+                    win.reshape(T * wp, k * d), self.params[f"cnn_W{k}"]
+                ).reshape(T, wp, -1)
+                + self.params[f"cnn_b{k}"],
+                0.0,
+            )
             feats.append(conv.max(axis=1))  # max-pool over char positions
         return np.concatenate(feats, axis=1)
 
@@ -336,56 +402,135 @@ class CombinatorialScorer:
         return np.stack([cache[t] for t in tokens])
 
     # -- forward -----------------------------------------------------
-    def scores(self, tokens: list[str]) -> np.ndarray:
-        """[T, K] tanh-bounded emissions — CombinatorialNER.forward
-        (models/models.py:165-186) with the CRF head factored out."""
-        chans = [self.word_embeddings(tokens)]
+    # Sequences per decode bucket: bounds the padded activation block
+    # ([256, 100, 48] float64 ≈ 10 MB) while keeping the recurrence
+    # GEMMs at useful width. Length-sorted bucketing keeps pad waste
+    # low without same-exact-length fragmentation.
+    BATCH_DECODE_SEQS = 256
+
+    def scores_batch(
+        self, seqs: list[list[str]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched forward over non-empty token sequences → (emissions
+        [B, L, K] end-padded, lens [B]) — CombinatorialNER.forward
+        (models/models.py:165-186) with the CRF head factored out.
+
+        COMPOSITION-INDEPENDENT by construction: every matmul whose row
+        count varies with batching runs through ``gemm_fixed``; the
+        backward context-LSTM lane is length-masked so padded steps
+        leave state untouched; attention (whose α@h reduction length IS
+        the sequence length) runs per sequence on the real slice. Row
+        i's emissions therefore depend only on sequence i — batched
+        serving, B=1 single decode, and the sequential oracle replay
+        all produce the same bits."""
+        B = len(seqs)
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=B)
+        L = int(lens.max())
+        flat = [t for s in seqs for t in s]
+        chans = [self.word_embeddings(flat)]
         if self.use_char_cnn or self.use_char_lstm:
-            chans.append(self._char_features(tokens))
-        combined = np.concatenate(chans, axis=1)
+            chans.append(self._char_features(flat))
+        x = np.concatenate(chans, axis=1)  # [N_real, comb]
 
         if self.use_fc_fusion:
-            combined = combined @ self.params["fusion_W"] + self.params["fusion_b"]
+            x = gemm_fixed(x, self.params["fusion_W"]) + self.params["fusion_b"]
             if self.dataset == "NCBI":  # models/models.py:121-126
-                combined = np.maximum(combined, 0.0)
+                x = np.maximum(x, 0.0)
 
+        rows = np.repeat(np.arange(B), lens)
+        cols = np.concatenate([np.arange(n) for n in lens])
         if self.use_lstm:
-            h = bilstm(combined[None, :, :], self.params, "ctxlstm")[0]  # [T, 2H]
+            pad = np.zeros((B, L, x.shape[1]), dtype=np.float64)
+            pad[rows, cols] = x
+            h = bilstm(pad, self.params, "ctxlstm", lens=lens)  # [B, L, 2H]
             if self.use_attention:
-                h = self.manhattan_attention(h)
+                a = np.zeros((B, L, self.out_dim), dtype=np.float64)
+                for i in range(B):
+                    n = int(lens[i])
+                    a[i, :n] = self.manhattan_attention(h[i, :n])
+                h = a
+            hflat = h[rows, cols]
         else:
-            h = combined
+            hflat = x
 
-        raw = h @ self.params["emission_W"] + self.params["emission_b"]
-        if self.trained:
-            return raw
-        return FEATURE_SCALE * np.tanh(raw)
+        raw = gemm_fixed(hflat, self.params["emission_W"]) + self.params["emission_b"]
+        if not self.trained:
+            raw = FEATURE_SCALE * np.tanh(raw)
+        em = np.zeros((B, L, raw.shape[1]), dtype=np.float64)
+        em[rows, cols] = raw
+        return em, lens
+
+    def scores(self, tokens: list[str]) -> np.ndarray:
+        """[T, K] emissions for one sequence — the B=1 slice of the one
+        batched forward implementation (bit-equal at any batch size)."""
+        em, lens = self.scores_batch([tokens])
+        return em[0, : int(lens[0])]
+
+    def decode_tokens_batch(self, token_lists: list[list[str]]) -> list[list[str]]:
+        """Pure-model Viterbi (trained mode) over many sequences: raw
+        emissions + learned transition scores under the hard BIO mask;
+        no dictionary prior. 'O' beyond MAX_SEQ_LEN (reference
+        truncation). Length-sorted buckets of ≤ BATCH_DECODE_SEQS run
+        one batched forward + one batched Viterbi each. Shared verbatim
+        by the distributed stage and the sequential oracle replay —
+        and bit-identical to per-sequence decoding (see scores_batch)."""
+        results: list[list[str] | None] = [None] * len(token_lists)
+        work: list[tuple[int, list[str]]] = []
+        for i, toks in enumerate(token_lists):
+            limit = min(len(toks), MAX_SEQ_LEN)
+            if limit == 0:
+                results[i] = ["O"] * len(toks)
+            else:
+                work.append((i, toks[:limit]))
+        work.sort(key=lambda it: (len(it[1]), it[0]))
+        cap = self.BATCH_DECODE_SEQS
+        for s in range(0, len(work), cap):
+            chunk = work[s : s + cap]
+            em, lens = self.scores_batch([t for _, t in chunk])
+            paths = viterbi_decode_batch(em, lens, self.trans)
+            for (i, toks), path in zip(chunk, paths):
+                results[i] = [self.tags[j] for j in path] + ["O"] * (
+                    len(token_lists[i]) - len(toks)
+                )
+        return results  # type: ignore[return-value]
 
     def decode_tokens(self, tokens: list[str]) -> list[str]:
-        """Pure-model Viterbi (trained mode): raw emissions + learned
-        transition scores under the hard BIO mask; no dictionary prior.
-        'O' beyond MAX_SEQ_LEN (reference truncation). Shared verbatim
-        by the distributed stage and the sequential oracle replay."""
-        limit = min(len(tokens), MAX_SEQ_LEN)
-        if limit == 0:
-            return ["O"] * len(tokens)
-        em = self.scores(tokens[:limit])
-        path = viterbi_decode(em, self.trans)
-        return [self.tags[i] for i in path] + ["O"] * (len(tokens) - limit)
+        return self.decode_tokens_batch([tokens])[0]
+
+    def decode_batch(
+        self, token_lists: list[list[str]], dict_tags_lists: list[list[str]] | None
+    ) -> list[list[str]]:
+        """Batched ``decode``: TRAINED mode ignores the dictionary tags
+        (weights decide); decode-equivalence mode Viterbi-decodes over
+        dictionary-prior + bounded model emissions, provably equal to
+        the dictionary tags per sequence."""
+        if self.trained:
+            return self.decode_tokens_batch(token_lists)
+        assert dict_tags_lists is not None
+        results: list[list[str] | None] = [None] * len(token_lists)
+        work: list[tuple[int, list[str]]] = []
+        for i, toks in enumerate(token_lists):
+            limit = min(len(toks), MAX_SEQ_LEN)
+            if limit == 0:
+                results[i] = list(dict_tags_lists[i])
+            else:
+                work.append((i, toks[:limit]))
+        work.sort(key=lambda it: (len(it[1]), it[0]))
+        cap = self.BATCH_DECODE_SEQS
+        for s in range(0, len(work), cap):
+            chunk = work[s : s + cap]
+            em, lens = self.scores_batch([t for _, t in chunk])
+            for bi, (i, toks) in enumerate(chunk):
+                for t, tag in enumerate(dict_tags_lists[i][: len(toks)]):
+                    em[bi, t, self.tag_index[tag]] += DICT_SCORE
+            paths = viterbi_decode_batch(em, lens, self.trans)
+            for (i, toks), path in zip(chunk, paths):
+                out = [self.tags[j] for j in path]
+                out.extend(dict_tags_lists[i][len(toks) :])
+                results[i] = out
+        return results  # type: ignore[return-value]
 
     def decode(self, tokens: list[str], dict_tags: list[str]) -> list[str]:
-        """Same decode contract as ``crf.CRFScorer.decode``: Viterbi over
-        dictionary-prior + model emissions, provably equal to dict_tags.
-        In TRAINED mode the prior is dropped — weights decide."""
-        if self.trained:
-            return self.decode_tokens(tokens)
-        limit = min(len(tokens), MAX_SEQ_LEN)
-        if limit == 0:
-            return list(dict_tags)
-        em = emissions_from_tags(
-            dict_tags[:limit], self.tag_index, self.scores(tokens[:limit])
-        )
-        idx_path = viterbi_decode(em, self.trans)
-        out = [self.tags[i] for i in idx_path]
-        out.extend(dict_tags[limit:])
-        return out
+        """Same decode contract as ``crf.CRFScorer.decode`` — the B=1
+        slice of decode_batch (one shared implementation)."""
+        return self.decode_batch([tokens], [dict_tags])[0]

@@ -190,6 +190,50 @@ def viterbi_decode(emissions: np.ndarray, trans: np.ndarray) -> list[int]:
     return path
 
 
+def viterbi_decode_batch(
+    emissions: np.ndarray, lens: np.ndarray, trans: np.ndarray
+) -> list[list[int]]:
+    """Batched max-sum Viterbi: emissions [B, L, K] (rows padded past
+    ``lens[i]``; pad cells are never read), one shared [K, K] transition
+    matrix → per-row best paths of length ``lens[i]``.
+
+    BIT-EXACT vs per-row ``viterbi_decode``: every DP step performs the
+    same elementwise additions (``delta + trans``, ``+ emissions[t]``)
+    on the same operands and the same first-index ``argmax`` ties, just
+    with a leading batch axis — max/argmax/add have no cross-row
+    reduction, so batching cannot perturb a single float. The DP runs
+    forward, so pad steps after a row's end can never influence the
+    deltas recorded at ``lens[i] - 1``."""
+    B, L, K = emissions.shape
+    if B == 0:
+        return []
+    delta = emissions[:, 0].copy()  # [B, K]
+    backs = np.zeros((L, B, K), dtype=np.int32)
+    final_delta = np.empty_like(delta)
+    done = lens == 1
+    final_delta[done] = delta[done]
+    for t in range(1, int(lens.max())):
+        scores = delta[:, :, None] + trans[None]  # [B, K_from, K_to]
+        bt = np.argmax(scores, axis=1)  # [B, K_to]
+        backs[t] = bt
+        delta = (
+            np.take_along_axis(scores, bt[:, None, :], axis=1)[:, 0, :]
+            + emissions[:, t]
+        )
+        done = lens == t + 1
+        if done.any():
+            final_delta[done] = delta[done]
+    out: list[list[int]] = []
+    for i in range(B):
+        n = int(lens[i])
+        path = [int(np.argmax(final_delta[i]))]
+        for t in range(n - 1, 0, -1):
+            path.append(int(backs[t, i, path[-1]]))
+        path.reverse()
+        out.append(path)
+    return out
+
+
 class CRFScorer:
     """Load-once scorer state (tagset, transitions, char featurizer) —
     the learned-model analog of AliasDict for the annotate stage.

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .crf import bio_tagset, bio_transitions, viterbi_decode
+from .crf import bio_tagset, bio_transitions, viterbi_decode, viterbi_decode_batch
 from .tokenize import MAX_SEQ_LEN
 
 CHAR_BUCKETS = 96
@@ -135,6 +135,10 @@ class LearnedScorer:
         self.W = params["W"]
         self.b = params["b"]
 
+    # weights decide — annotate's batched path skips the dictionary
+    # prior entirely (the CombinatorialScorer trained-mode contract)
+    trained = True
+
     def decode_tokens(self, tokens: list[str]) -> list[str]:
         """Viterbi tags for the first MAX_SEQ_LEN tokens; 'O' beyond
         (reference truncation). The single decode path shared by the
@@ -145,6 +149,45 @@ class LearnedScorer:
         em = features(tokens[:limit]).astype(np.float64) @ self.W + self.b
         path = viterbi_decode(em, self.trans)
         return [self.tags[i] for i in path] + ["O"] * (len(tokens) - limit)
+
+    def decode_tokens_batch(self, token_lists: list[list[str]]) -> list[list[str]]:
+        """Batched decode: per-sequence emissions (their matmul row
+        count IS the sequence length, so per-sequence floats never
+        depend on batching) + one batched Viterbi per length-sorted
+        bucket — bit-identical to ``decode_tokens`` per row (see
+        crf.viterbi_decode_batch)."""
+        results: list[list[str] | None] = [None] * len(token_lists)
+        work: list[tuple[int, list[str]]] = []
+        for i, toks in enumerate(token_lists):
+            limit = min(len(toks), MAX_SEQ_LEN)
+            if limit == 0:
+                results[i] = ["O"] * len(toks)
+            else:
+                work.append((i, toks[:limit]))
+        work.sort(key=lambda it: (len(it[1]), it[0]))
+        for s in range(0, len(work), 256):
+            chunk = work[s : s + 256]
+            lens = np.fromiter(
+                (len(t) for _, t in chunk), dtype=np.int64, count=len(chunk)
+            )
+            L = int(lens.max())
+            k = self.b.shape[0]
+            em = np.zeros((len(chunk), L, k), dtype=np.float64)
+            for bi, (_i, toks) in enumerate(chunk):
+                em[bi, : len(toks)] = (
+                    features(toks).astype(np.float64) @ self.W + self.b
+                )
+            paths = viterbi_decode_batch(em, lens, self.trans)
+            for (i, toks), path in zip(chunk, paths):
+                results[i] = [self.tags[j] for j in path] + ["O"] * (
+                    len(token_lists[i]) - len(toks)
+                )
+        return results  # type: ignore[return-value]
+
+    def decode_batch(
+        self, token_lists: list[list[str]], dict_tags_lists=None
+    ) -> list[list[str]]:
+        return self.decode_tokens_batch(token_lists)
 
     def decode(self, tokens: list[str], dict_tags: list[str]) -> list[str]:
         return self.decode_tokens(tokens)

@@ -379,3 +379,138 @@ def run_balance_pipeline(sent_ds_factory, kv_path: str, *, concurrency: int = 2)
         "counts_after_augment": final_counts,
     }
     return final.select_columns(["sent_id", "copy_idx", "tokens", "tags"]), report
+
+
+# ---------------------------------------------------------------------------
+# sequential replay artifact (the kg_mentions_learned oracle pattern)
+# ---------------------------------------------------------------------------
+
+# Unit separator for the artifact's joined token/tag strings: cannot
+# occur in CoNLL fields (they are tab-delimited line content).
+REPLAY_SEP = "\x1f"
+BALANCE_REPLAY_VERSION = "balance-replay-v1"
+
+
+def replay_balance_union(conll_path: str, kv_path: str) -> pd.DataFrame:
+    """Sequential (driver-side, no Ray) replay of the balance pipeline
+    UP TO the pre-downsample union: originals (copy_idx -1) plus every
+    md5-seeded augmented copy, one row per (sent_id, copy_idx) with
+    tokens/tags joined by REPLAY_SEP.
+
+    Reuses the SAME pure components the distributed pipeline runs —
+    ``compute_targets``, ``_sentence_class``, the ceil-div quota rule,
+    ``AugmentActor.augment`` — only the loop plumbing is sequential, so
+    a value match proves distributed-augment == sequential-augment.
+    The DOWNSAMPLE step is deliberately NOT applied here: the oracle
+    SQL re-derives it independently (over-represented set from the
+    artifact's tag counts vs the targets CTE, the md5 coin via
+    ``md5_number_lower``), so the artifact covers exactly the
+    non-SQL-expressible part (model top-k word substitutions)."""
+    from ..sources.conll import parse_conll_bytes
+
+    with open(conll_path, "rb") as f:
+        df = parse_conll_bytes(f.read(), conll_path)
+    sentences: list[tuple[str, list[str], list[str]]] = []
+    if len(df):
+        si = df["sent_idx"].to_numpy()
+        starts = np.flatnonzero(np.diff(si, prepend=si[0] - 1))
+        base = df["path"].iat[0]
+        tok_arr = df["token"].to_numpy()
+        tag_arr = df["tag"].to_numpy()
+        for sid, toks, tags in zip(
+            (f"{base}:{s}" for s in si[starts]),
+            np.split(tok_arr, starts[1:]),
+            np.split(tag_arr, starts[1:]),
+        ):
+            sentences.append((sid, toks.tolist(), tags.tolist()))
+
+    counts: dict[str, int] = {}
+    for _sid, _toks, tags in sentences:
+        for t in tags:
+            if t != "O":
+                counts[t] = counts.get(t, 0) + 1
+    targets = compute_targets(counts)
+    deficit = dict(zip(targets["tag"], targets["deficit"].astype(int)))
+    b_rna = int(sum(deficit.get(t, 0) for t in RNA_TAGS))
+    b_other = int(sum(d for t, d in deficit.items() if t not in RNA_TAGS))
+
+    cls_of: dict[str, str] = {}
+    n_by_cls: dict[str, int] = {}
+    for sid, _toks, tags in sentences:
+        c = _sentence_class(tags, deficit)
+        if c is not None:
+            cls_of[sid] = c
+            n_by_cls[c] = n_by_cls.get(c, 0) + 1
+
+    def ceil_div(a: int, b: int) -> int:
+        return -(-a // max(b, 1))
+
+    quota = {
+        "rna": min(RNA_CAP, ceil_div(b_rna, n_by_cls.get("rna", 0))) if b_rna else 0,
+        "other": min(OTHER_CAP, ceil_div(b_other, n_by_cls.get("other", 0)))
+        if b_other
+        else 0,
+    }
+
+    actor = AugmentActor(kv_path)
+    sids, copies, toks_j, tags_j = [], [], [], []
+    for sid, toks, tags in sentences:
+        sids.append(sid)
+        copies.append(-1)
+        toks_j.append(REPLAY_SEP.join(toks))
+        tags_j.append(REPLAY_SEP.join(tags))
+        cls = cls_of.get(sid)
+        if cls is None:
+            continue
+        rp, tk = (
+            (REPLACE_PROB_RNA, TOP_K_RNA) if cls == "rna" else (REPLACE_PROB, TOP_K)
+        )
+        for c in range(int(quota[cls])):
+            new_toks = actor.augment(sid, c, toks, tags, rp, tk)
+            sids.append(sid)
+            copies.append(c)
+            toks_j.append(REPLAY_SEP.join(new_toks))
+            tags_j.append(REPLAY_SEP.join(tags))
+    return pd.DataFrame(
+        {
+            "sent_id": sids,
+            "copy_idx": pd.array(copies, dtype="int32"),
+            "toks_join": toks_j,
+            "tags_join": tags_j,
+        }
+    )
+
+
+def ensure_balance_replay(sf_name: str) -> str:
+    """Build (once, cached, atomic) the sequential pre-downsample union
+    artifact for ``sf_name``'s CoNLL fixture; returns the parquet path."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..fixtures import ensure_conll_fixture, ensure_fixture
+    from ..state import manifest as mf
+
+    conll_path = ensure_conll_fixture(sf_name)
+    paths = ensure_fixture(sf_name)
+    from .embeddings import ensure_embedding_artifacts
+
+    arts = ensure_embedding_artifacts(paths, os.path.join(paths["dir"], "emb_sgns"))
+    fp = mf.fingerprint(
+        BALANCE_REPLAY_VERSION,
+        mf.input_fingerprint([conll_path, arts["kv"]]),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "graft_balance", f"replay_{sf_name}"
+    )
+
+    def build(tmp):
+        dfr = replay_balance_union(conll_path, arts["kv"])
+        pq.write_table(
+            pa.Table.from_pandas(dfr, preserve_index=False),
+            os.path.join(tmp, "union.parquet"),
+        )
+
+    mf.run_stage("balance-replay", out_dir, fp, build)
+    return os.path.join(out_dir, "union.parquet")

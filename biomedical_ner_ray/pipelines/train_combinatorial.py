@@ -54,6 +54,12 @@ from ..state.checkpoint import save_checkpoint
 from .train_tagger import _split_of, load_turns
 
 COMBI_VERSION = "combi-v2"
+# Serving-kernel version: bumped when the FORWARD implementation's
+# floats change (e.g. the r5 gemm_fixed composition-independent
+# kernels). Invalidates the replay artifact, NOT the checkpoint — the
+# training kernels (combi_train.py) are untouched, so the fitted
+# weights stay cached and bit-identical.
+SERVE_VERSION = "serve-v2"
 MAX_EPOCHS = 60
 PATIENCE = 8
 # Reference optimizer = Adam betas 0.9/0.999, weight_decay 5e-4,
@@ -387,12 +393,26 @@ def replay_expected_tags(
     scorer = CombinatorialScorer(
         types, checkpoint_path=checkpoint_path, trained=True
     )
-    convs, tixs, tidxs, toks, tgs = [], [], [], [], []
+    turns = load_turns(fixture_paths)
+    # Decode each DISTINCT sequence once through the same batched
+    # forward the serving actors run (decode is a pure function of the
+    # sequence, and the batched kernels are composition-independent —
+    # kernels/combinatorial.py::gemm_fixed — so grouping here vs Ray's
+    # batch boundaries cannot change a bit).
+    distinct: dict[tuple, int] = {}
+    seqs: list[list[str]] = []
+    for _conv_id, _turn_idx, tokens in turns:
+        key = tuple(tokens)
+        if key not in distinct:
+            distinct[key] = len(seqs)
+            seqs.append(list(tokens))
     with single_threaded_blas():
-        decoded = [
-            (conv_id, turn_idx, tokens, scorer.decode_tokens(tokens))
-            for conv_id, turn_idx, tokens in load_turns(fixture_paths)
-        ]
+        tag_seqs = scorer.decode_tokens_batch(seqs)
+    decoded = [
+        (conv_id, turn_idx, tokens, tag_seqs[distinct[tuple(tokens)]])
+        for conv_id, turn_idx, tokens in turns
+    ]
+    convs, tixs, tidxs, toks, tgs = [], [], [], [], []
     for conv_id, turn_idx, tokens, tags in decoded:
         for i, (tok, tg) in enumerate(zip(tokens, tags)):
             convs.append(conv_id)
@@ -444,7 +464,8 @@ def ensure_combinatorial_artifacts(replay_sf: str | None = None) -> dict:
         rp = ensure_fixture(replay_sf)
         rfiles = mf.list_parquet_files(rp["transcripts"])
         rfp = mf.fingerprint(
-            COMBI_VERSION, "replay", in_fp, mf.input_fingerprint(rfiles)
+            COMBI_VERSION, SERVE_VERSION, "replay", in_fp,
+            mf.input_fingerprint(rfiles),
         )
         rdir = os.path.join(root, f"replay_{replay_sf}")
 

@@ -3496,6 +3496,139 @@ def lineitem_price_quantiles_sketch(sf_dir: str):
     return keyed_exchange(partials, ["l_returnflag"], combine, num_partitions=8)
 
 
+def lineitem_price_quantiles_sketch_eval(sf_dir: str):
+    """Sketch audit — DDSketch vs exact grouped quantiles, the
+    events_hll_eval pattern for the quantile sketch: upgrades the
+    DDSketch family from rows-only to value-verified. The sketch side
+    re-runs the PRODUCTION kernel (kernels/sketch.py::dd_add — the same
+    log-spaced buckets lineitem_price_quantiles_sketch folds) but
+    reports each quantile's selected BUCKET INDEX — an integer the SQL
+    oracle replays bucket-for-bucket (``ceil(ln(price)/ln(γ))``;
+    numpy-vs-DuckDB ``ln`` agreement verified over every distinct
+    fixture price at sf0.001/0.01/0.1 — zero index mismatches). The
+    exact side is the lineitem_price_quantiles histogram walk
+    (``quantile_disc`` rank semantics, identical ceil(n·q) rank).
+
+    ``bucket_err_pXX = |sketch bucket − bucket(exact quantile)|`` is
+    provably 0: bucketing is monotone and both sides pick rank
+    ceil(n·q), so the sketch's cumulative-count walk lands in exactly
+    the bucket containing the exact order statistic — the audit row
+    hash proves that identity end-to-end (the ≤1% float midpoint
+    envelope is asserted separately in tests/test_sketch.py).
+
+    Shape: one pass folding per-block sparse bucket partials + one
+    tiny flag-keyed exchange (sketch), one (flag, cents) histogram
+    exchange (exact) — both scale shapes unchanged from the operators
+    they audit."""
+    import json
+    import math
+
+    from .kernels.sketch import DD_ALPHA, dd_gamma, dd_merge
+    from .stages.exchange import grouped_aggregate, keyed_exchange
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    QS = (0.25, 0.5, 0.75)
+
+    # -- sketch side: production dd_add partials, bucket-index picks --
+    def sk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .kernels.sketch import dd_add
+
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            counts = dd_add({}, g["l_extendedprice"].to_numpy())
+            rows.append(
+                (flag, len(g), json.dumps({str(k): v for k, v in counts.items()}))
+            )
+        return pd.DataFrame(rows, columns=["l_returnflag", "n", "buckets"])
+
+    def sk_combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=True):
+            merged: dict = {}
+            for blob in g["buckets"]:
+                raw = json.loads(blob)
+                merged = dd_merge(
+                    merged,
+                    {(None if k == "None" else int(k)): v for k, v in raw.items()},
+                )
+            n = int(g["n"].sum())
+            ks = sorted(k for k in merged if k is not None)
+            cum = np.cumsum([merged[k] for k in ks])
+            picks = [
+                int(ks[int(np.searchsorted(cum, max(1, math.ceil(n * q))))])
+                for q in QS
+            ]
+            rows.append((flag, n, *picks))
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "n_items", "b25", "b50", "b75"]
+        ).astype({"n_items": "int64", "b25": "int64", "b50": "int64", "b75": "int64"})
+
+    est = keyed_exchange(
+        ds.map_batches(sk_partial, batch_format="pandas"),
+        ["l_returnflag"],
+        sk_combine,
+        num_partitions=8,
+    ).to_pandas()
+
+    # -- exact side: the lineitem_price_quantiles histogram walk -----
+    def ex_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        return (
+            pd.DataFrame({"l_returnflag": df["l_returnflag"], "cents": cents})
+            .groupby(["l_returnflag", "cents"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def ex_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "cents"], sort=False, as_index=False)[
+            "n"
+        ].sum()
+
+    hist = grouped_aggregate(
+        ds, ["l_returnflag", "cents"], ex_partial, ex_combine,
+        _xparts(sf_dir, "lineitem"),
+    )
+
+    def ex_quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=True):
+            g = g.sort_values("cents", kind="mergesort")
+            vals = g["cents"].to_numpy(dtype="int64")
+            cum = g["n"].to_numpy(dtype="int64").cumsum()
+            n = int(cum[-1])
+            picks = [
+                int(vals[np.searchsorted(cum, max(1, math.ceil(n * q)))]) for q in QS
+            ]
+            rows.append((flag, *picks))
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "p25_cents", "p50_cents", "p75_cents"]
+        )
+
+    exact = keyed_exchange(
+        hist, ["l_returnflag"], ex_quantiles, num_partitions=8
+    ).to_pandas()
+
+    out = est.merge(exact, on="l_returnflag").sort_values(
+        "l_returnflag", ignore_index=True
+    )
+    g = math.log(dd_gamma(DD_ALPHA))
+    for q in ("25", "50", "75"):
+        exact_b = np.ceil(
+            np.log(out[f"p{q}_cents"].to_numpy(dtype=np.float64) / 100.0) / g
+        ).astype(np.int64)
+        out[f"bucket_err_p{q}"] = np.abs(out[f"b{q}"].to_numpy() - exact_b)
+    return out.astype(
+        {
+            "n_items": "int64",
+            "b25": "int64", "b50": "int64", "b75": "int64",
+            "p25_cents": "int64", "p50_cents": "int64", "p75_cents": "int64",
+            "bucket_err_p25": "int64", "bucket_err_p50": "int64",
+            "bucket_err_p75": "int64",
+        }
+    )
+
+
 def events_user_activity(sf_dir: str):
     """Exact distinct-count per event type (``COUNT(DISTINCT user_id)``)
     in the scale-safe two-level shape: per-block dedup of (type, user)
@@ -4235,9 +4368,15 @@ def balance_assign(sf_dir: str):
 
 def balance_augmented(sf_dir: str):
     """M11+G8 end-to-end: augmented+downsampled corpus token rows.
-    Model-top-k based, so no SQL oracle (rows-only driver check); the
-    deterministic sub-steps are oracle-checked by balance_targets /
-    balance_assign, and pytest asserts convergence + determinism."""
+    VALUE-exact oracle (r5, closing the last non-sketch rows-only
+    entry): the model-top-k substitutions enter SQL as a sequential
+    replay artifact (pipelines/balance.py::replay_balance_union — the
+    kg_mentions_learned pattern) and the oracle independently
+    re-derives the explode, the over-represented set and the md5
+    downsample coin (see __ray_entry__._balance_augmented_sql); the
+    deterministic sub-steps are additionally oracle-checked by
+    balance_targets / balance_assign, and pytest asserts convergence +
+    determinism."""
     from .pipelines.balance import run_balance_pipeline
     from .pipelines.embeddings import ensure_embedding_artifacts
 
@@ -6997,7 +7136,17 @@ def kg_topic_boundaries(sf_dir: str):
 LP_ROUNDS = 4  # fixed synchronous label-propagation rounds
 
 
-def part_label_prop(sf_dir: str):
+# Node-dimension broadcast budget for label propagation: below this the
+# per-round node→label map travels as ONE ray.put broadcast (fast, zero
+# extra exchange); above it the label-keyed exchange tier runs with no
+# driver-side state at all. The tier is a physical-plan choice — both
+# produce bit-identical labels (integer counts, deterministic
+# smallest-label tie-break), asserted by the forced-fallback pytest
+# (tests/test_scale_fallbacks.py::test_label_prop_exchange_tier).
+LP_BROADCAST_LIMIT = 5_000_000
+
+
+def part_label_prop(sf_dir: str, broadcast_limit: int = LP_BROADCAST_LIMIT):
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007, the deterministic mode-of-neighbors variant: highest
     neighbor-label count wins, ties break to the SMALLEST label) over
@@ -7007,31 +7156,45 @@ def part_label_prop(sf_dir: str):
     round-for-round (the part_kcore / part_bfs_levels contract) and the
     result is partitioning-independent by construction.
 
-    Shape — the pinned-big-side template: edges are materialized once
-    and never reshuffle; per round the node→label map is broadcast and
-    collected (bounded by the part DIMENSION, the documented broadcast-
-    small budget); one pass over the edges emits map-side-combined
-    (node, neighbor-label) counts, and ONE node-keyed exchange reduces
-    them to the per-node mode. Past that node-dimension budget the
-    scale-out path — NOT built here — would attach labels to adjacency
-    via a node-keyed exchange each round instead of the broadcast (the
-    part_triangle_counts note)."""
+    Two physical tiers (the doc_tfidf_top_terms pattern):
+
+    - BROADCAST (node dimension ≤ ``broadcast_limit``): edges are
+      materialized once and never reshuffle; per round the node→label
+      map is broadcast and collected; one pass over the edges emits
+      map-side-combined (node, neighbor-label) counts, and ONE
+      node-keyed exchange reduces them to the per-node mode.
+    - EXCHANGE (past the budget): NO per-round driver collect or
+      broadcast. Labels live as a distributed (node, lbl) dataset; each
+      round side-tags label rows into the doubled edge stream, ONE
+      node-keyed exchange co-locates every edge occurrence of a node
+      with its label row (the minhash-verify side-tag idiom), votes are
+      emitted toward the neighbor, and a second node-keyed exchange
+      reduces the mode. 2 exchanges × LP_ROUNDS over O(E) rows, driver
+      traffic zero until the final result collect — the shape that
+      survives 10⁹⁺-node graphs."""
     from .stages.exchange import keyed_exchange
     from .state.broadcast import resolve
 
     edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD).materialize()
-    nodes = np.sort(_copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))["node"].to_numpy(dtype=np.int64))
-    if not len(nodes):
-        return pd.DataFrame(
-            {"part_id": pd.Series(dtype="int64"), "community": pd.Series(dtype="int64")}
-        )
-    labels = nodes.copy()  # l0: every node labels itself
+    P = _xparts(sf_dir, "lineitem")
 
     def mode_reduce(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["node", "lbl"], sort=False, as_index=False)["c"].sum()
         g = g.sort_values(["node", "c", "lbl"], ascending=[True, False, True])
         top = g.drop_duplicates("node", keep="first")
         return top[["node", "lbl"]].astype({"node": "int64", "lbl": "int64"})
+
+    # Tier pick from a metadata-cheap upper bound (2·|E| ≥ |V|): never
+    # collects the node set just to decide how to avoid collecting it.
+    if 2 * edges.count() > broadcast_limit:
+        return _label_prop_exchange_tier(edges, P, mode_reduce)
+
+    nodes = np.sort(_copurchase_degrees(edges, P)["node"].to_numpy(dtype=np.int64))
+    if not len(nodes):
+        return pd.DataFrame(
+            {"part_id": pd.Series(dtype="int64"), "community": pd.Series(dtype="int64")}
+        )
+    labels = nodes.copy()  # l0: every node labels itself
 
     for _ in range(LP_ROUNDS):
         lref = ray.put((nodes, labels))
@@ -7069,6 +7232,88 @@ def part_label_prop(sf_dir: str):
         {
             "part_id": pd.Series(nodes, dtype="int64"),
             "community": pd.Series(labels, dtype="int64"),
+        }
+    )
+
+
+def _label_prop_exchange_tier(edges, P: int, mode_reduce):
+    """Label-keyed exchange tier of part_label_prop (see its docstring):
+    distributed (node, lbl) state, two node-keyed exchanges per round,
+    zero driver traffic until the result collect. Bit-identical to the
+    broadcast tier: the vote multiset per node is the same either way,
+    and the shared ``mode_reduce`` applies the same deterministic
+    (count desc, label asc) tie-break."""
+    from .stages.exchange import keyed_exchange
+
+    def nodes_init(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(
+            np.concatenate(
+                [df["u"].to_numpy(dtype=np.int64), df["v"].to_numpy(dtype=np.int64)]
+            )
+        )
+        return pd.DataFrame({"node": n, "lbl": n})
+
+    lab = keyed_exchange(
+        edges.map_batches(nodes_init, batch_format="pandas"),
+        ["node"],
+        lambda df: df.drop_duplicates("node").astype({"node": "int64", "lbl": "int64"}),
+        num_partitions=P,
+    )
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(dtype=np.int64)
+        v = df["v"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([u, v]),
+                "other": np.concatenate([v, u]),
+                "lbl": np.full(2 * len(u), -1, dtype=np.int64),
+            }
+        )
+
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["node"].to_numpy(dtype=np.int64),
+                "other": np.full(len(df), -1, dtype=np.int64),
+                "lbl": df["lbl"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def attach_votes(df: pd.DataFrame) -> pd.DataFrame:
+        """One co-located partition: every edge occurrence of a key plus
+        its single label row → (neighbor, key's label) vote counts."""
+        is_lab = df["lbl"].to_numpy() >= 0
+        labs = df[is_lab]
+        ed = df[~is_lab]
+        m = pd.Series(
+            labs["lbl"].to_numpy(dtype=np.int64),
+            index=labs["key"].to_numpy(dtype=np.int64),
+        )
+        votes = pd.DataFrame(
+            {
+                "node": ed["other"].to_numpy(dtype=np.int64),
+                "lbl": m.reindex(ed["key"].to_numpy(dtype=np.int64)).to_numpy(
+                    dtype=np.int64
+                ),
+            }
+        )
+        g = votes.groupby(["node", "lbl"], sort=False).size().rename("c").reset_index()
+        return g.astype({"node": "int64", "lbl": "int64", "c": "int64"})
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pandas")
+    for _ in range(LP_ROUNDS):
+        tagged = edges_tagged.union(
+            lab.map_batches(tag_labels, batch_format="pandas")
+        )
+        votes = keyed_exchange(tagged, ["key"], attach_votes, num_partitions=P)
+        lab = keyed_exchange(votes, ["node"], mode_reduce, num_partitions=P)
+
+    out = lab.to_pandas().sort_values("node")
+    return pd.DataFrame(
+        {
+            "part_id": pd.Series(out["node"].to_numpy(dtype=np.int64), dtype="int64"),
+            "community": pd.Series(out["lbl"].to_numpy(dtype=np.int64), dtype="int64"),
         }
     )
 

@@ -137,12 +137,19 @@ class TurnAnnotator:
 
     def _annotate_text(self, text: str):
         tokens = TOKEN_RE.findall(text) if text else []
+        if not tokens:
+            return 0, [], []
+        tags = tag_tokens(tokens, self.alias_dict)
+        if self.scorer != "dict":
+            tags = self.crf.decode(tokens, tags)
+        return self._finish_text(tokens, tags)
+
+    def _finish_text(self, tokens: list[str], tags: list[str]):
+        """Tags → mention protos + triples (pure assembly, shared by the
+        per-text and batched-decode paths)."""
         protos: list[dict] = []
         triples: list[dict] = []
         if tokens:
-            tags = tag_tokens(tokens, self.alias_dict)
-            if self.scorer != "dict":
-                tags = self.crf.decode(tokens, tags)
             for e in extract_entities(list(zip(tokens, tags))):
                 m = {
                     "text": e["text"],
@@ -193,11 +200,42 @@ class TurnAnnotator:
         ]
         return n_tokens, mentions, triples
 
+    def _decode_batched(self, texts: list[str]) -> None:
+        """Model-scorer fast path: decode ALL distinct texts of the
+        batch through the scorer's batched forward (length-sorted
+        same-bucket batches — the trainer's batching, now at serving
+        time), then assemble mentions/triples per distinct text into
+        the batch memo. Output is bit-identical to the per-turn path:
+        the batched kernels are composition-independent by construction
+        (kernels/combinatorial.py::gemm_fixed)."""
+        distinct: list[str] = []
+        seen = set()
+        for text in texts:
+            if text not in seen:
+                seen.add(text)
+                distinct.append(text)
+        toks_list = [TOKEN_RE.findall(t) if t else [] for t in distinct]
+        trained = getattr(self.crf, "trained", False)
+        if trained:
+            dict_tags = None
+            tags_list = self.crf.decode_tokens_batch(toks_list)
+        else:
+            dict_tags = [
+                tag_tokens(toks, self.alias_dict) if toks else []
+                for toks in toks_list
+            ]
+            tags_list = self.crf.decode_batch(toks_list, dict_tags)
+        for text, toks, tags in zip(distinct, toks_list, tags_list):
+            nt, protos, triples = self._finish_text(toks, tags)
+            self._turn_cache[text] = (nt, protos, triples)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._turn_cache = {}  # batch-scoped memo (see note above)
         conv_ids = batch["conv_id"].to_pylist()
         turn_idxs = batch["turn_idx"].to_pylist()
         texts = batch["text"].to_pylist()
+        if self.scorer != "dict" and hasattr(self.crf, "decode_batch"):
+            self._decode_batched(texts)
         n_tokens: list[int] = []
         mentions_col: list[list[dict]] = []
         triples_col: list[list[dict]] = []

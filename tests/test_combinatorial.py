@@ -171,3 +171,64 @@ def test_long_turn_truncation():
     toks = ["tok"] * 130
     tags = ["O"] * 130
     assert s.decode(toks, tags) == tags
+
+
+def test_gemm_fixed_composition_independent():
+    """gemm_fixed row i must be a pure function of (row i, W): the same
+    rows embedded among arbitrary other rows, at arbitrary offsets and
+    batch sizes, produce bit-identical output — the guarantee the
+    batched serving forward == sequential replay contract rests on."""
+    from biomedical_ner_ray.kernels.combinatorial import gemm_fixed
+
+    rng = np.random.RandomState(7)
+    for d, hdim in [(48, 128), (16, 17), (33, 65)]:
+        W = rng.randn(d, hdim)
+        A = rng.randn(700, d)
+        full = gemm_fixed(A, W)
+        for b in [1, 7, 64, 129, 300]:
+            assert np.array_equal(full[:b], gemm_fixed(A[:b].copy(), W))
+            for off in [1, 17, 63]:
+                ref = gemm_fixed(A[300 : 300 + b].copy(), W)
+                comp = np.vstack(
+                    [rng.randn(off, d), A[300 : 300 + b], rng.randn(5, d)]
+                )
+                assert np.array_equal(ref, gemm_fixed(comp, W)[off : off + b])
+
+
+def test_batched_decode_equals_sequential_bitwise():
+    """decode_tokens_batch over arbitrary mixed-length compositions must
+    equal per-sequence decode_tokens EXACTLY (tags, not approximately),
+    in both trained and decode-equivalence modes, and scores_batch rows
+    must be bit-equal to single-sequence scores — composition
+    independence end-to-end through fusion, masked BiLSTM, attention,
+    emissions and batched Viterbi."""
+    rng = np.random.RandomState(11)
+    words = ["il-2", "receptor", "gene", "binds", "the", "of", "alpha",
+             "promoter", "x", "cells", "expression", "kinase"]
+    seqs = [
+        [words[rng.randint(len(words))] for _ in range(rng.randint(1, 25))]
+        for _ in range(40)
+    ] + [["tok"] * 130, []]
+    for trained in (False, True):
+        s = CombinatorialScorer(TYPES, trained=trained)
+        if trained:
+            # give the learned transition slot some structure
+            s.params["trans_w"] += (
+                np.random.RandomState(5).randn(*s.params["trans_w"].shape) * 0.1
+            )
+            from biomedical_ner_ray.kernels.crf import bio_transitions
+
+            s.trans = bio_transitions(s.tags) + s.params["trans_w"]
+            batch = s.decode_tokens_batch([list(x) for x in seqs])
+            single = [s.decode_tokens(list(x)) for x in seqs]
+        else:
+            dict_tags = [["O"] * len(x) for x in seqs]
+            batch = s.decode_batch([list(x) for x in seqs], dict_tags)
+            single = [s.decode(list(x), dt) for x, dt in zip(seqs, dict_tags)]
+        assert batch == single
+    # emissions bit-equality across compositions
+    s = CombinatorialScorer(TYPES)
+    a, b = seqs[0], seqs[1]
+    em, lens = s.scores_batch([a, b])
+    assert np.array_equal(em[0, : len(a)], s.scores(a))
+    assert np.array_equal(em[1, : len(b)], s.scores(b))

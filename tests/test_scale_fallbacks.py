@@ -88,3 +88,19 @@ def test_bigram_lm_salting_is_consistent():
     assert lanes.min() >= 0 and lanes.max() < Q.LM_SALT
     # process-stable: recomputing gives the same lanes
     assert (lanes == pd.util.hash_array(ids) % np.uint64(Q.LM_SALT)).all()
+
+
+def test_label_prop_exchange_tier(ray_session):
+    """part_label_prop's label-keyed exchange tier (forced via
+    broadcast_limit=0) must produce BIT-IDENTICAL communities to the
+    per-round broadcast tier — integer vote counts plus the shared
+    deterministic (count desc, label asc) mode reduce make the tier a
+    pure physical-plan choice."""
+    from biomedical_ner_ray import queries as Q
+
+    fast = _frame(Q.part_label_prop(SF)).sort_values("part_id", ignore_index=True)
+    slow = _frame(Q.part_label_prop(SF, broadcast_limit=0)).sort_values(
+        "part_id", ignore_index=True
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow)
