@@ -33,6 +33,14 @@ def main(argv=None) -> int:
                     help="only used when this process must init Ray itself")
     ap.add_argument("--no-sort", action="store_true",
                     help="skip the (conv_id, turn_idx) ordering stage")
+    ap.add_argument(
+        "--ingest-delta", action="store_true",
+        help="treat --transcripts as an ingest DELTA and apply it to the "
+             "persistent store at --out (micro-batch loop: incremental "
+             "dedup vs the store's LSH index -> annotate -> touched-bucket "
+             "KG edge upsert -> vector-store upsert; idempotent, crash-safe "
+             "generation flip — see pipelines/ingest.py)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -45,6 +53,15 @@ def main(argv=None) -> int:
         ray.init(**kw)
         owned = True
     try:
+        if args.ingest_delta:
+            from .pipelines.ingest import ingest_delta
+
+            report = ingest_delta(
+                args.out, args.transcripts, args.alias, scorer=args.scorer
+            )
+            print(json.dumps({"store": args.out, "ingest": report}, indent=2))
+            return 0
+
         from .pipelines.kg import run_kg_pipeline
 
         res = run_kg_pipeline(
