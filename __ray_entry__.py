@@ -574,11 +574,23 @@ FROM ver WHERE nu > 0 AND {JACCARD_DEN} * nc >= {JACCARD_NUM} * nu"""
 
 def _dedup_eval_sql() -> str:
     """Confusion of the band CANDIDATE set against exact posting-join
-    ground truth (J ≥ 4/5). The truth side joins uncapped shingle
-    postings — all-pairs work belongs in the oracle; the engine side
-    declares the same operator eval-scale."""
+    ground truth (J ≥ 4/5), on the engine's DEFAULT md5 doc shard
+    (``md5('ddeval:'||doc_id) % DEDUP_EVAL_SAMPLE_MOD == 0`` — the r5
+    executable eval-scale contract; the uncapped full-corpus tier is
+    an explicit engine-side kwarg with no driver entry). The truth
+    side joins uncapped shingle postings WITHIN the shard — all-pairs
+    work belongs in the oracle."""
+    prefix = _minhash_cand_prefix()
+    anchor = "FROM documents"
+    assert prefix.count(anchor) == 1  # keep the shard filter in sync
+    prefix = prefix.replace(
+        anchor,
+        "FROM (SELECT * FROM documents"
+        f" WHERE md5_number_lower('ddeval:' || doc_id) %"
+        f" {Q.DEDUP_EVAL_SAMPLE_MOD} = 0)",
+    )
     return (
-        _minhash_cand_prefix()
+        prefix
         + f""",
 post AS (SELECT doc_id, unnest(hv) AS h, len(hv) AS n_sh FROM sh),
 pp AS (

@@ -10372,7 +10372,18 @@ def doc_gate_attrition(sf_dir: str):
     )
 
 
-def doc_dedup_eval(sf_dir: str):
+# Default doc-sample modulus for doc_dedup_eval: the ground-truth side
+# is inherently Σdf²-quadratic, so the DEFAULT tier evaluates the
+# banding config on an md5 doc shard (pairs within the shard); the
+# uncapped full-corpus truth is an EXPLICIT opt-in (uncapped=True).
+DEDUP_EVAL_SAMPLE_MOD = 2
+
+
+def doc_dedup_eval(
+    sf_dir: str,
+    sample_mod: int = DEDUP_EVAL_SAMPLE_MOD,
+    uncapped: bool = False,
+):
     """LSH quality evaluation — confusion of the MinHash band
     CANDIDATE set (pre-verify bucket pairs) against exact ground truth
     (all pairs with shingle Jaccard ≥ 4/5): the measurement a curation
@@ -10384,11 +10395,16 @@ def doc_dedup_eval(sf_dir: str):
     Shape: the candidate side is the production band exchange; the
     truth side is an UNCAPPED shingle-posting exchange (work Σ df² —
     exact by construction since every J ≥ 4/5 pair shares a shingle).
-    Ground truth is inherently quadratic in hot postings, so this
-    operator is declared EVAL-SCALE: run it on a sample shard, not the
-    full corpus — the measurement generalizes, the cost doesn't. The
-    confusion join is one side-tagged pair-keyed exchange; only six
-    counters reach the driver."""
+    Ground truth is inherently quadratic in hot postings, so the
+    eval-scale contract is now EXECUTABLE (r5): the DEFAULT tier
+    restricts both sides to the md5 doc shard
+    ``md5('ddeval:'||doc_id) % sample_mod == 0`` (the measurement
+    generalizes, the cost doesn't — confusion over shard pairs);
+    ``uncapped=True`` is the explicit full-corpus opt-in. The sampled
+    confusion equals a brute-force replay on the shard exactly
+    (tests/test_dedup_eval_sampling.py). The confusion join is one
+    side-tagged pair-keyed exchange; only six counters reach the
+    driver."""
     from .stages.dedup import (
         JACCARD_DEN,
         JACCARD_NUM,
@@ -10402,7 +10418,20 @@ def doc_dedup_eval(sf_dir: str):
     P = _xparts(sf_dir, "documents")
 
     def docs():
-        return _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+        ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+        if uncapped:
+            return ds
+
+        def shard(df: pd.DataFrame) -> pd.DataFrame:
+            from .kernels.hashing import stable_u64_md5
+
+            keep = [
+                stable_u64_md5(f"ddeval:{d}".encode()) % sample_mod == 0
+                for d in df["doc_id"]
+            ]
+            return df[np.asarray(keep, dtype=bool)]
+
+        return ds.map_batches(shard, batch_format="pandas")
 
     bands = docs().map_batches(_minhash_band_rows_lite, batch_format="pyarrow")
     cand_raw = keyed_exchange(bands, ["band_key"], _bucket_pairs, P)

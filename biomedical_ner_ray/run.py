@@ -34,6 +34,13 @@ def main(argv=None) -> int:
     ap.add_argument("--no-sort", action="store_true",
                     help="skip the (conv_id, turn_idx) ordering stage")
     ap.add_argument(
+        "--meter", action="store_true",
+        help="measure per-exchange shuffle volumes (rows + deep bytes in/"
+             "out of every keyed exchange) and add them to the report "
+             "(stages/exchange.exchange_metering; measurement mode — one "
+             "fire-and-forget actor call per batch)",
+    )
+    ap.add_argument(
         "--ingest-delta", action="store_true",
         help="treat --transcripts as an ingest DELTA and apply it to the "
              "persistent store at --out (micro-batch loop: incremental "
@@ -62,17 +69,23 @@ def main(argv=None) -> int:
             print(json.dumps({"store": args.out, "ingest": report}, indent=2))
             return 0
 
-        from .pipelines.kg import run_kg_pipeline
+        from contextlib import nullcontext
 
-        res = run_kg_pipeline(
-            args.transcripts,
-            args.alias,
-            args.out,
-            scorer=args.scorer,
-            n_buckets=args.buckets,
-            annotate_batch_size=args.batch_size,
-            sort=not args.no_sort,
-        )
+        from .pipelines.kg import run_kg_pipeline
+        from .stages.exchange import exchange_metering
+
+        meter_cm = exchange_metering() if args.meter else nullcontext(None)
+        with meter_cm as snapshot:
+            res = run_kg_pipeline(
+                args.transcripts,
+                args.alias,
+                args.out,
+                scorer=args.scorer,
+                n_buckets=args.buckets,
+                annotate_batch_size=args.batch_size,
+                sort=not args.no_sort,
+            )
+            volumes = snapshot() if snapshot is not None else None
         report = {
             "out": args.out,
             "scorer": args.scorer,
@@ -94,6 +107,8 @@ def main(argv=None) -> int:
             },
             "paths": res["paths"],
         }
+        if volumes is not None:
+            report["exchange_volumes"] = volumes
         print(json.dumps(report, indent=2))
         return 0
     finally:

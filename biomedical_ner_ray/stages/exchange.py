@@ -91,7 +91,68 @@ def partitions_for(*paths, expansion: float = 4.0, floor: int = DEFAULT_PARTITIO
     return max(floor, min(cap, need))
 
 
-def keyed_exchange(ds, keys, fn, num_partitions: int | None = None):
+# ---------------------------------------------------------------------------
+# exchange metering (opt-in): measured shuffle volumes, not estimates
+# ---------------------------------------------------------------------------
+
+_METER: dict = {"actor": None}
+
+
+class _ExchangeMeter:
+    """Tiny accumulator actor: per-exchange-label (rows, bytes) sums for
+    the stream entering the exchange and the combined output. Created
+    ONLY inside ``exchange_metering()`` — zero overhead otherwise."""
+
+    def __init__(self):
+        self.c: dict = {}
+
+    def add(self, label: str, field: str, rows: int, nbytes: int) -> None:
+        e = self.c.setdefault(
+            label,
+            {"rows_in": 0, "bytes_in": 0, "rows_out": 0, "bytes_out": 0},
+        )
+        e[f"rows_{field}"] += rows
+        e[f"bytes_{field}"] += nbytes
+
+    def snapshot(self) -> dict:
+        return self.c
+
+
+def exchange_metering():
+    """Context manager enabling measured (rows, bytes) counters on every
+    ``keyed_exchange`` BUILT inside the scope; yields a snapshot()
+    callable. Measurement-mode only (one actor round-trip per batch is
+    fire-and-forget; snapshot() settles in-flight adds with a fence
+    call). Used by scripts/measure_shuffles.py and ``run.py --meter``
+    to put NUMBERS where SCALE.md used to argue 'bounded by
+    construction'."""
+    import time
+    from contextlib import contextmanager
+
+    import ray
+
+    @contextmanager
+    def _cm():
+        actor = ray.remote(_ExchangeMeter).options(num_cpus=0).remote()
+        _METER["actor"] = actor
+
+        def snapshot() -> dict:
+            # fence: per-submitter ordering means OUR get drains the
+            # queue behind every add this driver submitted; worker-side
+            # adds settle within the grace sleep
+            time.sleep(0.5)
+            return ray.get(actor.snapshot.remote())
+
+        try:
+            yield snapshot
+        finally:
+            _METER["actor"] = None
+
+    return _cm()
+
+
+def keyed_exchange(ds, keys, fn, num_partitions: int | None = None,
+                   label: str | None = None):
     """Co-locate rows by ``keys`` and apply ``fn`` once per complete
     partition (a pandas DataFrame containing EVERY row of each key that
     hashes into that partition).
@@ -103,19 +164,39 @@ def keyed_exchange(ds, keys, fn, num_partitions: int | None = None):
     <1s (measured; see queries.py:53). Callers size ``num_partitions``
     to the data volume (one partition's rows must fit a worker's pandas
     heap), so tying the input block count to it keeps blocks ~partition-
-    sized at any scale."""
+    sized at any scale.
+
+    Inside an ``exchange_metering()`` scope, the stream entering the
+    exchange and the combined output are measured (rows + deep pandas
+    bytes) under ``label`` (default: combine-fn name + keys)."""
     import pandas as pd
 
     if num_partitions is None:
         num_partitions = DEFAULT_PARTITIONS
     keys = list(keys)
+    meter = _METER["actor"]
+    mlabel = label or f"{getattr(fn, '__name__', 'fn')}[{','.join(keys)}]"
 
     def add_pid(df: "pd.DataFrame") -> "pd.DataFrame":
+        if meter is not None and len(df):
+            meter.add.remote(
+                mlabel, "in", len(df), int(df.memory_usage(deep=True).sum())
+            )
         h = pd.util.hash_pandas_object(df[keys], index=False)
         return df.assign(**{PID_COL: (h % num_partitions).astype("int64")})
 
     def run(g: "pd.DataFrame") -> "pd.DataFrame":
-        return fn(g.drop(columns=[PID_COL]))
+        out = fn(g.drop(columns=[PID_COL]))
+        if (
+            meter is not None
+            and out is not None
+            and hasattr(out, "memory_usage")
+            and len(out)
+        ):
+            meter.add.remote(
+                mlabel, "out", len(out), int(out.memory_usage(deep=True).sum())
+            )
+        return out
 
     return (
         ds.repartition(max(num_partitions, 8))
