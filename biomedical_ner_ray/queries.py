@@ -5646,7 +5646,18 @@ KCORE_K = 75
 KCORE_ROUNDS = 6
 
 
-def part_kcore(sf_dir: str):
+# Node-dimension broadcast budget for the iterative-graph family
+# (label propagation, k-core, BFS): below this the per-round node-set
+# (labels / alive nodes / frontier) travels as ONE ray.put broadcast
+# (fast, zero extra exchange); above it the node-keyed EXCHANGE tier
+# runs with no driver-side state at all. The tier is a physical-plan
+# choice — both produce bit-identical results (integer set semantics,
+# deterministic tie-breaks), asserted by the forced-fallback pytests
+# in tests/test_scale_fallbacks.py.
+LP_BROADCAST_LIMIT = 5_000_000
+
+
+def part_kcore(sf_dir: str, broadcast_limit: int = LP_BROADCAST_LIMIT):
     """K-core decomposition of the co-purchase graph by synchronous
     bounded-round peeling (Batagelj-Zaversnik semantics, distributed):
     each round recomputes degrees over the surviving edge set (map-side
@@ -5656,14 +5667,25 @@ def part_kcore(sf_dir: str):
     engine-independent even before the fixpoint, while the fixpoint
     itself (reached at round 5 on both test scales) is asserted in
     tests/test_graph_depth.py. Output = surviving parts with their
-    within-core degree. The per-round alive-node broadcast is bounded by
-    the part dimension (see _copurchase_degrees); rounds end early when
-    a pass removes nothing (equivalent to running the remaining no-op
-    rounds)."""
+    within-core degree.
+
+    Two physical tiers (the part_label_prop pattern): below
+    ``broadcast_limit`` the per-round alive-node set is a driver
+    collect + broadcast (bounded by the part dimension, see
+    _copurchase_degrees); past it the label-keyed EXCHANGE tier runs —
+    the alive set stays a distributed dataset, each round filters the
+    edge set through two side-tagged node-keyed exchanges (u-endpoint
+    check, then v-endpoint check) and re-derives degrees with a third;
+    driver traffic is two scalar counts per round. Bit-identical
+    results (integer set semantics; forced-fallback pytest). Rounds
+    end early when a pass removes nothing."""
     from .state.broadcast import resolve
 
     edges = _copurchase_edges(sf_dir).materialize()
-    deg = _copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))
+    P = _xparts(sf_dir, "lineitem")
+    if 2 * edges.count() > broadcast_limit:
+        return _kcore_exchange_tier(edges, P)
+    deg = _copurchase_degrees(edges, P)
     for _ in range(KCORE_ROUNDS):
         alive = deg.loc[deg["n"] >= KCORE_K, "node"].to_numpy()
         if len(alive) == len(deg):
@@ -5684,6 +5706,106 @@ def part_kcore(sf_dir: str):
         {
             "part_id": deg["node"].astype("int64"),
             "core_degree": deg["n"].astype("int64"),
+        }
+    )
+
+
+def _kcore_exchange_tier(edges, P: int):
+    """Exchange tier of part_kcore (see its docstring): alive set and
+    degrees stay distributed; per round two side-tagged node-keyed
+    exchanges filter the edge set (both-endpoints-alive) and one more
+    re-derives degrees. Driver sees only two counts per round."""
+    from .stages.exchange import keyed_exchange
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        node, cnt = np.unique(
+            np.concatenate(
+                [df["u"].to_numpy(dtype=np.int64), df["v"].to_numpy(dtype=np.int64)]
+            ),
+            return_counts=True,
+        )
+        return pd.DataFrame({"node": node, "n": cnt.astype(np.int64)})
+
+    def degrees_ds(eds):
+        return keyed_exchange(
+            eds.map_batches(deg_partial, batch_format="pandas"),
+            ["node"],
+            lambda df: df.groupby("node", as_index=False)["n"].sum(),
+            P,
+        )
+
+    def empty():
+        return pd.DataFrame(
+            {
+                "part_id": pd.Series(dtype="int64"),
+                "core_degree": pd.Series(dtype="int64"),
+            }
+        )
+
+    def endpoint_filter(tagged):
+        """One co-located partition: keys with an alive marker keep
+        their edge rows; edges flip orientation for the next check."""
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            is_mark = df["other"].to_numpy() < 0
+            alive_keys = set(df.loc[is_mark, "key"].tolist())
+            ed = df[~is_mark]
+            ed = ed[ed["key"].isin(alive_keys)]
+            return pd.DataFrame(
+                {
+                    "key": ed["other"].to_numpy(dtype=np.int64),
+                    "other": ed["key"].to_numpy(dtype=np.int64),
+                }
+            )
+
+        return keyed_exchange(tagged, ["key"], keep, P)
+
+    deg = degrees_ds(edges).materialize()
+    for _ in range(KCORE_ROUNDS):
+        n_nodes = deg.count()
+        if n_nodes == 0:
+            return empty()
+        alive = deg.map_batches(
+            lambda df: pd.DataFrame(
+                {"key": df.loc[df["n"] >= KCORE_K, "node"].to_numpy(dtype=np.int64)}
+            ).assign(other=np.int64(-1)),
+            batch_format="pandas",
+        ).materialize()  # consumed by both endpoint checks
+        n_alive = alive.count()
+        if n_alive == n_nodes:
+            break  # fixpoint
+        if n_alive == 0:
+            return empty()
+
+        def tag_u(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["u"].to_numpy(dtype=np.int64),
+                    "other": df["v"].to_numpy(dtype=np.int64),
+                }
+            )
+
+        half = endpoint_filter(
+            edges.map_batches(tag_u, batch_format="pandas").union(alive)
+        )
+        # half rows are (key=v, other=u); second check restores (u, v)
+        filtered = endpoint_filter(half.union(alive)).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "u": df["other"].to_numpy(dtype=np.int64),
+                    "v": df["key"].to_numpy(dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        edges = filtered.materialize()
+        deg = degrees_ds(edges).materialize()
+
+    out = deg.to_pandas().sort_values("node")
+    return pd.DataFrame(
+        {
+            "part_id": out["node"].astype("int64").to_numpy(),
+            "core_degree": out["n"].astype("int64").to_numpy(),
         }
     )
 
@@ -6449,27 +6571,36 @@ BFS_SEED_MOD = 64  # node joins the seed set iff md5('bfs:'||node) % MOD == 0
 BFS_ROUNDS = 4  # fixed frontier-expansion rounds (level = hop distance <= ROUNDS)
 
 
-def part_bfs_levels(sf_dir: str):
+def part_bfs_levels(sf_dir: str, broadcast_limit: int = LP_BROADCAST_LIMIT):
     """Multi-source BFS levels (hop distance from a deterministic seed
     set) over the md5-sparsified co-purchase graph — the reachability /
     influence-radius primitive (label propagation, taint tracking, seed
     expansion all reduce to it). Seeds: nodes whose ``bfs:`` md5 coin
-    hits (SQL-replayable, the DOULION coin pattern). Per round the
-    CURRENT FRONTIER is broadcast (bounded by the part dimension, the
-    part_kcore alive-set argument) and one pass over the pinned edge set
-    emits frontier neighbors; a node-keyed exchange dedups them and the
-    driver assigns level r to nodes not yet seen. Exactly BFS_ROUNDS
+    hits (SQL-replayable, the DOULION coin pattern). Exactly BFS_ROUNDS
     rounds with early exit on an empty frontier — the same bounded-round
     contract as part_kcore, so the unrolled materialized-CTE oracle
-    replays round-for-round. Only frontier-adjacent edges produce
-    exchange rows; the edge set itself never reshuffles."""
+    replays round-for-round.
+
+    Two physical tiers (the part_label_prop pattern): below
+    ``broadcast_limit`` the CURRENT FRONTIER is broadcast per round
+    (bounded by the part dimension) and one pass over the pinned edge
+    set emits frontier neighbors, deduped by a node-keyed exchange and
+    level-assigned on the driver. Past the budget the EXCHANGE tier
+    keeps frontier and seen-set as distributed datasets: per round one
+    side-tagged node-keyed exchange expands neighbors, a second
+    subtracts the seen set — the driver sees only the frontier count.
+    Bit-identical levels (forced-fallback pytest). Only
+    frontier-adjacent edges produce exchange rows; the edge set itself
+    never reshuffles."""
+    from .kernels.hashing import stable_u64_md5
     from .stages.exchange import keyed_exchange
     from .state.broadcast import resolve
 
-    from .kernels.hashing import stable_u64_md5
-
     edges = _copurchase_edges(sf_dir, mod=TRI_SAMPLE_MOD).materialize()
-    nodes = _copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))["node"].to_numpy()
+    P = _xparts(sf_dir, "lineitem")
+    if 2 * edges.count() > broadcast_limit:
+        return _bfs_exchange_tier(edges, P)
+    nodes = _copurchase_degrees(edges, P)["node"].to_numpy()
     coin = np.fromiter(
         (stable_u64_md5(f"bfs:{n}".encode("utf-8")) for n in nodes),
         dtype=np.uint64,
@@ -6511,6 +6642,97 @@ def part_bfs_levels(sf_dir: str):
         {
             "part_id": pd.Series([k for k, _ in items], dtype="int64"),
             "level": pd.Series([v for _, v in items], dtype="int64"),
+        }
+    )
+
+
+def _bfs_exchange_tier(edges, P: int):
+    """Exchange tier of part_bfs_levels (see its docstring): frontier
+    and seen-set stay distributed; per round one side-tagged node-keyed
+    exchange expands frontier neighbors over the pinned edges and a
+    second subtracts the seen set. Driver traffic = one count/round."""
+    from .kernels.hashing import stable_u64_md5
+    from .stages.exchange import keyed_exchange
+
+    def seeds_partial(df: pd.DataFrame) -> pd.DataFrame:
+        node = np.unique(
+            np.concatenate(
+                [df["u"].to_numpy(dtype=np.int64), df["v"].to_numpy(dtype=np.int64)]
+            )
+        )
+        coin = np.fromiter(
+            (stable_u64_md5(f"bfs:{n}".encode("utf-8")) for n in node),
+            dtype=np.uint64,
+            count=len(node),
+        )
+        return pd.DataFrame({"node": node[coin % np.uint64(BFS_SEED_MOD) == 0]})
+
+    seeds = keyed_exchange(
+        edges.map_batches(seeds_partial, batch_format="pandas"),
+        ["node"],
+        lambda df: df.drop_duplicates().astype({"node": "int64"}),
+        P,
+    )
+    frontier = seeds.map_batches(
+        lambda df: df.assign(level=np.int64(0)), batch_format="pandas"
+    ).materialize()
+    seen = frontier
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(dtype=np.int64)
+        v = df["v"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([u, v]),
+                "other": np.concatenate([v, u]),
+            }
+        )
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pandas")
+
+    for r in range(1, BFS_ROUNDS + 1):
+        if frontier.count() == 0:
+            break
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            is_f = df["other"].to_numpy() < 0
+            fkeys = set(df.loc[is_f, "key"].tolist())
+            ed = df[~is_f]
+            out = np.unique(
+                ed.loc[ed["key"].isin(fkeys), "other"].to_numpy(dtype=np.int64)
+            )
+            return pd.DataFrame({"node": out})
+
+        fmark = frontier.map_batches(
+            lambda df: pd.DataFrame(
+                {"key": df["node"].to_numpy(dtype=np.int64)}
+            ).assign(other=np.int64(-1)),
+            batch_format="pandas",
+        )
+        cand = keyed_exchange(edges_tagged.union(fmark), ["key"], expand, P)
+
+        def subtract(df: pd.DataFrame, r=r) -> pd.DataFrame:
+            is_seen = df["level"].to_numpy() >= 0
+            seen_keys = set(df.loc[is_seen, "node"].tolist())
+            new = df.loc[~is_seen & ~df["node"].isin(seen_keys), "node"]
+            return pd.DataFrame(
+                {
+                    "node": new.drop_duplicates().to_numpy(dtype=np.int64),
+                    "level": np.int64(r),
+                }
+            )
+
+        tagged = cand.map_batches(
+            lambda df: df.assign(level=np.int64(-1)), batch_format="pandas"
+        ).union(seen)
+        frontier = keyed_exchange(tagged, ["node"], subtract, P).materialize()
+        seen = seen.union(frontier).materialize()
+
+    out = seen.to_pandas().sort_values("node")
+    return pd.DataFrame(
+        {
+            "part_id": out["node"].astype("int64").to_numpy(),
+            "level": out["level"].astype("int64").to_numpy(),
         }
     )
 
@@ -7134,16 +7356,6 @@ def kg_topic_boundaries(sf_dir: str):
 
 
 LP_ROUNDS = 4  # fixed synchronous label-propagation rounds
-
-
-# Node-dimension broadcast budget for label propagation: below this the
-# per-round node→label map travels as ONE ray.put broadcast (fast, zero
-# extra exchange); above it the label-keyed exchange tier runs with no
-# driver-side state at all. The tier is a physical-plan choice — both
-# produce bit-identical labels (integer counts, deterministic
-# smallest-label tie-break), asserted by the forced-fallback pytest
-# (tests/test_scale_fallbacks.py::test_label_prop_exchange_tier).
-LP_BROADCAST_LIMIT = 5_000_000
 
 
 def part_label_prop(sf_dir: str, broadcast_limit: int = LP_BROADCAST_LIMIT):

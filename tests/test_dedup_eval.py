@@ -17,7 +17,10 @@ def _frame(x):
 
 
 def test_eval_consistent_with_verified_pairs(ray_session):
-    ev = _frame(Q.doc_dedup_eval(SF)).iloc[0]
+    # uncapped: the comparison side (doc_dedup_minhash) is full-corpus,
+    # so this invariant needs the explicit full-corpus eval tier (the
+    # DEFAULT tier is the md5 doc shard — tests/test_dedup_eval_sampling)
+    ev = _frame(Q.doc_dedup_eval(SF, uncapped=True)).iloc[0]
     verified = _frame(Q.doc_dedup_minhash(SF))
     # verify = exact gate over the same candidate set => tp == |verified|
     assert ev["tp"] == len(verified)

@@ -104,3 +104,34 @@ def test_label_prop_exchange_tier(ray_session):
     )
     assert len(fast) > 0
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_kcore_exchange_tier(ray_session):
+    """part_kcore's distributed alive-set tier (forced via
+    broadcast_limit=0) must equal the per-round broadcast tier exactly
+    — integer set semantics make the tier a physical-plan choice."""
+    from biomedical_ner_ray import queries as Q
+
+    # sf0.001's sparsified graph has no K-core — use sf0.01 so the
+    # equality is over a non-empty core
+    sf = "/root/testdata/sf0.01"
+    fast = _frame(Q.part_kcore(sf)).sort_values("part_id", ignore_index=True)
+    slow = _frame(Q.part_kcore(sf, broadcast_limit=0)).sort_values(
+        "part_id", ignore_index=True
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_bfs_exchange_tier(ray_session):
+    """part_bfs_levels' distributed frontier/seen tier (forced via
+    broadcast_limit=0) must reproduce the broadcast tier's levels
+    bit-for-bit."""
+    from biomedical_ner_ray import queries as Q
+
+    fast = _frame(Q.part_bfs_levels(SF)).sort_values("part_id", ignore_index=True)
+    slow = _frame(Q.part_bfs_levels(SF, broadcast_limit=0)).sort_values(
+        "part_id", ignore_index=True
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow)
