@@ -290,3 +290,41 @@ class CRFScorer:
         out = [self.tags[i] for i in idx_path]
         out.extend(dict_tags[limit:])
         return out
+
+    def decode_batch(
+        self, token_lists: list[list[str]], dict_tags_lists: list[list[str]]
+    ) -> list[list[str]]:
+        """Batched ``decode``: emissions stay per-sequence (their matmul
+        row count IS the sequence length, so per-sequence floats are
+        unchanged) while Viterbi runs once per length-sorted bucket
+        (crf.viterbi_decode_batch — bit-exact vs per-row). Same
+        decode-equivalence guarantee; engaged by the annotate stage's
+        batched path."""
+        results: list[list[str] | None] = [None] * len(token_lists)
+        work: list[tuple[int, list[str]]] = []
+        for i, toks in enumerate(token_lists):
+            limit = min(len(toks), MAX_SEQ_LEN)
+            if limit == 0:
+                results[i] = list(dict_tags_lists[i])
+            else:
+                work.append((i, toks[:limit]))
+        work.sort(key=lambda it: (len(it[1]), it[0]))
+        for s in range(0, len(work), 256):
+            chunk = work[s : s + 256]
+            lens = np.fromiter(
+                (len(t) for _, t in chunk), dtype=np.int64, count=len(chunk)
+            )
+            L = int(lens.max())
+            em = np.zeros((len(chunk), L, len(self.tags)), dtype=np.float64)
+            for bi, (i, toks) in enumerate(chunk):
+                em[bi, : len(toks)] = emissions_from_tags(
+                    dict_tags_lists[i][: len(toks)],
+                    self.tag_index,
+                    self.featurizer.scores(toks),
+                )
+            paths = viterbi_decode_batch(em, lens, self.trans)
+            for (i, toks), path in zip(chunk, paths):
+                out = [self.tags[j] for j in path]
+                out.extend(dict_tags_lists[i][len(toks) :])
+                results[i] = out
+        return results  # type: ignore[return-value]
