@@ -101,6 +101,7 @@ class CharFeaturizer:
         # hash-derived vectors remain the OOV fallback
         self._trained = embedding_table or {}
         self._emb_cache: dict[str, np.ndarray] = {}
+        self._feat_cache: dict[str, np.ndarray] = {}
 
     def parameters(self) -> dict[str, np.ndarray]:
         """Named parameter dict — the state_dict analog checkpoints act on."""
@@ -138,14 +139,24 @@ class CharFeaturizer:
         return w @ emb  # [T, D]
 
     def token_features(self, tokens: list[str]) -> np.ndarray:
-        """[T, CHAR_FEATURE_DIM] hashed char-trigram counts."""
+        """[T, CHAR_FEATURE_DIM] hashed char-trigram counts, memoized
+        per distinct token (vocab is Zipfian — same bounded-cache
+        rationale as word_embeddings; counts are deterministic, so the
+        cache cannot change a float)."""
         from zlib import crc32  # process-stable, unlike builtin hash()
 
-        feats = np.zeros((len(tokens), CHAR_FEATURE_DIM), dtype=np.float64)
+        cache = self._feat_cache
+        feats = np.empty((len(tokens), CHAR_FEATURE_DIM), dtype=np.float64)
         for ti, tok in enumerate(tokens):
-            s = f"^{tok.lower()}$"
-            for i in range(len(s) - 2):
-                feats[ti, crc32(s[i : i + 3].encode("utf-8")) % CHAR_FEATURE_DIM] += 1.0
+            v = cache.get(tok)
+            if v is None:
+                v = np.zeros(CHAR_FEATURE_DIM, dtype=np.float64)
+                s = f"^{tok.lower()}$"
+                for i in range(len(s) - 2):
+                    v[crc32(s[i : i + 3].encode("utf-8")) % CHAR_FEATURE_DIM] += 1.0
+                if len(cache) < 500_000:  # bound actor memory
+                    cache[tok] = v
+            feats[ti] = v
         return feats
 
     def scores(self, tokens: list[str]) -> np.ndarray:
