@@ -261,6 +261,7 @@ QUERY_NAMES = [
     "kg_reciprocal_edges",
     "customer_rfm_segments",
     "events_stickiness",
+    "lineitem_price_quantiles_sketch_eval",
 ]
 # kg_embedding_matrix / balance_augmented are correctness-checked via
 # queries() but stay out of the bench list: their first call trains the
