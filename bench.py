@@ -416,16 +416,19 @@ def bench_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int) -> dict:
     sandbox stand-in for the N vs 4N node criterion. Override input
     with GRAFT_SCALING_SF (default sf1), scorer with
     GRAFT_SCALING_SCORER."""
-    # Default sf3 (4.8M turns): the per-leg load must dominate the
-    # ~16 s of fixed per-stage startup cost (Amdahl fit over sf1 legs,
-    # BASELINE.md round-3 close) for the measurement to reflect what
-    # the north rule actually asks — node-count scaling at fixed
-    # per-node load. Measured: sf3 0.878 at 4→16 CPUs (both legs
-    # steal-clean 0.7%); sf1 0.71 under the same calm window because
-    # the round-3 perf work shrank the parallel fraction (119.5 s/
-    # 42.1 s legs vs 218.8/65.1 at round start) while the fixed
-    # fraction stayed. GRAFT_SCALING_SF overrides.
-    sf_name = os.environ.get("GRAFT_SCALING_SF", "sf3")
+    # Default sf6 (9.6M turns): the per-leg load must dominate the
+    # ~15 s of fixed per-stage startup cost (Amdahl fit, BASELINE.md)
+    # for the measurement to reflect what the north rule actually asks
+    # — node-count scaling at fixed per-node load. The default has
+    # grown with the engine twice for the same reason: round 3's perf
+    # work shrank the sf1 parallel fraction (0.878 on sf3 vs 0.71 on
+    # sf1 in the same calm window), and round 5's batched-Viterbi
+    # serving halved the parallel CPU·s again (sf3 legs 146.9/47.9 s,
+    # eff 0.767 with S≈15 s fixed — vs 250.2/72.8 s, 0.860 at round
+    # 4). Constant per-leg fixed cost + load ∝ engine speed keeps the
+    # criterion measuring SCALING, not startup. GRAFT_SCALING_SF
+    # overrides.
+    sf_name = os.environ.get("GRAFT_SCALING_SF", "sf6")
     scorer = os.environ.get("GRAFT_SCALING_SCORER", "learned")
     from biomedical_ner_ray.fixtures import ensure_fixture
 

@@ -43,10 +43,15 @@ SF_CONVS = {
     "sf0.01": 1200,
     "sf0.1": 12000,
     "sf1": 120000,
-    # scaling-bench fixture: sized so per-leg compute dominates cluster
+    # scaling-bench fixtures: sized so per-leg compute dominates cluster
     # bring-up + the serial stage tail at BOTH widths (strong scaling
-    # needs the job big enough for the wider leg to stay compute-bound)
+    # needs the job big enough for the wider leg to stay compute-bound).
+    # sf3 was the round-4 size; round 5's batched-Viterbi serving
+    # halved the parallel CPU·s (Amdahl fit: P 946→528 CPU·s, fixed
+    # S≈15 s unchanged), so sf6 restores load ∝ speed — the same move
+    # round 4 made (sf1→sf3) for the same reason.
     "sf3": 360000,
+    "sf6": 720000,
 }
 
 # ---------------------------------------------------------------------------

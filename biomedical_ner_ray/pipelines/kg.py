@@ -39,8 +39,39 @@ from ..state import manifest as mf
 STAGE_VERSION = "kg-v4"
 
 
+def _cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
 def _read(path_or_dir: str, columns=None):
+    """Parquet read whose block count scales with the CLUSTER, not
+    with however the previous stage happened to lay out its files.
+    Ray's default sizing fails this in both directions on the scaling
+    fixture (sf3, 16 CPUs, measured):
+
+    - few FAT files UNDER-split: the 8-file transcripts sort ran over
+      ~3 default blocks — 9.1 s vs 1.9 s with 2·CPU blocks pinned
+      (and 21.6 s vs 7.2 s at 4 CPUs);
+    - many SMALL files UNDER-coalesce: the 200-file triples read left
+      ~200 blocks — the edges stage took 11.2 s vs 5.9 s coalesced to
+      2·CPU blocks (per-block task overhead dominates when map-side
+      compute is per-row heavy).
+
+    Rule: for sources ≥ 32 MB pin blocks = max(2·CPU, bytes/64MB)
+    (capped at 64·CPU); below that Ray's default is fine and the
+    override would only add tiny-block overhead on the 110-pipeline
+    bench."""
     files = mf.list_parquet_files(path_or_dir)
+    total = sum(os.path.getsize(f) for f in files)
+    if total >= (32 << 20):
+        cpus = _cluster_cpus()
+        blocks = min(max(2 * cpus, total // (64 << 20)), 64 * cpus)
+        return rd.read_parquet(
+            files, columns=columns, override_num_blocks=int(blocks)
+        )
     return rd.read_parquet(files, columns=columns)
 
 
