@@ -130,14 +130,20 @@ def _gen_dir(store_dir: str, gen: int) -> str:
 
 def _hardlink_tree(src: str, dst: str) -> None:
     """Link every parquet file of src into dst preserving layout —
-    zero-copy carry-over of untouched store content."""
+    zero-copy carry-over of untouched store content. Falls back to a
+    copy when the store spans filesystems (EXDEV) or the backing store
+    has no hardlinks; on shared object storage the whole carry-over
+    becomes a manifest pointer copy instead (see module docstring)."""
     for root, _dirs, files in os.walk(src):
         rel = os.path.relpath(root, src)
         out = os.path.join(dst, rel) if rel != "." else dst
         os.makedirs(out, exist_ok=True)
         for f in files:
             if f.endswith(".parquet"):
-                os.link(os.path.join(root, f), os.path.join(out, f))
+                try:
+                    os.link(os.path.join(root, f), os.path.join(out, f))
+                except OSError:
+                    shutil.copy2(os.path.join(root, f), os.path.join(out, f))
 
 
 def _delta_fingerprint(transcripts: str) -> str:
