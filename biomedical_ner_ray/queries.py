@@ -11946,7 +11946,7 @@ SSSP_ROUNDS = 4  # fixed Bellman-Ford rounds (dist = shortest <=ROUNDS-edge path
 SSSP_W_MOD = 9  # edge weight = 1 + (tri-coin >> 32) % MOD, in [1, 9]
 
 
-def part_sssp_weighted(sf_dir: str):
+def part_sssp_weighted(sf_dir: str, broadcast_limit: int = LP_BROADCAST_LIMIT):
     """Multi-source single-source-shortest-path distances (Bellman-Ford,
     integer edge weights) over the md5-sparsified co-purchase graph —
     the weighted generalization of part_bfs_levels (delivery radius,
@@ -11956,16 +11956,22 @@ def part_sssp_weighted(sf_dir: str):
     recomputed bit-for-bit in SQL from the same ``tri:`` md5, and using
     the high coin bits keeps the weight independent of the low-bit
     sampling gate. Seeds: the ``sssp:`` md5 coin (the BFS pattern).
+    Exactly SSSP_ROUNDS synchronous rounds with early exit on a
+    fixpoint (the SQL iterates are then identical by induction), so the
+    unrolled materialized-CTE oracle replays round-for-round.
 
-    Per round the CURRENT dist map is broadcast (node-dimension
-    bounded — the part_kcore alive-set argument) and one pass over the
-    pinned edge set emits relaxation candidates ``dist(u) + w`` for
-    both directions; a node-keyed exchange min-reduces them and the
-    driver merges mins into the map. Exactly SSSP_ROUNDS synchronous
-    rounds with early exit on a fixpoint (the SQL iterates are then
-    identical by induction), so the unrolled materialized-CTE oracle
-    replays round-for-round. Only frontier-adjacent edges produce
-    exchange rows; the edge set itself never reshuffles."""
+    Two physical tiers (the part_label_prop pattern): below
+    ``broadcast_limit`` the CURRENT dist map is broadcast per round
+    (node-dimension bounded) and one pass over the pinned edge set
+    emits relaxation candidates ``dist(u) + w`` both directions, a
+    node-keyed exchange min-reduces them and the driver merges mins.
+    Past the budget the EXCHANGE tier keeps the dist map distributed:
+    one side-tagged endpoint-keyed exchange relaxes, a second
+    node-keyed exchange min-merges candidates with the standing map —
+    the driver sees one changed-count scalar per round. Bit-identical
+    distances (integer min semantics; forced-fallback pytest). Only
+    frontier-adjacent edges produce exchange rows; the edge set itself
+    never reshuffles."""
     from .stages.exchange import keyed_exchange
     from .state.broadcast import resolve
 
@@ -11992,7 +11998,10 @@ def part_sssp_weighted(sf_dir: str):
         )
 
     edges = ds.map_batches(filt, batch_format="pandas").materialize()
-    nodes = _copurchase_degrees(edges, _xparts(sf_dir, "lineitem"))["node"].to_numpy()
+    P = _xparts(sf_dir, "lineitem")
+    if 2 * edges.count() > broadcast_limit:
+        return _sssp_exchange_tier(edges, P)
+    nodes = _copurchase_degrees(edges, P)["node"].to_numpy()
     coin = np.fromiter(
         (stable_u64_md5(f"sssp:{n}".encode("utf-8")) for n in nodes),
         dtype=np.uint64,
@@ -12055,6 +12064,142 @@ def part_sssp_weighted(sf_dir: str):
         {
             "part_id": pd.Series([k for k, _ in items], dtype="int64"),
             "dist": pd.Series([v for _, v in items], dtype="int64"),
+        }
+    )
+
+
+def _sssp_exchange_tier(edges, P: int):
+    """Exchange tier of part_sssp_weighted (see its docstring): the
+    dist map stays a distributed (node, dist) dataset; per round one
+    side-tagged endpoint-keyed exchange relaxes edges whose key holds a
+    dist row, and a second node-keyed exchange min-merges candidates
+    into the standing map while counting improvements — the driver
+    sees only that scalar. Bit-identical to the broadcast tier:
+    integer min/plus, identical per-round relaxation set, identical
+    fixpoint early-exit rule."""
+    from .kernels.hashing import stable_u64_md5
+    from .stages.exchange import keyed_exchange
+
+    def seeds_partial(df: pd.DataFrame) -> pd.DataFrame:
+        node = np.unique(
+            np.concatenate(
+                [df["u"].to_numpy(dtype=np.int64), df["v"].to_numpy(dtype=np.int64)]
+            )
+        )
+        coin = np.fromiter(
+            (stable_u64_md5(f"sssp:{n}".encode("utf-8")) for n in node),
+            dtype=np.uint64,
+            count=len(node),
+        )
+        return pd.DataFrame({"node": node[coin % np.uint64(SSSP_SEED_MOD) == 0]})
+
+    dist = keyed_exchange(
+        edges.map_batches(seeds_partial, batch_format="pandas"),
+        ["node"],
+        lambda df: df.drop_duplicates().assign(dist=np.int64(0)).astype(
+            {"node": "int64", "dist": "int64"}
+        ),
+        P,
+    ).materialize()
+    if dist.count() == 0:
+        return pd.DataFrame(
+            {"part_id": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
+        )
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(dtype=np.int64)
+        v = df["v"].to_numpy(dtype=np.int64)
+        w = df["w"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([u, v]),
+                "other": np.concatenate([v, u]),
+                "w": np.concatenate([w, w]),
+                "dist": np.full(2 * len(u), -1, dtype=np.int64),
+            }
+        )
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pandas")
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        is_d = df["dist"].to_numpy() >= 0
+        dmap = pd.Series(
+            df.loc[is_d, "dist"].to_numpy(dtype=np.int64),
+            index=df.loc[is_d, "key"].to_numpy(dtype=np.int64),
+        )
+        ed = df[~is_d]
+        src_d = dmap.reindex(ed["key"].to_numpy(dtype=np.int64))
+        hit = src_d.notna().to_numpy()
+        cand = pd.DataFrame(
+            {
+                "node": ed["other"].to_numpy(dtype=np.int64)[hit],
+                "dist": (
+                    src_d.to_numpy()[hit].astype(np.int64)
+                    + ed["w"].to_numpy(dtype=np.int64)[hit]
+                ),
+            }
+        )
+        return cand.groupby("node", as_index=False)["dist"].min()
+
+    for _r in range(1, SSSP_ROUNDS + 1):
+        dist_tagged = dist.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "key": df["node"].to_numpy(dtype=np.int64),
+                    "other": np.full(len(df), -1, dtype=np.int64),
+                    "w": np.zeros(len(df), dtype=np.int64),
+                    "dist": df["dist"].to_numpy(dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        cands = keyed_exchange(edges_tagged.union(dist_tagged), ["key"], relax, P)
+
+        def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+            # side 1 = standing map (one row per node), side 0 = candidates
+            cur = df[df["side"] == 1]
+            curmap = pd.Series(
+                cur["dist"].to_numpy(dtype=np.int64),
+                index=cur["node"].to_numpy(dtype=np.int64),
+            )
+            best = df.groupby("node", as_index=False)["dist"].min()
+            old = curmap.reindex(best["node"].to_numpy(dtype=np.int64))
+            improved = old.isna().to_numpy() | (
+                best["dist"].to_numpy() < old.fillna(1 << 62).to_numpy()
+            )
+            return best.assign(changed=improved.astype(np.int64))
+
+        tagged = (
+            cands.map_batches(
+                lambda df: df.assign(side=np.int64(0)), batch_format="pandas"
+            )
+            .union(
+                dist.map_batches(
+                    lambda df: df.assign(side=np.int64(1)), batch_format="pandas"
+                )
+            )
+        )
+        merged = keyed_exchange(tagged, ["node"], min_merge, P).materialize()
+        n_changed = int(
+            merged.map_batches(
+                lambda df: pd.DataFrame({"c": [int(df["changed"].sum())]}),
+                batch_format="pandas",
+            )
+            .to_pandas()["c"]
+            .sum()
+        )
+        dist = merged.map_batches(
+            lambda df: df[["node", "dist"]].astype({"node": "int64", "dist": "int64"}),
+            batch_format="pandas",
+        ).materialize()
+        if not n_changed:
+            break
+
+    out = dist.to_pandas().sort_values("node")
+    return pd.DataFrame(
+        {
+            "part_id": out["node"].astype("int64").to_numpy(),
+            "dist": out["dist"].astype("int64").to_numpy(),
         }
     )
 

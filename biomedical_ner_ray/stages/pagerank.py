@@ -27,10 +27,12 @@ iteration (label-union pattern as in canonicalize._half_round) — 2–3×
 slower at sf0.1 and O(E·iterations) shuffle at scale. Bounds of this
 one: the rank broadcast holds to ~10⁷ nodes (the engine's
 broadcast-small standard, SCALE.md §7) and the driver combine to
-P·N partial rows; beyond that, swap the combine onto
-``exchange.grouped_aggregate`` and the broadcast for the label-union
-exchange — the integer arithmetic guarantees identical results either
-way.
+P·N partial rows; past ``PR_BROADCAST_LIMIT`` the EXCHANGE tier
+(``_pagerank_exchange_tier``, built in r5) takes over — pinned per-pid
+edge handoff + pid-aligned O(N) rank exchange, zero node-dimension
+driver state, still never re-shuffling the edges — and the integer
+arithmetic guarantees bit-identical results on every tier
+(tests/test_scale_fallbacks.py::test_pagerank_exchange_tier).
 
 Adaptive: a graph at or under ``small_graph_threshold`` edges runs on
 the driver (same integers, same result), matching the engine's
@@ -58,11 +60,19 @@ def _pin_partition(df: pd.DataFrame) -> pd.DataFrame:
     return e.assign(deg=deg)
 
 
+# Node-dimension budget for the per-iteration rank broadcast + driver
+# combine (the queries.LP_BROADCAST_LIMIT standard): past it the
+# EXCHANGE tier runs — pinned per-pid edge handoff + pid-aligned rank
+# exchange, zero driver state (see _pagerank_exchange_tier).
+PR_BROADCAST_LIMIT = 5_000_000
+
+
 def pagerank_int(
     edges_ds,
     iterations: int = 3,
     num_partitions: int = 8,
     small_graph_threshold: int = 200_000,
+    broadcast_limit: int = PR_BROADCAST_LIMIT,
 ):
     """edges_ds: Dataset with int64 (src, dst) columns — directed
     pairs, duplicates allowed (deduped inside the src-keyed exchange).
@@ -101,6 +111,9 @@ def pagerank_int(
             {"node": r.index.astype("int64"), "pr_score": r.to_numpy()}
         ).sort_values("node", ignore_index=True)
         return rd.from_pandas(out)
+
+    if 2 * edges.count() > broadcast_limit:
+        return _pagerank_exchange_tier(edges, iterations, num_partitions)
 
     import ray
 
@@ -143,3 +156,119 @@ def pagerank_int(
         "node", ignore_index=True
     )
     return rd.from_pandas(out)
+
+
+def _pagerank_exchange_tier(edges, iterations: int, P: int):
+    """Exchange tier (the docstring's promised scale-out path, built):
+    NO per-iteration rank broadcast, NO driver combine — zero
+    node-dimension driver state.
+
+    Setup (once): the src-keyed pin exchange additionally WRITES each
+    co-located partition as one parquet file keyed by its partition id
+    (``pid = hash(src) % P`` — the keyed_exchange hash itself), a
+    worker-side handoff the iterations re-read instead of re-shuffling
+    the edge set.
+
+    Per iteration: the O(N) rank table rides ONE node-keyed exchange
+    with the SAME hash/partition count, so each rank partition lands
+    exactly where its sources' pinned edges live; the combine re-reads
+    that pid's edge file (node-local at scale), merges ranks onto
+    sources (fillna SCALE — fires only on asymmetric inputs, outside
+    the documented precondition), and emits per-partition pre-summed
+    (dst, contrib) rows; a second dst-keyed exchange sums and applies
+    the damping. Integer sums are order-independent, so the result is
+    bit-identical to the broadcast tier and the driver path
+    (tests/test_scale_fallbacks.py::test_pagerank_exchange_tier).
+
+    Iteration 0 needs no rank table (every node starts at SCALE): the
+    contributions stream straight off the handoff files."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from ..state.manifest import sweep_stale_handoffs
+
+    work = sweep_stale_handoffs(
+        os.path.join(tempfile.gettempdir(), "graft_pagerank_pin")
+    )
+    os.makedirs(work, exist_ok=True)
+
+    def pin_write(df: pd.DataFrame) -> pd.DataFrame:
+        e = _pin_partition(df)
+        # int() BEFORE the mod: a numpy uint64 scalar % python int
+        # silently round-trips through float64 and mangles the value
+        pid = int(
+            pd.util.hash_pandas_object(e[["src"]].iloc[:1], index=False).iloc[0]
+        ) % P
+        e.to_parquet(os.path.join(work, f"pid={pid}.parquet"), index=False)
+        return pd.DataFrame({"pid": [pid], "rows": [len(e)]})
+
+    keyed_exchange(edges, ["src"], pin_write, P).materialize()
+    pin_files = sorted(
+        os.path.join(work, f)
+        for f in os.listdir(work)
+        if f.endswith(".parquet")
+    )
+
+    def damp(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("node", as_index=False)["contrib"].sum()
+        return pd.DataFrame(
+            {
+                "node": s["node"].astype("int64"),
+                "r": (BASE + (DAMP_NUM * s["contrib"]) // DAMP_DEN).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    def first_contribs(path_df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for p in path_df["path"]:
+            e = pd.read_parquet(p)
+            contrib = np.full(len(e), SCALE, dtype=np.int64) // e["deg"].to_numpy()
+            outs.append(
+                pd.DataFrame({"node": e["dst"].to_numpy(), "contrib": contrib})
+                .groupby("node", as_index=False)["contrib"]
+                .sum()
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame({"node": pd.Series(dtype="int64"),
+                               "contrib": pd.Series(dtype="int64")})
+        )
+
+    def attach_contribs(rdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(
+            pd.util.hash_pandas_object(rdf[["node"]].iloc[:1], index=False).iloc[0]
+        ) % P
+        path = os.path.join(work, f"pid={pid}.parquet")
+        if not os.path.exists(path):  # pid with ranks but no edges
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "contrib": pd.Series(dtype="int64")})
+        e = pd.read_parquet(path)
+        m = e[["src"]].merge(rdf, left_on="src", right_on="node", how="left")
+        rank = m["r"].fillna(SCALE).astype("int64")
+        contrib = rank.to_numpy() // e["deg"].to_numpy()
+        return (
+            pd.DataFrame({"node": e["dst"].to_numpy(), "contrib": contrib})
+            .groupby("node", as_index=False)["contrib"]
+            .sum()
+        )
+
+    ranks = None
+    for it in range(iterations):
+        if ranks is None:
+            contribs = (
+                rd.from_pandas(pd.DataFrame({"path": pin_files}))
+                .repartition(max(len(pin_files), 1))  # one task per pid file
+                .map_batches(first_contribs, batch_format="pandas")
+            )
+        else:
+            contribs = keyed_exchange(ranks, ["node"], attach_contribs, P)
+        ranks = keyed_exchange(contribs, ["node"], damp, P).materialize()
+
+    return ranks.map_batches(
+        lambda df: df.rename(columns={"r": "pr_score"}), batch_format="pandas"
+    )

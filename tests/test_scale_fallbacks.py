@@ -135,3 +135,55 @@ def test_bfs_exchange_tier(ray_session):
     )
     assert len(fast) > 0
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_pagerank_exchange_tier(ray_session):
+    """pagerank_int's exchange tier (forced via broadcast_limit=0 with
+    the driver shortcut disabled) must be BIT-IDENTICAL to the
+    broadcast tier and the driver path — all-integer fixed point makes
+    the sums order-independent under any partitioning."""
+    import numpy as np
+    import ray.data as rd
+
+    from biomedical_ner_ray.stages.pagerank import pagerank_int
+
+    rng = np.random.RandomState(9)
+    u = rng.randint(0, 400, size=3000).astype(np.int64)
+    v = rng.randint(0, 400, size=3000).astype(np.int64)
+    keep = u != v
+    e = pd.DataFrame(
+        {
+            "src": np.concatenate([u[keep], v[keep]]),
+            "dst": np.concatenate([v[keep], u[keep]]),
+        }
+    )
+
+    def run(**kw):
+        return (
+            pagerank_int(rd.from_pandas(e), iterations=3, num_partitions=8, **kw)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)[["node", "pr_score"]]
+        )
+
+    driver = run()  # small graph => driver path
+    bcast = run(small_graph_threshold=0)  # distributed broadcast tier
+    exch = run(small_graph_threshold=0, broadcast_limit=0)  # exchange tier
+    assert len(driver) > 0
+    pd.testing.assert_frame_equal(driver, bcast)
+    pd.testing.assert_frame_equal(driver, exch)
+
+
+def test_sssp_exchange_tier(ray_session):
+    """part_sssp_weighted's distributed dist-map tier (forced via
+    broadcast_limit=0) must reproduce the broadcast tier's distances
+    bit-for-bit, including the fixpoint early-exit round count."""
+    from biomedical_ner_ray import queries as Q
+
+    fast = _frame(Q.part_sssp_weighted(SF)).sort_values(
+        "part_id", ignore_index=True
+    )
+    slow = _frame(Q.part_sssp_weighted(SF, broadcast_limit=0)).sort_values(
+        "part_id", ignore_index=True
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow)
