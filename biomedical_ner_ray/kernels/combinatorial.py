@@ -51,11 +51,10 @@ import numpy as np
 from .crf import (
     DICT_SCORE,
     FEATURE_SCALE,
+    batched_decode_harness,
     bio_tagset,
     bio_transitions,
-    viterbi_decode_batch,
 )
-from .tokenize import MAX_SEQ_LEN
 
 CHAR_BUCKETS = 128  # hashed char-id space; id 0 = padding
 CHAR_EMBED_DIM = 16
@@ -470,29 +469,20 @@ class CombinatorialScorer:
         """Pure-model Viterbi (trained mode) over many sequences: raw
         emissions + learned transition scores under the hard BIO mask;
         no dictionary prior. 'O' beyond MAX_SEQ_LEN (reference
-        truncation). Length-sorted buckets of ≤ BATCH_DECODE_SEQS run
-        one batched forward + one batched Viterbi each. Shared verbatim
-        by the distributed stage and the sequential oracle replay —
-        and bit-identical to per-sequence decoding (see scores_batch)."""
-        results: list[list[str] | None] = [None] * len(token_lists)
-        work: list[tuple[int, list[str]]] = []
-        for i, toks in enumerate(token_lists):
-            limit = min(len(toks), MAX_SEQ_LEN)
-            if limit == 0:
-                results[i] = ["O"] * len(toks)
-            else:
-                work.append((i, toks[:limit]))
-        work.sort(key=lambda it: (len(it[1]), it[0]))
-        cap = self.BATCH_DECODE_SEQS
-        for s in range(0, len(work), cap):
-            chunk = work[s : s + cap]
-            em, lens = self.scores_batch([t for _, t in chunk])
-            paths = viterbi_decode_batch(em, lens, self.trans)
-            for (i, toks), path in zip(chunk, paths):
-                results[i] = [self.tags[j] for j in path] + ["O"] * (
-                    len(token_lists[i]) - len(toks)
-                )
-        return results  # type: ignore[return-value]
+        truncation). Runs on the shared crf.batched_decode_harness
+        (length-sorted buckets, one batched forward + batched Viterbi
+        each). Shared verbatim by the distributed stage and the
+        sequential oracle replay — and bit-identical to per-sequence
+        decoding (see scores_batch)."""
+        return batched_decode_harness(
+            token_lists,
+            self.trans,
+            self.tags,
+            em_for_chunk=lambda chunk: self.scores_batch([t for _, t in chunk]),
+            on_empty=lambda i: ["O"] * len(token_lists[i]),
+            tail=lambda i, n: ["O"] * (len(token_lists[i]) - n),
+            cap=self.BATCH_DECODE_SEQS,
+        )
 
     def decode_tokens(self, tokens: list[str]) -> list[str]:
         return self.decode_tokens_batch([tokens])[0]
@@ -507,28 +497,23 @@ class CombinatorialScorer:
         if self.trained:
             return self.decode_tokens_batch(token_lists)
         assert dict_tags_lists is not None
-        results: list[list[str] | None] = [None] * len(token_lists)
-        work: list[tuple[int, list[str]]] = []
-        for i, toks in enumerate(token_lists):
-            limit = min(len(toks), MAX_SEQ_LEN)
-            if limit == 0:
-                results[i] = list(dict_tags_lists[i])
-            else:
-                work.append((i, toks[:limit]))
-        work.sort(key=lambda it: (len(it[1]), it[0]))
-        cap = self.BATCH_DECODE_SEQS
-        for s in range(0, len(work), cap):
-            chunk = work[s : s + cap]
+
+        def em_with_prior(chunk):
             em, lens = self.scores_batch([t for _, t in chunk])
             for bi, (i, toks) in enumerate(chunk):
                 for t, tag in enumerate(dict_tags_lists[i][: len(toks)]):
                     em[bi, t, self.tag_index[tag]] += DICT_SCORE
-            paths = viterbi_decode_batch(em, lens, self.trans)
-            for (i, toks), path in zip(chunk, paths):
-                out = [self.tags[j] for j in path]
-                out.extend(dict_tags_lists[i][len(toks) :])
-                results[i] = out
-        return results  # type: ignore[return-value]
+            return em, lens
+
+        return batched_decode_harness(
+            token_lists,
+            self.trans,
+            self.tags,
+            em_for_chunk=em_with_prior,
+            on_empty=lambda i: list(dict_tags_lists[i]),
+            tail=lambda i, n: dict_tags_lists[i][n:],
+            cap=self.BATCH_DECODE_SEQS,
+        )
 
     def decode(self, tokens: list[str], dict_tags: list[str]) -> list[str]:
         """Same decode contract as ``crf.CRFScorer.decode`` — the B=1

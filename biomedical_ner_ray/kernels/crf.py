@@ -245,6 +245,53 @@ def viterbi_decode_batch(
     return out
 
 
+# Sequences per decode bucket in the shared batched-decode harness:
+# bounds padded activation memory while keeping batched ops wide.
+DECODE_BUCKET_SEQS = 256
+
+
+def batched_decode_harness(
+    token_lists,
+    trans: np.ndarray,
+    tags: list[str],
+    em_for_chunk,
+    on_empty,
+    tail,
+    cap: int = DECODE_BUCKET_SEQS,
+) -> list[list[str]]:
+    """The ONE skeleton every scorer's ``decode_batch`` runs on
+    (Combinatorial / Learned / CRF — previously four near-identical
+    copies): clamp each sequence to MAX_SEQ_LEN, length-sort the work
+    list (stable on original index), run ≤``cap``-sequence buckets
+    through ``em_for_chunk`` + one batched Viterbi each, and reassemble
+    per-row results.
+
+    - ``em_for_chunk(chunk)`` → (emissions [B, L, K] end-padded,
+      lens [B]) for ``chunk`` = list of (original_index, clamped
+      tokens); prior addition (decode-equivalence mode) happens inside
+      the callback.
+    - ``on_empty(i)`` → the full result row for a token-less sequence.
+    - ``tail(i, decoded_len)`` → the suffix appended past MAX_SEQ_LEN
+      (``'O'`` padding for trained scorers, the dictionary tags for
+      decode-equivalence mode)."""
+    results: list[list[str] | None] = [None] * len(token_lists)
+    work: list[tuple[int, list[str]]] = []
+    for i, toks in enumerate(token_lists):
+        limit = min(len(toks), MAX_SEQ_LEN)
+        if limit == 0:
+            results[i] = on_empty(i)
+        else:
+            work.append((i, toks[:limit]))
+    work.sort(key=lambda it: (len(it[1]), it[0]))
+    for s in range(0, len(work), cap):
+        chunk = work[s : s + cap]
+        em, lens = em_for_chunk(chunk)
+        paths = viterbi_decode_batch(em, lens, trans)
+        for (i, toks), path in zip(chunk, paths):
+            results[i] = [tags[j] for j in path] + tail(i, len(toks))
+    return results  # type: ignore[return-value]
+
+
 class CRFScorer:
     """Load-once scorer state (tagset, transitions, char featurizer) —
     the learned-model analog of AliasDict for the annotate stage.
@@ -307,35 +354,31 @@ class CRFScorer:
     ) -> list[list[str]]:
         """Batched ``decode``: emissions stay per-sequence (their matmul
         row count IS the sequence length, so per-sequence floats are
-        unchanged) while Viterbi runs once per length-sorted bucket
-        (crf.viterbi_decode_batch — bit-exact vs per-row). Same
-        decode-equivalence guarantee; engaged by the annotate stage's
-        batched path."""
-        results: list[list[str] | None] = [None] * len(token_lists)
-        work: list[tuple[int, list[str]]] = []
-        for i, toks in enumerate(token_lists):
-            limit = min(len(toks), MAX_SEQ_LEN)
-            if limit == 0:
-                results[i] = list(dict_tags_lists[i])
-            else:
-                work.append((i, toks[:limit]))
-        work.sort(key=lambda it: (len(it[1]), it[0]))
-        for s in range(0, len(work), 256):
-            chunk = work[s : s + 256]
+        unchanged) while Viterbi runs once per length-sorted bucket —
+        bit-exact vs per-row. Same decode-equivalence guarantee;
+        engaged by the annotate stage's batched path; runs on the
+        shared batched_decode_harness."""
+
+        def em_for_chunk(chunk):
             lens = np.fromiter(
                 (len(t) for _, t in chunk), dtype=np.int64, count=len(chunk)
             )
-            L = int(lens.max())
-            em = np.zeros((len(chunk), L, len(self.tags)), dtype=np.float64)
+            em = np.zeros(
+                (len(chunk), int(lens.max()), len(self.tags)), dtype=np.float64
+            )
             for bi, (i, toks) in enumerate(chunk):
                 em[bi, : len(toks)] = emissions_from_tags(
                     dict_tags_lists[i][: len(toks)],
                     self.tag_index,
                     self.featurizer.scores(toks),
                 )
-            paths = viterbi_decode_batch(em, lens, self.trans)
-            for (i, toks), path in zip(chunk, paths):
-                out = [self.tags[j] for j in path]
-                out.extend(dict_tags_lists[i][len(toks) :])
-                results[i] = out
-        return results  # type: ignore[return-value]
+            return em, lens
+
+        return batched_decode_harness(
+            token_lists,
+            self.trans,
+            self.tags,
+            em_for_chunk=em_for_chunk,
+            on_empty=lambda i: list(dict_tags_lists[i]),
+            tail=lambda i, n: dict_tags_lists[i][n:],
+        )

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .crf import bio_tagset, bio_transitions, viterbi_decode, viterbi_decode_batch
+from .crf import batched_decode_harness, bio_tagset, bio_transitions, viterbi_decode
 from .tokenize import MAX_SEQ_LEN
 
 CHAR_BUCKETS = 96
@@ -154,35 +154,30 @@ class LearnedScorer:
         """Batched decode: per-sequence emissions (their matmul row
         count IS the sequence length, so per-sequence floats never
         depend on batching) + one batched Viterbi per length-sorted
-        bucket — bit-identical to ``decode_tokens`` per row (see
-        crf.viterbi_decode_batch)."""
-        results: list[list[str] | None] = [None] * len(token_lists)
-        work: list[tuple[int, list[str]]] = []
-        for i, toks in enumerate(token_lists):
-            limit = min(len(toks), MAX_SEQ_LEN)
-            if limit == 0:
-                results[i] = ["O"] * len(toks)
-            else:
-                work.append((i, toks[:limit]))
-        work.sort(key=lambda it: (len(it[1]), it[0]))
-        for s in range(0, len(work), 256):
-            chunk = work[s : s + 256]
+        bucket — bit-identical to ``decode_tokens`` per row. Runs on
+        the shared crf.batched_decode_harness."""
+
+        def em_for_chunk(chunk):
             lens = np.fromiter(
                 (len(t) for _, t in chunk), dtype=np.int64, count=len(chunk)
             )
-            L = int(lens.max())
-            k = self.b.shape[0]
-            em = np.zeros((len(chunk), L, k), dtype=np.float64)
+            em = np.zeros(
+                (len(chunk), int(lens.max()), self.b.shape[0]), dtype=np.float64
+            )
             for bi, (_i, toks) in enumerate(chunk):
                 em[bi, : len(toks)] = (
                     features(toks).astype(np.float64) @ self.W + self.b
                 )
-            paths = viterbi_decode_batch(em, lens, self.trans)
-            for (i, toks), path in zip(chunk, paths):
-                results[i] = [self.tags[j] for j in path] + ["O"] * (
-                    len(token_lists[i]) - len(toks)
-                )
-        return results  # type: ignore[return-value]
+            return em, lens
+
+        return batched_decode_harness(
+            token_lists,
+            self.trans,
+            self.tags,
+            em_for_chunk=em_for_chunk,
+            on_empty=lambda i: ["O"] * len(token_lists[i]),
+            tail=lambda i, n: ["O"] * (len(token_lists[i]) - n),
+        )
 
     def decode_batch(
         self, token_lists: list[list[str]], dict_tags_lists=None

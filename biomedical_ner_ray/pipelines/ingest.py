@@ -17,10 +17,17 @@ Store layout — CRASH-SAFE VERSIONED GENERATIONS: every delta builds
 ``gen<k+1>/`` next to the live ``gen<k>/``; untouched hive bucket/part
 files are HARDLINKED (O(#files) metadata ops, zero data copy), touched
 buckets are rewritten merged, and the store manifest (``store.json``)
-flips to the new generation with one atomic rename. A crash mid-build
-leaves ``gen<k>`` intact and the orphan ``gen<k+1>`` is rebuilt from
-scratch on the next ingest; re-submitting an already-applied delta is
-a fingerprint-matched no-op (idempotent at-least-once ingest).
+flips to the new generation with one fsynced atomic rename. A crash
+mid-build leaves ``gen<k>`` intact and the orphan ``gen<k+1>`` is
+rebuilt from scratch on the next ingest; re-submitting an
+already-applied delta is a fingerprint-matched no-op (path + size +
+mtime_ns — idempotent at-least-once ingest), concurrent ingests on one
+store serialize on a flock, and a turn id already in the registry is
+dropped at dedup time (the store is APPEND-ONLY per (conv_id,
+turn_idx) — re-submitting overlapping slices cannot double-register).
+Honesty note on durability: the claim is kill-safe (SIGKILL at any
+point) plus manifest-atomic; full power-fail durability of generation
+DATA files is the filesystem's domain (no per-file fsync).
 
 Scale posture: per delta the work is O(delta) + O(touched buckets) —
 the standing corpus is never re-read or re-shuffled; driver traffic is
@@ -121,6 +128,14 @@ def _flip_state(store_dir: str, state: dict) -> None:
     tmp = os.path.join(store_dir, "store.json.tmp")
     with open(tmp, "w") as f:
         json.dump(state, f, indent=2)
+        # fsync before the rename: without it a power loss can journal
+        # the rename ahead of the data blocks and leave a zero-length
+        # store.json. (Generation DATA files are not fsynced — the
+        # crash-safety claim is kill-safe + manifest-atomic; full
+        # power-fail durability of the data files is the filesystem's
+        # mount-option domain, stated honestly in the module docstring.)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(store_dir, "store.json"))
 
 
@@ -147,14 +162,23 @@ def _hardlink_tree(src: str, dst: str) -> None:
 
 
 def _delta_fingerprint(transcripts: str) -> str:
-    from ..state.manifest import input_fingerprint
-
+    """Persisted exactly-once identity of a delta: path + size +
+    mtime_ns per file. Deliberately STRONGER than the shared
+    manifest.input_fingerprint (path+size only — a cache heuristic): a
+    producer that overwrites the same path with same-sized new content
+    must not be silently skipped as already-applied. Content hashing
+    would be stronger still but costs a full delta read; mtime_ns
+    catches every regular rewrite."""
     files = (
         list_parquet_files(transcripts)
         if os.path.isdir(transcripts)
         else [transcripts]
     )
-    return fingerprint(STORE_VERSION, input_fingerprint(files))
+    parts = []
+    for f in sorted(files):
+        st = os.stat(f)
+        parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return fingerprint(STORE_VERSION, *parts)
 
 
 def ingest_delta(
@@ -167,9 +191,41 @@ def ingest_delta(
 ) -> dict:
     """Apply one transcript delta to the store; returns the report.
     Idempotent: a delta whose input fingerprint is already recorded in
-    the store manifest is skipped."""
+    the store manifest is skipped. Serialized per store (flock)."""
+    import fcntl
+
+    from ..queries import KG_EDGE_BUCKETS
+
+    t0 = time.perf_counter()
+    n_edge_buckets = n_edge_buckets or KG_EDGE_BUCKETS
+    os.makedirs(store_dir, exist_ok=True)
+    # One ingest at a time per store: without this, two concurrent
+    # ingests both build gen k+1 and the second's orphan-cleanup rmtree
+    # deletes the first's in-progress generation (the manifest.run_stage
+    # flock discipline, applied to the whole mutation).
+    lock_f = open(os.path.join(store_dir, ".ingest.lock"), "w")
+    fcntl.flock(lock_f, fcntl.LOCK_EX)
+    try:
+        return _ingest_delta_locked(
+            store_dir, transcripts, alias_path,
+            n_edge_buckets=n_edge_buckets, scorer=scorer, t0=t0,
+        )
+    finally:
+        fcntl.flock(lock_f, fcntl.LOCK_UN)
+        lock_f.close()
+
+
+def _ingest_delta_locked(
+    store_dir: str,
+    transcripts: str,
+    alias_path: str,
+    *,
+    n_edge_buckets: int,
+    scorer: str,
+    t0: float,
+) -> dict:
     from ..oracle import canonical_components
-    from ..queries import KG_EDGE_BUCKETS, _with_edge_bucket
+    from ..queries import _with_edge_bucket
     from ..stages.annotate import annotate_stage
     from ..stages.dedup import (
         _band_rows_from_shingles,
@@ -182,9 +238,6 @@ def ingest_delta(
     from ..stages.explode import triples_stage
     from ..stages.graph import edges_stage
 
-    t0 = time.perf_counter()
-    n_edge_buckets = n_edge_buckets or KG_EDGE_BUCKETS
-    os.makedirs(store_dir, exist_ok=True)
     state = _store_state(store_dir)
     dfp = _delta_fingerprint(transcripts)
     for d in state["deltas"]:
@@ -216,10 +269,17 @@ def ingest_delta(
             }
         )
 
+    # ONE read+map of the delta, object-store resident; every later
+    # consumer (pair phases, id collect, survivor filter, counts) reuses
+    # the materialized blocks instead of re-scanning the parquet.
+    delta_all = (
+        rd.read_parquet(transcripts, columns=["conv_id", "turn_idx", "text"])
+        .map_batches(with_ids, batch_format="pyarrow")
+        .materialize()
+    )
+
     def delta_docs():
-        return rd.read_parquet(
-            transcripts, columns=["conv_id", "turn_idx", "text"]
-        ).map_batches(with_ids, batch_format="pyarrow")
+        return delta_all
 
     # ---- incremental dedup ------------------------------------------
     old = _gen_dir(store_dir, gen)
@@ -237,16 +297,12 @@ def ingest_delta(
     # dropped; of a new–new pair the larger doc_id is dropped. The drop
     # list is O(dup-rate × delta) and is applied with a broadcast-side
     # membership filter (the delta is the bounded side by construction).
-    new_ids_ref = ray.put(
-        set(
-            delta_docs()
-            .map_batches(
-                lambda df: df[["doc_id"]], batch_format="pandas"
-            )
-            .to_pandas()["doc_id"]
-            .tolist()
-        )
+    new_id_list = (
+        delta_all.map_batches(lambda df: df[["doc_id"]], batch_format="pandas")
+        .to_pandas()["doc_id"]
+        .tolist()
     )
+    new_ids_ref = ray.put(set(new_id_list))
 
     def drop_list(df: pd.DataFrame) -> pd.DataFrame:
         from ..state.broadcast import resolve
@@ -268,6 +324,42 @@ def ingest_delta(
         .to_pandas()["doc_id"]
         .tolist()
     )
+
+    # Re-ingest guard: a delta turn whose (conv_id, turn_idx) already
+    # lives in the registry is DROPPED — the store is append-only per
+    # turn id, so re-submitting an overlapping slice (or the same turn
+    # with edited text that is not a near-dup) cannot double-register a
+    # doc_id or leave a stale vector beside a new one. One side-tagged
+    # doc_id-keyed exchange over (pruned registry ids ∪ delta ids);
+    # output bounded by the delta size.
+    if gen >= 0:
+        reg_files = list_parquet_files(os.path.join(old, "turns"))
+        if reg_files:
+            tagged_ids = (
+                rd.read_parquet(reg_files, columns=["doc_id"])
+                .map_batches(
+                    lambda df: df[["doc_id"]].assign(side=np.int64(1)),
+                    batch_format="pandas",
+                )
+                .union(
+                    delta_all.map_batches(
+                        lambda df: df[["doc_id"]].assign(side=np.int64(0)),
+                        batch_format="pandas",
+                    )
+                )
+            )
+
+            def already(df: pd.DataFrame) -> pd.DataFrame:
+                g = df.groupby("doc_id")["side"].agg(["min", "max"])
+                both = g[(g["min"] == 0) & (g["max"] == 1)]
+                return pd.DataFrame(
+                    {"doc_id": both.index.to_numpy(dtype=np.int64)}
+                )
+
+            dup_df = keyed_exchange(tagged_ids, ["doc_id"], already, 8).to_pandas()
+            if len(dup_df):  # empty result frames carry no columns
+                drops |= set(dup_df["doc_id"].tolist())
+
     drops_ref = ray.put(drops)
 
     def keep_survivors(df: pd.DataFrame) -> pd.DataFrame:
@@ -277,12 +369,41 @@ def ingest_delta(
         return df[~df["doc_id"].isin(dr)] if dr else df
 
     survivors = (
-        delta_docs()
-        .map_batches(keep_survivors, batch_format="pandas")
+        delta_all.map_batches(keep_survivors, batch_format="pandas")
         .materialize()  # consumed by: registry, annotate, vectors, index
     )
-    n_delta = delta_docs().count()
+    n_delta = delta_all.count()
     n_kept = survivors.count()
+
+    if n_kept == 0 and gen >= 0:
+        # Nothing survived dedup/the re-ingest guard: the new generation
+        # is a pure hardlink carry of the old one (the delta is still
+        # RECORDED so re-submission stays a fingerprint no-op).
+        for sub in ("turns", "edges", "vectors", "bands", "shingles"):
+            src = os.path.join(old, sub)
+            dst = os.path.join(nd, sub)
+            os.makedirs(dst, exist_ok=True)
+            if os.path.isdir(src):
+                _hardlink_tree(src, dst)
+        from ..stages.dedup import INDEX_LAYOUT_VERSION
+
+        with open(os.path.join(nd, "_LAYOUT_VERSION"), "w") as f:
+            f.write(INDEX_LAYOUT_VERSION)
+        report = {
+            "delta": new_gen,
+            "fingerprint": dfp,
+            "n_delta_turns": int(n_delta),
+            "n_kept": 0,
+            "n_dropped": int(n_delta),
+            "touched_edge_buckets": [],
+            "touched_vparts": [],
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        state["generation"] = new_gen
+        state["deltas"].append(report)
+        _flip_state(store_dir, state)
+        shutil.rmtree(old, ignore_errors=True)
+        return report
 
     # ---- turn registry ----------------------------------------------
     turns_dir = os.path.join(nd, "turns")

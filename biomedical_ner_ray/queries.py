@@ -3533,6 +3533,16 @@ def lineitem_price_quantiles_sketch_eval(sf_dir: str):
     def sk_partial(df: pd.DataFrame) -> pd.DataFrame:
         from .kernels.sketch import dd_add
 
+        # The audit's cumulative walk (and the SQL ln() replay) covers
+        # the log-spaced buckets only — kernels/sketch.py declares the
+        # DDSketch for POSITIVE values (prices/latencies/sizes; zeros
+        # ride a separate None bucket dd_quantile walks first). Fail
+        # LOUDLY on out-of-domain input instead of silently diverging.
+        if (df["l_extendedprice"].to_numpy() <= 0).any():
+            raise ValueError(
+                "lineitem_price_quantiles_sketch_eval audits the positive-"
+                "value DDSketch domain; found non-positive prices"
+            )
         rows = []
         for flag, g in df.groupby("l_returnflag", sort=False):
             counts = dd_add({}, g["l_extendedprice"].to_numpy())

@@ -137,9 +137,13 @@ def exchange_metering():
         _METER["actor"] = actor
 
         def snapshot() -> dict:
-            # fence: per-submitter ordering means OUR get drains the
-            # queue behind every add this driver submitted; worker-side
-            # adds settle within the grace sleep
+            # Fence caveat (measurement-mode honesty): worker-side
+            # fire-and-forget adds from tasks that COMPLETED before this
+            # call were already sent and are processed before our get in
+            # practice on a single host, but the grace sleep is the only
+            # cross-submitter ordering guarantee — call snapshot() only
+            # after the metered datasets are fully consumed, and treat
+            # the numbers as measurement-mode (not accounting-grade).
             time.sleep(0.5)
             return ray.get(actor.snapshot.remote())
 

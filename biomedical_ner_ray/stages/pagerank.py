@@ -257,18 +257,27 @@ def _pagerank_exchange_tier(edges, iterations: int, P: int):
             .sum()
         )
 
-    ranks = None
-    for it in range(iterations):
-        if ranks is None:
-            contribs = (
-                rd.from_pandas(pd.DataFrame({"path": pin_files}))
-                .repartition(max(len(pin_files), 1))  # one task per pid file
-                .map_batches(first_contribs, batch_format="pandas")
-            )
-        else:
-            contribs = keyed_exchange(ranks, ["node"], attach_contribs, P)
-        ranks = keyed_exchange(contribs, ["node"], damp, P).materialize()
+    import shutil
 
-    return ranks.map_batches(
-        lambda df: df.rename(columns={"r": "pr_score"}), batch_format="pandas"
-    )
+    ranks = None
+    try:
+        for it in range(iterations):
+            if ranks is None:
+                contribs = (
+                    rd.from_pandas(pd.DataFrame({"path": pin_files}))
+                    .repartition(max(len(pin_files), 1))  # one task per pid file
+                    .map_batches(first_contribs, batch_format="pandas")
+                )
+            else:
+                contribs = keyed_exchange(ranks, ["node"], attach_contribs, P)
+            ranks = keyed_exchange(contribs, ["node"], damp, P).materialize()
+        # final ranks are materialized (object-store resident) — the
+        # O(|E|) pinned handoff is dead weight from here; remove it
+        # rather than leaning on the 6h TTL sweep
+        result = ranks.map_batches(
+            lambda df: df.rename(columns={"r": "pr_score"}),
+            batch_format="pandas",
+        ).materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result

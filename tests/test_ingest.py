@@ -128,6 +128,12 @@ def test_three_delta_ingest_equals_full_recompute(ray_session, deltas, tmp_path)
     pq.write_table(t.slice(0, max(1, t.num_rows // 2)), os.path.join(d4, "p.parquet"))
     r4 = ingest_delta(store, d4, p["alias_dict"])
     assert r4["delta"] == 3 and not r4.get("skipped")
+    # every turn of the re-submitted slice is either already registered
+    # or a near-dup of the standing index — the APPEND-ONLY-per-turn-id
+    # guard drops all of them and the generation is a pure carry
+    assert r4["n_kept"] == 0
     assert not os.path.exists(os.path.join(store, "gen3", "junk.parquet"))
     # superseded generation is swept
     assert not os.path.exists(os.path.join(store, "gen2"))
+    # the carried store still serves the same edge table
+    assert store_edges(store).count() == len(got)
