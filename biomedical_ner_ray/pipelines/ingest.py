@@ -137,6 +137,13 @@ def _flip_state(store_dir: str, state: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(store_dir, "store.json"))
+    # ...and fsync the DIRECTORY so the rename dirent itself is durable
+    # before the caller acts on the returned report (acks upstream).
+    dfd = os.open(store_dir, os.O_DIRECTORY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _gen_dir(store_dir: str, gen: int) -> str:
@@ -178,6 +185,12 @@ def _delta_fingerprint(transcripts: str) -> str:
     for f in sorted(files):
         st = os.stat(f)
         parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    # mtime_ns catches regular rewrites on ns-resolution filesystems;
+    # coarse-timestamp mounts or mtime-preserving copies can still
+    # alias — content hashing is the strict option, at a full delta
+    # read per submission. Byte-identical re-staged files with a fresh
+    # mtime re-build a generation, which the re-ingest guard then
+    # reduces to a pure carry.
     return fingerprint(STORE_VERSION, *parts)
 
 
@@ -329,34 +342,30 @@ def _ingest_delta_locked(
     # lives in the registry is DROPPED — the store is append-only per
     # turn id, so re-submitting an overlapping slice (or the same turn
     # with edited text that is not a near-dup) cannot double-register a
-    # doc_id or leave a stale vector beside a new one. One side-tagged
-    # doc_id-keyed exchange over (pruned registry ids ∪ delta ids);
-    # output bounded by the delta size.
+    # doc_id or leave a stale vector beside a new one. Shape: NO
+    # corpus shuffle — the (small) delta id set broadcasts once and a
+    # streamed map over the registry's doc_id COLUMN emits only the
+    # matches (output bounded by the delta). Honest cost note: this
+    # scans 8 bytes/registered turn per delta (~1-2% of corpus payload
+    # bytes); a hive-bucketed id index drops into this slot when even
+    # the id column matters.
     if gen >= 0:
         reg_files = list_parquet_files(os.path.join(old, "turns"))
         if reg_files:
-            tagged_ids = (
-                rd.read_parquet(reg_files, columns=["doc_id"])
-                .map_batches(
-                    lambda df: df[["doc_id"]].assign(side=np.int64(1)),
-                    batch_format="pandas",
-                )
-                .union(
-                    delta_all.map_batches(
-                        lambda df: df[["doc_id"]].assign(side=np.int64(0)),
-                        batch_format="pandas",
-                    )
-                )
-            )
+            def members(df: pd.DataFrame) -> pd.DataFrame:
+                from ..state.broadcast import resolve
 
-            def already(df: pd.DataFrame) -> pd.DataFrame:
-                g = df.groupby("doc_id")["side"].agg(["min", "max"])
-                both = g[(g["min"] == 0) & (g["max"] == 1)]
+                ids = resolve(new_ids_ref)
+                hit = df["doc_id"][df["doc_id"].isin(ids)]
                 return pd.DataFrame(
-                    {"doc_id": both.index.to_numpy(dtype=np.int64)}
+                    {"doc_id": hit.to_numpy(dtype=np.int64)}
                 )
 
-            dup_df = keyed_exchange(tagged_ids, ["doc_id"], already, 8).to_pandas()
+            dup_df = (
+                rd.read_parquet(reg_files, columns=["doc_id"])
+                .map_batches(members, batch_format="pandas")
+                .to_pandas()
+            )
             if len(dup_df):  # empty result frames carry no columns
                 drops |= set(dup_df["doc_id"].tolist())
 
@@ -368,8 +377,23 @@ def _ingest_delta_locked(
         dr = resolve(drops_ref)
         return df[~df["doc_id"].isin(dr)] if dr else df
 
+    def dedupe_turn_ids(df: pd.DataFrame) -> pd.DataFrame:
+        """WITHIN-delta duplicate (conv_id, turn_idx) rows (a producer
+        bug the cross-delta guard can't see — both rows carry side
+        'new') collapse to ONE deterministically: lexicographically
+        smallest text wins. O(delta) doc_id-keyed exchange."""
+        return (
+            df.sort_values(["doc_id", "text"], kind="mergesort")
+            .drop_duplicates("doc_id", keep="first")
+        )
+
     survivors = (
-        delta_all.map_batches(keep_survivors, batch_format="pandas")
+        keyed_exchange(
+            delta_all.map_batches(keep_survivors, batch_format="pandas"),
+            ["doc_id"],
+            dedupe_turn_ids,
+            8,
+        )
         .materialize()  # consumed by: registry, annotate, vectors, index
     )
     n_delta = delta_all.count()

@@ -271,13 +271,16 @@ def _pagerank_exchange_tier(edges, iterations: int, P: int):
             else:
                 contribs = keyed_exchange(ranks, ["node"], attach_contribs, P)
             ranks = keyed_exchange(contribs, ["node"], damp, P).materialize()
-        # final ranks are materialized (object-store resident) — the
-        # O(|E|) pinned handoff is dead weight from here; remove it
-        # rather than leaning on the 6h TTL sweep
-        result = ranks.map_batches(
-            lambda df: df.rename(columns={"r": "pr_score"}),
-            batch_format="pandas",
-        ).materialize()
     finally:
+        # The final ranks are materialized and the trailing rename never
+        # touches the pin files, so the O(|E|) handoff is dead weight —
+        # remove it now instead of leaning on the 6h TTL sweep. Caveat
+        # (multi-node): losing a materialized rank block after this
+        # point would send Ray's lineage reconstruction through
+        # attach_contribs against the deleted files; a run that needs
+        # object-loss tolerance should persist the result to parquet
+        # before discarding the handoff.
         shutil.rmtree(work, ignore_errors=True)
-    return result
+    return ranks.map_batches(
+        lambda df: df.rename(columns={"r": "pr_score"}), batch_format="pandas"
+    )
